@@ -1,0 +1,254 @@
+"""Overlap-save fast-convolution filter bank — the heart of the framework.
+
+TPU-native redesign of the reference's filter.c (the Borgerding
+"overlap-save as a multiband mixing, downsampling filter bank"): ONE shared
+forward FFT over each wideband input block feeds every receiver channel; each
+channel gathers a slice of master bins (integer-bin coarse tuning), multiplies
+by its own frequency response, batch-IFFTs at its own (smaller) output size,
+discards the contaminated overlap, and applies a fine-tune phase ramp.
+
+Differences from the C design, deliberately TPU-first:
+  * No ring buffers / worker pools / condition variables: the master state is
+    an (M-1)-sample tail carried functionally through a jitted step
+    (filter.c's mirror ring + 4-deep job queue become XLA's async dispatch
+    pipeline; see SURVEY.md §2.5 P2/P5).
+  * Channels are a *batch axis*, not threads: one gather + one complex
+    multiply + one batched IFFT serves a whole rate-class group of channels
+    ([C, n_bins] tensors). Sharding the C axis across chips is the scale-out
+    path (parallel/).
+  * Phase bookkeeping is Q32 fixed-point revolutions (ops/osc.py) so the
+    fine-tune NCO and the Renfors block-phase adjustment stay exact across
+    unbounded blocks in f32-land.
+
+Bin-slice semantics match filter.c:695-860 (all four real/complex cases,
+upright and inverted spectra) and were validated against carrier-to-DC
+golden tests.
+"""
+from __future__ import annotations
+
+import dataclasses
+from fractions import Fraction
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .osc import phase_ramp_q32
+
+__all__ = [
+    "MasterConfig",
+    "master_init",
+    "master_fft",
+    "gather_bins",
+    "channelize",
+    "fine_tune",
+    "compute_tuning",
+    "block_phase_adjust_q32",
+    "shift_change_adjust_rev",
+    "good_blocksize",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class MasterConfig:
+    """Geometry of the shared master forward FFT (filter.c:156-301).
+
+    L: new samples consumed per block (ilen = samprate * blocktime)
+    M: impulse-response length; M-1 samples of context carried between blocks
+    real: True for real A/D streams (rx888 etc.), False for complex IQ
+    """
+
+    L: int
+    M: int
+    real: bool = True
+
+    @property
+    def N(self) -> int:
+        return self.L + self.M - 1
+
+    @property
+    def bins(self) -> int:
+        """Number of master frequency bins (N/2+1 for real, N for complex)."""
+        return self.N // 2 + 1 if self.real else self.N
+
+    @property
+    def overlap(self) -> int:
+        """Overlap factor V = N/(M-1) (5 for the default 20%% overlap)."""
+        return 1 + self.L // (self.M - 1)
+
+    @classmethod
+    def from_rate(cls, samprate: float, blocktime: float = 0.02, overlap: int = 5, real: bool = True):
+        """Size L, M from sample rate and block time (radio.c:644-652)."""
+        L = int(round(samprate * blocktime))
+        M = L // (overlap - 1) + 1
+        return cls(L=L, M=M, real=real)
+
+
+def master_init(cfg: MasterConfig):
+    """Fresh master state: the (M-1)-sample tail (zeros) and block counter."""
+    dtype = jnp.float32 if cfg.real else jnp.complex64
+    return {
+        "tail": jnp.zeros(cfg.M - 1, dtype),
+        "jobnum": jnp.zeros((), jnp.int32),
+    }
+
+
+def master_fft(cfg: MasterConfig, state, block):
+    """Run the shared forward FFT over one input block.
+
+    Args:
+      cfg: master geometry.
+      state: from master_init (carried).
+      block: [L] float32 (real) or complex64 (complex) new samples.
+
+    Returns:
+      (new_state, F): F is [bins] complex64 master spectrum of the N-point
+      window [previous M-1 samples | block].
+    """
+    x = jnp.concatenate([state["tail"], block])
+    F = jnp.fft.rfft(x) if cfg.real else jnp.fft.fft(x)
+    new_state = {
+        "tail": x[cfg.L :],
+        "jobnum": state["jobnum"] + 1,
+    }
+    return new_state, F.astype(jnp.complex64)
+
+
+def _signed_bins(n_bins: int) -> jnp.ndarray:
+    """Output bin index -> signed baseband frequency bin (FFT order)."""
+    k = jnp.arange(n_bins, dtype=jnp.int32)
+    return jnp.where(k < (n_bins + 1) // 2, k, k - n_bins)
+
+
+def gather_bins(F, shifts, n_bins: int, real_master: bool, master_N: int):
+    """Gather each channel's slice of master bins (pre-response).
+
+    Implements the four cases of filter.c:695-860:
+      real master, shift >= 0: upright positive spectrum, zero outside [0, Nm/2]
+      real master, shift < 0:  inverted spectrum, conjugated (high-side LO)
+      complex master:          circular slice with wraparound through DC
+
+    Args:
+      F: [m_bins] complex64 master spectrum.
+      shifts: [C] int32 coarse-tuning bin shifts (positive shift brings a
+        positive input frequency to DC).
+      n_bins: channel FFT size (static).
+      real_master / master_N: master geometry.
+
+    Returns: [C, n_bins] complex64 gathered (unfiltered) bins, FFT order.
+    """
+    signed_k = _signed_bins(n_bins)[None, :]  # [1, n_bins]
+    g = shifts[:, None] + signed_k  # [C, n_bins] master bin, signed
+    if real_master:
+        m_bins = master_N // 2 + 1
+        inverted = (shifts < 0)[:, None]
+        mi = jnp.where(inverted, -g, g)
+        valid = (mi >= 0) & (mi < m_bins)
+        vals = F[jnp.clip(mi, 0, m_bins - 1)]
+        vals = jnp.where(inverted, jnp.conj(vals), vals)
+        return jnp.where(valid, vals, 0.0)
+    else:
+        m_bins = master_N
+        mi = jnp.mod(g, m_bins)
+        return F[mi]
+
+
+def channelize(F, responses, shifts, olen: int, real_master: bool, master_N: int, isb: bool = False):
+    """Frequency-domain select+filter+decimate for a group of channels.
+
+    Args:
+      F: [m_bins] complex64 master spectrum.
+      responses: [C, n_bins] complex64 channel responses (FFT bin order,
+        from ops.filter_design — gain normalization baked in).
+      shifts: [C] int32 bin shifts.
+      olen: output samples per block (static; n_bins - olen = overlap
+        discarded, filter.c:345,370).
+      isb: independent-sideband mode — unpack LSB/USB into I/Q
+        (filter.c:862-876).
+
+    Returns: [C, olen] complex64 baseband blocks (before fine tuning).
+    """
+    n_bins = responses.shape[-1]
+    fd = gather_bins(F, shifts, n_bins, real_master, master_N) * responses
+    if isb:
+        # pos' = pos + conj(neg); neg' = neg - conj(pos); DC = 0
+        rev = jnp.flip(jnp.roll(fd, -1, axis=-1), axis=-1)  # bin -k for each k
+        half = jnp.arange(n_bins)[None, :]
+        is_pos = (half >= 1) & (half < n_bins // 2)
+        is_neg = half > n_bins // 2
+        fd = jnp.where(
+            is_pos,
+            fd + jnp.conj(rev),
+            jnp.where(is_neg, fd - jnp.conj(rev), jnp.where(half == 0, 0.0, fd)),
+        )
+    bb = jnp.fft.ifft(fd, axis=-1)
+    return bb[:, n_bins - olen :].astype(jnp.complex64)
+
+
+def fine_tune(bb, acc_q32, inc_q32, adj_q32):
+    """Apply per-channel fine-tuning NCO + block phase adjustment.
+
+    bb: [C, olen] complex64; acc/inc/adj: [C] int32 Q32 revolutions.
+    adj is the per-block Renfors eq.(12) phase rotation for bin shifts not
+    divisible by the overlap factor (radio.c:1524-1541), pre-added to the
+    accumulator each block.
+
+    Returns (bb_tuned, new_acc).
+    """
+    acc = acc_q32 + adj_q32
+    ramp, new_acc = phase_ramp_q32(acc, inc_q32, bb.shape[-1])
+    return bb * ramp, new_acc
+
+
+# ---------------------------------------------------------------------------
+# Host-side tuning arithmetic (exact, Python ints / float64)
+# ---------------------------------------------------------------------------
+
+
+def compute_tuning(N: int, samprate: float, freq: float):
+    """freq (Hz) -> (bin shift, remainder Hz, in_range) (radio.c:1216-1241).
+
+    shift = lrint(freq/binwidth); remainder = freq - shift*binwidth.
+    in_range is False when |shift| >= N/2 (outside front-end coverage).
+    """
+    hzperbin = samprate / N
+    shift = int(round(freq / hzperbin))
+    remainder = freq - shift * hzperbin
+    return shift, remainder, abs(shift) < N // 2
+
+
+def block_phase_adjust_q32(shift: int, L: int, N: int) -> np.int32:
+    """Per-block phase rotation cancelling the slice phase advance.
+
+    A carrier on master bin `shift` advances by shift*L/N revolutions per
+    block hop; the canceling rotation is -(shift*L/N) mod 1, computed exactly
+    with integer arithmetic (equivalent to radio.c:1529 cispi(2(shift%V)/V)
+    when V | N).
+    """
+    q = ((-shift * L) % N) * (1 << 32) // N
+    q &= 0xFFFFFFFF
+    return np.int32(q - (1 << 32) if q >= (1 << 31) else q)
+
+
+def shift_change_adjust_rev(delta_shift: int, L: int, M: int) -> float:
+    """One-time phase adjustment when the bin shift changes (radio.c:1531):
+    cispi(delta/(-2(V-1))) -> revolutions = -delta*(M-1)/(4*L)... expressed
+    via the overlap factor V-1 = L/(M-1): rev = -delta / (4*(V-1))."""
+    V1 = Fraction(L, M - 1)  # V - 1
+    return float(Fraction(-delta_shift, 4) / V1)
+
+
+def good_blocksize(x: int) -> int:
+    """Round x up to a 2^a*3^b*5^c*7^d*{1|11|13} 'goodchoice' size
+    (filter.c:421-430) — sizes XLA's mixed-radix FFT also handles well."""
+
+    def ok(n: int) -> bool:
+        for p in (2, 3, 5, 7):
+            while n % p == 0:
+                n //= p
+        return n in (1, 11, 13)
+
+    n = max(int(x), 1)
+    while not ok(n):
+        n += 1
+    return n

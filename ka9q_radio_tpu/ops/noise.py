@@ -1,0 +1,80 @@
+"""Quantile-based noise-floor (N0) estimation.
+
+TPU realization of the reference's estimate_noise (radio.c:1821-1904, spec
+in the long comment at radio.c:1690-1755): take the energies of master FFT
+bins around each channel, find the 10% quantile, average the bins below
+1.5x that quantile (hopefully noise-only), and apply the exact
+exponential-distribution correction factor for the truncated mean.
+
+The reference quickselects per channel per block on a CPU thread; here the
+whole channel group does one batched sort on [C, nbins] — sorts are cheap on
+TPU relative to the FFTs, and the result feeds squelch/AGC/SNR exactly as in
+the reference.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = ["NQ", "N_CUTOFF", "POWER_ALPHA", "MIN_NOISE_BINS", "noise_correction", "estimate_noise", "gather_noise_bins"]
+
+NQ = 0.10  # quantile assumed noise-only (radio.c:74)
+N_CUTOFF = 1.5  # averaging threshold multiplier (radio.c:75)
+POWER_ALPHA = 0.10  # per-block EMA smoothing of N0 (radio.c:73)
+MIN_NOISE_BINS = 1000  # widen the window for narrow channels (radio.c:77)
+
+
+def noise_correction(q: float = NQ, cutoff: float = N_CUTOFF) -> float:
+    """Unbiasing factor for the truncated exponential mean (radio.c:1878-1882)."""
+    z = cutoff * (-np.log(1.0 - q))
+    return float(1.0 / (1.0 - z * np.exp(-z) / (1.0 - np.exp(-z))))
+
+
+def gather_noise_bins(F, shifts, nbins: int, real_master: bool, master_N: int):
+    """Gather the noise-estimation window of master bins per channel.
+
+    Matches radio.c:1845-1872: a window of `nbins` bins centered on the
+    channel, clamped to stay inside [DC, Nyquist] for real masters, circular
+    (stopping at the positive Nyquist edge) for complex masters.
+
+    Returns [C, nbins] float32 bin energies |F|^2.
+    """
+    k = jnp.arange(nbins, dtype=jnp.int32)[None, :]
+    if real_master:
+        m_bins = master_N // 2 + 1
+        lo = jnp.abs(shifts) - nbins // 2
+        lo = jnp.clip(lo, 0, max(m_bins - nbins, 0))[:, None]
+        idx = lo + k
+        vals = F[jnp.clip(idx, 0, m_bins - 1)]
+    else:
+        m_bins = master_N
+        lo = shifts[:, None] - nbins // 2
+        idx = jnp.mod(lo + k, m_bins)
+        vals = F[idx]
+    v = vals.astype(jnp.complex64)
+    return (v.real * v.real + v.imag * v.imag).astype(jnp.float32)
+
+
+def estimate_noise(energies, master_bins: int, samprate: float):
+    """N0 (power spectral density per Hz) per channel from bin energies.
+
+    Args:
+      energies: [C, nbins] master bin energies (from gather_noise_bins).
+      master_bins: the master's bin count (N/2+1 real, N complex) — the
+        reference normalizes by bins*samprate (radio.c:1901-1903).
+      samprate: front-end input sample rate.
+
+    Returns [C] float32 N0 estimates.
+    """
+    nbins = energies.shape[-1]
+    srt = jnp.sort(energies, axis=-1)
+    # linear-interpolated NQ quantile (radio.c quantile())
+    pos = NQ * (nbins - 1)
+    i = int(np.floor(pos))
+    frac = pos - i
+    q = srt[..., i] * (1.0 - frac) + srt[..., min(i + 1, nbins - 1)] * frac
+    thresh = N_CUTOFF * q
+    mask = energies <= thresh[..., None]
+    count = jnp.maximum(jnp.sum(mask, axis=-1), 1)
+    mean = jnp.sum(jnp.where(mask, energies, 0.0), axis=-1) / count
+    return (mean * noise_correction() / (master_bins * samprate)).astype(jnp.float32)

@@ -1,0 +1,151 @@
+"""Golden tests for the overlap-save filter bank.
+
+The strongest test of the whole phase bookkeeping chain (bin shift, Renfors
+block phase adjust, Q32 fine-tune NCO): a carrier at an ARBITRARY frequency,
+tuned exactly, must come out as a constant DC phasor — across block
+boundaries — at the conventional amplitude (a/sqrt(2) for real masters,
+a for complex masters).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ka9q_radio_tpu.ops.filterbank import (
+    MasterConfig,
+    master_init,
+    master_fft,
+    channelize,
+    fine_tune,
+    compute_tuning,
+    block_phase_adjust_q32,
+    good_blocksize,
+)
+from ka9q_radio_tpu.ops.filter_design import design_bandpass_response, response_to_device_order
+from ka9q_radio_tpu.ops.osc import rev_to_q32
+
+FS = 240_000  # front-end rate
+BLOCKTIME = 0.02
+OUT_FS = 12_000
+
+
+def _setup(real_master: bool):
+    cfg = MasterConfig.from_rate(FS, BLOCKTIME, overlap=5, real=real_master)
+    assert (cfg.L, cfg.M, cfg.N) == (4800, 1201, 6000)
+    olen = int(OUT_FS * BLOCKTIME)  # 240
+    n_bins = olen * cfg.N // cfg.L  # 300
+    resp = design_bandpass_response(
+        n_bins, olen, -5000 / OUT_FS, 5000 / OUT_FS,
+        kaiser_beta=11.0, real_master=real_master, master_points=cfg.N,
+    )
+    return cfg, olen, n_bins, response_to_device_order(resp)
+
+
+def _run_carrier(real_master: bool, f_carrier: float, tune: float, amp=1.0, nblocks=8, phase0=0.3):
+    cfg, olen, n_bins, resp = _setup(real_master)
+    shift, rem, ok = compute_tuning(cfg.N, FS, tune)
+    assert ok
+    inc = jnp.array([rev_to_q32(-rem / OUT_FS)], jnp.int32)
+    adj = jnp.array([block_phase_adjust_q32(shift, cfg.L, cfg.N)], jnp.int32)
+    shifts = jnp.array([shift], jnp.int32)
+    acc = jnp.array([0], jnp.int32)
+
+    t = np.arange(nblocks * cfg.L) / FS
+    if real_master:
+        x = (amp * np.cos(2 * np.pi * f_carrier * t + phase0)).astype(np.float32)
+    else:
+        x = (amp * np.exp(1j * (2 * np.pi * f_carrier * t + phase0))).astype(np.complex64)
+
+    state = master_init(cfg)
+    resp_j = jnp.asarray(resp)[None, :]
+    outs = []
+    for k in range(nblocks):
+        state, F = master_fft(cfg, state, jnp.asarray(x[k * cfg.L : (k + 1) * cfg.L]))
+        bb = channelize(F, resp_j, shifts, olen, cfg.real, cfg.N)
+        bb, acc = fine_tune(bb, acc, inc, adj)
+        outs.append(np.asarray(bb[0]))
+    return np.concatenate(outs), olen
+
+
+@pytest.mark.parametrize("f_carrier", [100_000.0, 100_123.4, 37_777.77])
+def test_real_master_carrier_to_dc(f_carrier):
+    out, olen = _run_carrier(True, f_carrier, f_carrier)
+    # skip the first two blocks (filter warm-up: M-1 master samples + channel kernel)
+    z = out[2 * olen :]
+    # constant amplitude a/sqrt(2)
+    np.testing.assert_allclose(np.abs(z), 1 / np.sqrt(2), rtol=1e-3)
+    # constant phase => DC: relative spread tiny, including across block edges
+    dphi = np.angle(z[1:] * np.conj(z[:-1]))
+    assert np.max(np.abs(dphi)) < 1e-3, f"phase discontinuity {np.max(np.abs(dphi))}"
+
+
+@pytest.mark.parametrize("f_carrier", [100_123.4, -60_010.2])
+def test_complex_master_carrier_to_dc(f_carrier):
+    out, olen = _run_carrier(False, f_carrier, f_carrier)
+    z = out[2 * olen :]
+    np.testing.assert_allclose(np.abs(z), 1.0, rtol=1e-3)
+    dphi = np.angle(z[1:] * np.conj(z[:-1]))
+    assert np.max(np.abs(dphi)) < 1e-3
+
+
+def test_real_master_inverted_spectrum():
+    # Tuning to a negative frequency on a real master selects the inverted
+    # (conjugate) spectrum — high-side LO injection (filter.c:777-859).
+    f = 80_040.0
+    out, olen = _run_carrier(True, f, -f)
+    z = out[2 * olen :]
+    np.testing.assert_allclose(np.abs(z), 1 / np.sqrt(2), rtol=1e-3)
+    dphi = np.angle(z[1:] * np.conj(z[:-1]))
+    assert np.max(np.abs(dphi)) < 1e-3
+
+
+def test_offset_carrier_comes_out_at_offset():
+    # Carrier 1 kHz above the tune frequency must appear at exactly +1 kHz.
+    f_c, tune = 101_000.0, 100_000.0
+    out, olen = _run_carrier(True, f_c, tune, nblocks=10)
+    z = out[2 * olen :]
+    np.testing.assert_allclose(np.abs(z), 1 / np.sqrt(2), rtol=2e-3)
+    inst_f = np.angle(z[1:] * np.conj(z[:-1])) / (2 * np.pi) * OUT_FS
+    np.testing.assert_allclose(inst_f, 1000.0, atol=1.0)
+
+
+def test_stopband_attenuation():
+    # Carrier 2 kHz beyond the passband edge: Kaiser beta=11 gives > 60 dB.
+    f_c, tune = 108_000.0, 100_000.0  # +8 kHz offset, passband +/-5 kHz
+    out, olen = _run_carrier(True, f_c, tune)
+    z = out[2 * olen :]
+    inband, _ = _run_carrier(True, tune, tune)
+    atten_db = 20 * np.log10(np.max(np.abs(z)) / np.mean(np.abs(inband[2 * olen :])))
+    assert atten_db < -60.0
+
+
+def test_white_noise_gain_real_master():
+    # Unit-variance white real noise through a B-wide filter: output power
+    # should be 2 * B/fs * var (the sqrt(2) real-master convention).
+    cfg, olen, n_bins, resp = _setup(True)
+    rng = np.random.default_rng(42)
+    nblocks = 40
+    x = rng.normal(size=nblocks * cfg.L).astype(np.float32)
+    shift, rem, _ = compute_tuning(cfg.N, FS, 60_000.0)
+    shifts = jnp.array([shift], jnp.int32)
+    inc = jnp.array([rev_to_q32(-rem / OUT_FS)], jnp.int32)
+    adj = jnp.array([block_phase_adjust_q32(shift, cfg.L, cfg.N)], jnp.int32)
+    acc = jnp.array([0], jnp.int32)
+    state = master_init(cfg)
+    resp_j = jnp.asarray(resp)[None, :]
+    pw = []
+    for k in range(nblocks):
+        state, F = master_fft(cfg, state, jnp.asarray(x[k * cfg.L : (k + 1) * cfg.L]))
+        bb = channelize(F, resp_j, shifts, olen, cfg.real, cfg.N)
+        bb, acc = fine_tune(bb, acc, inc, adj)
+        if k >= 2:
+            pw.append(np.mean(np.abs(np.asarray(bb)) ** 2))
+    got = np.mean(pw)
+    want = 2.0 * (10_000.0 / FS)  # B = 10 kHz two-sided passband
+    assert got == pytest.approx(want, rel=0.05)
+
+
+def test_good_blocksize():
+    assert good_blocksize(240) == 240
+    assert good_blocksize(241) == 243  # 3^5
+    assert good_blocksize(1000) == 1000
+    assert good_blocksize(1621) == 1625  # 5^3 * 13
