@@ -1,0 +1,125 @@
+"""Spectrum-analysis pseudo-demodulator (spectrum.c).
+
+Narrowband algorithm (spectrum.c:128-315): the channel's downconverted
+baseband is kept in a rolling context, windowed complex FFTs of size
+fft_n = samprate/rbw are taken with configurable overlap, and their bin
+powers averaged. The wideband raw-A/D algorithm (spectrum.c:317-531, used
+when rbw > the block rate) is served by the same code pointed at a raw-rate
+"iq" slice; a dedicated raw-ring path can come later.
+
+TPU-native differences:
+  * The reference computes spectra lazily when a poll arrives; here the
+    frame schedule is static — `frames_per_block = olen // hop` windowed
+    FFTs per 20 ms block, batched over channels — and polls read the
+    continuously-maintained average. The per-block FFT work is tiny next to
+    the master FFT.
+  * Averaging is a per-frame EMA with alpha = 1/fft_avg, the streaming
+    equivalent of the reference's boxcar of `fft_avg` FFTs (modes.c:73).
+
+Bin powers are emitted lowest-frequency-first, centered on the channel
+tuning, scaled so a full-scale (amplitude 1.0) carrier centered in a bin
+reads 1.0 (0 dBFS) — the same convention the TLV BIN_DATA consumer
+(powers.c) expects from radiod.
+
+Window menu matches window.h:17-28 via ops/windows.py (default Kaiser
+beta=7, modes.c:71).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.windows import make_window, window_noise_bandwidth
+
+__all__ = ["SpectrumGeometry", "spectrum_geometry", "spectrum_init", "spectrum_accumulate"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SpectrumGeometry:
+    samprate: int  # baseband rate the FFTs run at
+    olen: int  # baseband samples per block
+    fft_n: int
+    hop: int  # samples between frame starts (fft_n*(1-overlap))
+    bin_count: int
+    fft_avg: int
+    window: np.ndarray  # [fft_n] float32, fft_avg'd power normalization baked
+
+    @property
+    def frames_per_block(self) -> int:
+        return self.olen // self.hop
+
+    @property
+    def carry(self) -> int:
+        """Samples carried between blocks (frame context)."""
+        return self.fft_n - self.hop
+
+    @property
+    def rbw(self) -> float:
+        return self.samprate / self.fft_n
+
+
+def spectrum_geometry(
+    samprate: int,
+    olen: int,
+    bin_bw: float,
+    bin_count: int,
+    window: str = "kaiser",
+    window_param: float = 7.0,
+    fft_avg: int = 10,
+    overlap: float = 0.0,
+) -> SpectrumGeometry:
+    """Size the frame schedule. fft_n is rounded so hop divides olen evenly
+    (the static-schedule analog of the reference's clean-rate rounding)."""
+    fft_n = max(int(round(samprate / bin_bw)), bin_count)
+    frac = max(1.0 - overlap, 1.0 / 8)
+    hop = max(int(round(fft_n * frac)), 1)
+    # round hop to a divisor of olen so every block runs the same frame count
+    divisors = [d for d in range(1, olen + 1) if olen % d == 0]
+    hop = min(divisors, key=lambda d: abs(d - hop))
+    fft_n = max(int(round(hop / frac)), bin_count)
+    w = make_window(window, fft_n, window_param).astype(np.float64)
+    w = w / w.sum()  # unit coherent gain: full-scale carrier in-bin -> 1.0
+    return SpectrumGeometry(
+        samprate=samprate, olen=olen, fft_n=fft_n, hop=hop,
+        bin_count=bin_count, fft_avg=fft_avg, window=w.astype(np.float32),
+    )
+
+
+def spectrum_init(C: int, geo: SpectrumGeometry):
+    return {
+        "carry": jnp.zeros((C, geo.carry), jnp.complex64),
+        "power": jnp.zeros((C, geo.bin_count), jnp.float32),
+        "frames": jnp.zeros((), jnp.int32),
+    }
+
+
+def spectrum_accumulate(state, bb, geo: SpectrumGeometry):
+    """Fold one block of baseband into the running bin-power average.
+
+    bb: [C, olen] complex64. Returns (new_state, bin_power [C, bin_count]).
+    """
+    C, olen = bb.shape
+    data = jnp.concatenate([state["carry"], bb], axis=1)  # [C, carry+olen]
+    nf = geo.frames_per_block
+    frames = jnp.stack([data[:, k * geo.hop : k * geo.hop + geo.fft_n] for k in range(nf)], axis=1)
+    w = jnp.asarray(geo.window)
+    X = jnp.fft.fft(frames * w[None, None, :], axis=-1)  # [C, nf, fft_n]
+    # centered bin slice, lowest frequency first
+    bc = geo.bin_count
+    idx = (np.arange(bc) - bc // 2) % geo.fft_n
+    p = X.real**2 + X.imag**2
+    pwr_frames = p[:, :, idx]  # [C, nf, bc]
+
+    # streaming average: first fft_avg frames fill a boxcar, then EMA
+    alpha = np.float32(1.0 / geo.fft_avg)
+    def fold(acc, frame_pwr):
+        pw, n = acc
+        a = jnp.where(n < geo.fft_avg, 1.0 / (n.astype(jnp.float32) + 1.0), alpha)
+        return (pw + a * (frame_pwr - pw), n + 1), None
+
+    (pwr, nframes), _ = jax.lax.scan(fold, (state["power"], state["frames"]), jnp.swapaxes(pwr_frames, 0, 1))
+    new_state = {"carry": data[:, olen:], "power": pwr, "frames": nframes}
+    return new_state, pwr

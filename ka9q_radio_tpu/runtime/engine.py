@@ -1,0 +1,402 @@
+"""The channelizer engine — radiod's core as ONE jitted block function.
+
+Replaces the reference's thread constellation (radio.c demod_thread per
+channel + filter.c FFT worker pool + condition variables) with a single
+compiled XLA program per block:
+
+    step(state, params, block) -> (state, outputs)
+
+  * `state`  — everything carried across blocks (master FFT tail, fine-tune
+    phase accumulators, smoothed noise floors, AGC/PLL/squelch/de-emphasis
+    state). A pure pytree; double-buffer-donated under jit.
+  * `params` — everything a *retune or preset change* modifies (bin shifts,
+    frequency responses, NCO increments, squelch thresholds, gains).
+    Traced arguments, NOT compile-time constants, so the control plane can
+    retune channels with zero recompilation — the TPU analog of the
+    reference's hot filter swap under response_mutex (filter.c:934-1007).
+  * compile-time structure — channel-group membership, demod type, block
+    geometry. Changing these recompiles (cached), like the reference's
+    demod restart path (radio.c:1031-1074).
+
+Channels are grouped by (demod type, output sample rate): each group is a
+batched [C, ...] tensor program (vmapped demod), the direct TPU mapping of
+the reference's channel-per-thread parallelism (SURVEY.md §2.5 P1).
+
+Per-block per-group pipeline (mirrors downconvert(), radio.c:1451-1562):
+  channelize (gather bins x response, batched IFFT, overlap discard)
+  -> quantile noise floor estimate from master bins + EMA smoothing
+  -> fine-tune Q32 NCO + Renfors block phase adjustment
+  -> demodulator (fm.py / linear.py)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.filterbank import (
+    MasterConfig,
+    master_init,
+    master_fft,
+    channelize,
+    fine_tune,
+    compute_tuning,
+    block_phase_adjust_q32,
+)
+from ..ops.filter_design import design_bandpass_response, response_to_device_order
+from ..ops.noise import gather_noise_bins, estimate_noise, POWER_ALPHA, MIN_NOISE_BINS
+from ..ops.osc import rev_to_q32
+from ..models.fm import fm_init, fm_demod
+from ..models.linear import linear_init, linear_demod
+from ..models.wfm import (
+    wfm_geometry,
+    wfm_design,
+    wfm_init,
+    wfm_demod,
+    AUDIO_SAMPRATE,
+    COMPOSITE_SAMPRATE,
+)
+from ..models.spectrum import spectrum_geometry, spectrum_init, spectrum_accumulate
+from ..utils.units import dB_to_power, dB_to_voltage
+
+__all__ = ["ChannelSpec", "GroupSpec", "Engine", "DEFAULTS"]
+
+# Reference compiled defaults (modes.c:33-62)
+DEFAULTS = dict(
+    kaiser_beta=11.0,
+    squelch_open_db=8.0,
+    squelch_close_db=7.0,
+    squelch_tail=1,
+    headroom_db=-15.0,
+    recovery_rate_db=20.0,
+    threshold_db=-15.0,
+    gain_db=50.0,
+    hangtime_s=1.1,
+    pll_bw_hz=10.0,
+    nbfm_deemph_tc_us=530.5,
+    nbfm_deemph_gain_db=12.0,
+    wfm_deemph_tc_us=75.0,
+    wfm_deemph_gain_db=0.0,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ChannelSpec:
+    """One receiver channel (a [section] with one freq in radiod.conf)."""
+
+    freq: float  # RF carrier/center frequency, Hz
+    low: float = -5000.0  # passband edges relative to carrier, Hz
+    high: float = 5000.0
+    ssrc: int | None = None  # RTP SSRC; default kHz of freq (radio.c:936)
+    shift_hz: float = 0.0  # post-detection shift (CW offset)
+    tone_freq: float = 0.0  # CTCSS tone, Hz (FM)
+    squelch_open_db: float | None = None
+    squelch_close_db: float | None = None
+    gain_db: float | None = None  # manual gain when AGC off
+
+    def resolved_ssrc(self) -> int:
+        return self.ssrc if self.ssrc is not None else int(round(self.freq / 1000.0))
+
+
+@dataclasses.dataclass(frozen=True)
+class GroupSpec:
+    """A rate class: channels sharing demod type, output rate and flags.
+
+    demod: "fm" | "linear" | "iq" (linear with stereo I/Q out) |
+           "envelope"/"am" (linear envelope) | "sam" (PLL AM).
+    """
+
+    name: str
+    demod: str
+    samprate: int
+    channels: tuple[ChannelSpec, ...]
+    kaiser_beta: float = DEFAULTS["kaiser_beta"]
+    # linear flags (static — select compiled path)
+    enable_pll: bool = False
+    pll_square: bool = False
+    envelope: bool = False
+    stereo: bool = False
+    agc: bool = True
+    snr_squelch: bool = False
+    # fm flags
+    ctcss: bool = False
+    threshold_extend: bool = False
+    deemph_tc_us: float | None = None  # None -> NBFM default for fm groups
+    deemph_gain_db: float | None = None
+    dc_cut_hz: float = 0.0  # AM carrier removal corner (0 = off)
+    # wfm flag: attempt stereo decode (mono fallback is always automatic)
+    wfm_stereo: bool = True
+    # spectrum options (modes.c:69-73)
+    bin_bw: float = 200.0  # resolution bandwidth per bin, Hz
+    bin_count: int = 64
+    spectrum_window: str = "kaiser"
+    spectrum_window_param: float = 7.0  # DEFAULT_SPECTRUM_KAISER_BETA
+    fft_avg: int = 10
+    spectrum_overlap: float = 0.0
+
+    def __post_init__(self):
+        if self.demod in ("am", "envelope"):
+            object.__setattr__(self, "demod", "linear")
+            object.__setattr__(self, "envelope", True)
+        elif self.demod == "sam":
+            object.__setattr__(self, "demod", "linear")
+            object.__setattr__(self, "enable_pll", True)
+        elif self.demod == "iq":
+            object.__setattr__(self, "demod", "linear")
+            object.__setattr__(self, "stereo", True)
+        elif self.demod == "wfm":
+            # rates forced like the reference (wfm.c:22-23): the channel
+            # slave runs at the 384 kHz composite rate, audio out at 48 kHz
+            object.__setattr__(self, "samprate", COMPOSITE_SAMPRATE)
+            object.__setattr__(self, "snr_squelch", True)
+
+
+class _Group:
+    """Host-side compiled geometry + initial params for one GroupSpec."""
+
+    def __init__(self, spec: GroupSpec, master: MasterConfig, samprate: float, blocktime: float):
+        self.spec = spec
+        self.master = master
+        self.fs_in = samprate
+        self.blocktime = blocktime
+        r = int(spec.samprate)
+        fs = int(round(samprate))
+        N, L = master.N, master.L
+        if (N * r) % fs or (L * r) % fs:
+            raise ValueError(
+                f"group {spec.name}: output rate {r} not commensurate with "
+                f"master N={N} L={L} fs={fs} (round to multiples of "
+                f"{fs // np.gcd(fs, N)} Hz)"
+            )
+        self.n_bins = N * r // fs
+        self.olen = L * r // fs
+        self.C = len(spec.channels)
+        if self.C == 0:
+            raise ValueError(f"group {spec.name}: no channels")
+        self.noise_bins = int(min(master.bins, max(self.n_bins, MIN_NOISE_BINS)))
+        if spec.demod == "wfm":
+            self.wfm_geo = wfm_geometry(blocktime)
+            self.wfm_responses = {
+                k: jnp.asarray(v) for k, v in wfm_design(self.wfm_geo, spec.kaiser_beta).items()
+            }
+        elif spec.demod == "spectrum":
+            self.spectrum_geo = spectrum_geometry(
+                r, self.olen, spec.bin_bw, spec.bin_count,
+                spec.spectrum_window, spec.spectrum_window_param,
+                spec.fft_avg, spec.spectrum_overlap,
+            )
+        self.params = self._build_params()
+
+    # -- retunable params ---------------------------------------------------
+    def _tuning_arrays(self, freqs: np.ndarray):
+        N, L, fs = self.master.N, self.master.L, self.fs_in
+        shifts = np.zeros(self.C, np.int32)
+        incs = np.zeros(self.C, np.int32)
+        adjs = np.zeros(self.C, np.int32)
+        for i, f in enumerate(freqs):
+            shift, rem, ok = compute_tuning(N, fs, float(f))
+            if not ok:
+                raise ValueError(f"freq {f} outside front-end coverage")
+            shifts[i] = shift
+            incs[i] = rev_to_q32(-rem / self.spec.samprate)
+            adjs[i] = block_phase_adjust_q32(shift, L, N)
+        return shifts, incs, adjs
+
+    def _build_params(self) -> dict[str, Any]:
+        spec = self.spec
+        chans = spec.channels
+        freqs = np.array([c.freq for c in chans], np.float64)
+        shifts, incs, adjs = self._tuning_arrays(freqs)
+        resp = np.stack(
+            [
+                response_to_device_order(
+                    design_bandpass_response(
+                        self.n_bins,
+                        self.olen,
+                        c.low / spec.samprate,
+                        c.high / spec.samprate,
+                        kaiser_beta=spec.kaiser_beta,
+                        real_master=self.master.real,
+                        master_points=self.master.N,
+                    )
+                )
+                for c in chans
+            ]
+        )
+        f32 = lambda v: jnp.asarray(v, jnp.float32)
+        i32 = lambda v: jnp.asarray(v, jnp.int32)
+        bools = lambda v: jnp.asarray(v, bool)
+        bw = f32([abs(c.high - c.low) for c in chans])
+        sq_open = f32([dB_to_power(c.squelch_open_db if c.squelch_open_db is not None else DEFAULTS["squelch_open_db"]) for c in chans])
+        sq_close = f32([dB_to_power(c.squelch_close_db if c.squelch_close_db is not None else DEFAULTS["squelch_close_db"]) for c in chans])
+        headroom = f32(np.full(self.C, dB_to_voltage(DEFAULTS["headroom_db"])))
+        r = spec.samprate
+
+        p: dict[str, Any] = {
+            "responses": jnp.asarray(resp),
+            "shifts": i32(shifts),
+            "inc_q32": i32(incs),
+            "adj_q32": i32(adjs),
+        }
+        d: dict[str, Any] = {
+            "bandwidth": bw,
+            "headroom": headroom,
+            "squelch_open": sq_open,
+            "squelch_close": sq_close,
+            "squelch_tail": i32(np.full(self.C, DEFAULTS["squelch_tail"])),
+            "snr_squelch_enable": bools(np.full(self.C, spec.snr_squelch)),
+        }
+        if spec.demod == "spectrum":
+            p["demod"] = {}
+            return p
+        if spec.demod == "wfm":
+            # de-emphasis runs at the audio rate (modes.c:408-412)
+            tc = (spec.deemph_tc_us if spec.deemph_tc_us is not None else DEFAULTS["wfm_deemph_tc_us"]) * 1e-6
+            g_db = spec.deemph_gain_db if spec.deemph_gain_db is not None else DEFAULTS["wfm_deemph_gain_db"]
+            rate = -np.expm1(-1.0 / (tc * AUDIO_SAMPRATE)) if tc > 0 else 0.0
+            d.update(
+                deemph_rate=f32(np.full(self.C, rate)),
+                deemph_gain=f32(np.full(self.C, dB_to_voltage(g_db))),
+                # stereo by default (wfm.c:38-41); mono fallback is automatic
+                stereo_enable=bools(np.full(self.C, spec.wfm_stereo)),
+            )
+        elif spec.demod == "fm":
+            tc = (spec.deemph_tc_us if spec.deemph_tc_us is not None else DEFAULTS["nbfm_deemph_tc_us"]) * 1e-6
+            g_db = spec.deemph_gain_db if spec.deemph_gain_db is not None else DEFAULTS["nbfm_deemph_gain_db"]
+            rate = -np.expm1(-1.0 / (tc * r)) if tc > 0 else 0.0
+            d.update(
+                threshold_ext=bools(np.full(self.C, spec.threshold_extend)),
+                deemph_rate=f32(np.full(self.C, rate)),
+                deemph_gain=f32(np.full(self.C, dB_to_voltage(g_db))),
+                tone_freq=f32([c.tone_freq for c in chans]),
+            )
+        else:
+            dc_tau = -np.expm1(-2.0 * np.pi * spec.dc_cut_hz / r) if spec.dc_cut_hz > 0 else 0.0
+            d.update(
+                agc_enable=bools(np.full(self.C, spec.agc)),
+                hangtime_samples=i32(np.full(self.C, int(DEFAULTS["hangtime_s"] * r))),
+                recovery_per_sample=f32(np.full(self.C, dB_to_voltage(DEFAULTS["recovery_rate_db"] / r))),
+                threshold=f32(np.full(self.C, dB_to_voltage(DEFAULTS["threshold_db"]))),
+                manual_gain=f32([dB_to_voltage(c.gain_db if c.gain_db is not None else DEFAULTS["gain_db"]) for c in chans]),
+                shift_inc_q32=i32([rev_to_q32(c.shift_hz / r) for c in chans]),
+                pll_square=bools(np.full(self.C, spec.pll_square)),
+                pll_loop_bw=f32(np.full(self.C, DEFAULTS["pll_bw_hz"])),
+                dc_tau=f32(np.full(self.C, dc_tau)),
+            )
+        p["demod"] = d
+        return p
+
+    # -- carried state ------------------------------------------------------
+    def init_state(self) -> dict[str, Any]:
+        dc = {
+            "acc_q32": jnp.zeros((self.C,), jnp.int32),
+            "n0": jnp.zeros((self.C,), jnp.float32),
+        }
+        if self.spec.demod == "fm":
+            demod = fm_init(self.C)
+        elif self.spec.demod == "wfm":
+            demod = wfm_init(self.C, self.wfm_geo)
+        elif self.spec.demod == "spectrum":
+            demod = spectrum_init(self.C, self.spectrum_geo)
+        else:
+            demod = linear_init(self.C)
+        return {"dc": dc, "demod": demod}
+
+    # -- per-block device program --------------------------------------------
+    def step(self, state, params, F):
+        """Downconvert + demod one block. F: [m_bins] master spectrum."""
+        m = self.master
+        bb = channelize(F, params["responses"], params["shifts"], self.olen, m.real, m.N)
+
+        energies = gather_noise_bins(F, params["shifts"], self.noise_bins, m.real, m.N)
+        n0_est = estimate_noise(energies, m.bins, self.fs_in)
+        n0 = jnp.where(
+            state["dc"]["n0"] > 0,
+            state["dc"]["n0"] + POWER_ALPHA * (n0_est - state["dc"]["n0"]),
+            n0_est,
+        )
+
+        bb, acc = fine_tune(bb, state["dc"]["acc_q32"], params["inc_q32"], params["adj_q32"])
+        bb_power = jnp.mean(bb.real * bb.real + bb.imag * bb.imag, axis=-1)
+
+        spec = self.spec
+        if spec.demod == "fm":
+            demod_state, audio, info = fm_demod(
+                state["demod"], bb, bb_power, n0, params["demod"],
+                samprate=spec.samprate, blocktime=self.blocktime, ctcss=spec.ctcss,
+            )
+        elif spec.demod == "wfm":
+            demod_state, audio, info = wfm_demod(
+                state["demod"], bb, bb_power, n0, params["demod"],
+                self.wfm_geo, self.wfm_responses,
+            )
+        elif spec.demod == "spectrum":
+            demod_state, pwr = spectrum_accumulate(state["demod"], bb, self.spectrum_geo)
+            audio = jnp.zeros((self.C, 0), jnp.float32)
+            info = {"bin_data": pwr}
+        else:
+            demod_state, audio, info = linear_demod(
+                state["demod"], bb, bb_power, n0, params["demod"],
+                samprate=spec.samprate, blocktime=self.blocktime,
+                enable_pll=spec.enable_pll, envelope=spec.envelope, stereo=spec.stereo,
+            )
+        info["baseband_power"] = bb_power
+        info["n0"] = n0
+        new_state = {"dc": {"acc_q32": acc, "n0": n0}, "demod": demod_state}
+        return new_state, audio, info
+
+
+class Engine:
+    """radiod-equivalent: master FFT + all channel groups, one jitted step.
+
+    Usage:
+        eng = Engine(samprate=30_720_000, real=False, groups=[...])
+        state, params = eng.init_state(), eng.init_params()
+        step = jax.jit(eng.step, donate_argnums=0)
+        state, out = step(state, params, block)   # block: [L] samples
+    """
+
+    def __init__(
+        self,
+        samprate: float,
+        groups: Sequence[GroupSpec],
+        real: bool = True,
+        blocktime: float = 0.02,
+        overlap: int = 5,
+    ):
+        self.master = MasterConfig.from_rate(samprate, blocktime, overlap, real)
+        self.samprate = float(samprate)
+        self.blocktime = blocktime
+        names = [g.name for g in groups]
+        if len(set(names)) != len(names):
+            raise ValueError("duplicate group names")
+        self.groups = {g.name: _Group(g, self.master, self.samprate, blocktime) for g in groups}
+
+    @property
+    def L(self) -> int:
+        return self.master.L
+
+    def init_state(self):
+        return {
+            "master": master_init(self.master),
+            "groups": {n: g.init_state() for n, g in self.groups.items()},
+        }
+
+    def init_params(self):
+        return {n: g.params for n, g in self.groups.items()}
+
+    def step(self, state, params, block):
+        """One block: [L] input samples -> per-group audio + status info.
+
+        Pure; jit with donate_argnums=0 to reuse the state buffers.
+        """
+        mstate, F = master_fft(self.master, state["master"], block)
+        new_groups, outputs = {}, {}
+        for name, g in self.groups.items():
+            gs, audio, info = g.step(state["groups"][name], params[name], F)
+            new_groups[name] = gs
+            outputs[name] = {"audio": audio, "info": info}
+        return {"master": mstate, "groups": new_groups}, outputs
