@@ -1,0 +1,79 @@
+"""powers-tpu — spectrum bin-power poller (reference powers.c).
+
+Polls a SPECT_DEMOD channel and prints rtl_power-style CSV lines:
+date, time, hz_low, hz_high, hz_bin_width, num_bins, dB, dB, ...
+
+    powers-tpu --radio test.local --ssrc 1000 [--count 1] [--interval 1.0]
+"""
+from __future__ import annotations
+
+import argparse
+import datetime
+import random
+import select
+import sys
+import time
+
+import numpy as np
+
+from ..net.status import StatusType as T, PacketType, encode_status, decode_status
+from ..net.multicast import resolve_dest, output_socket, listen_socket, DEFAULT_STAT_PORT
+
+
+def poll_once(tx, rx, ssrc: int, timeout: float):
+    tag = random.getrandbits(31)
+    tx.send(encode_status({T.OUTPUT_SSRC: ssrc, T.COMMAND_TAG: tag}, cmd=True))
+    deadline = time.monotonic() + timeout
+    while True:
+        left = deadline - time.monotonic()
+        if left <= 0:
+            return None
+        r, _, _ = select.select([rx], [], [], left)
+        if not r:
+            return None
+        pkt, _ = rx.recvfrom(65536)
+        try:
+            ptype, f, _ = decode_status(pkt)
+        except Exception:
+            continue
+        if ptype == PacketType.STATUS and f.get(T.OUTPUT_SSRC) == ssrc and T.BIN_DATA in f:
+            return f
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="powers-tpu")
+    ap.add_argument("--radio", required=True)
+    ap.add_argument("--ssrc", type=int, required=True)
+    ap.add_argument("--count", type=int, default=1)
+    ap.add_argument("--interval", type=float, default=1.0)
+    ap.add_argument("--timeout", type=float, default=2.0)
+    args = ap.parse_args(argv)
+
+    dest = resolve_dest(args.radio, DEFAULT_STAT_PORT)
+    rx = listen_socket(dest)
+    tx = output_socket(dest)
+
+    for k in range(args.count):
+        f = poll_once(tx, rx, args.ssrc, args.timeout)
+        if f is None:
+            print("no response", file=sys.stderr)
+            return 1
+        bins = np.asarray(f[T.BIN_DATA], np.float64)
+        rbw = float(f.get(T.RESOLUTION_BW, 0.0))
+        freq = float(f.get(T.RADIO_FREQUENCY, 0.0))
+        n = bins.size
+        lo = freq - rbw * (n // 2)
+        hi = lo + rbw * n
+        now = datetime.datetime.now(datetime.timezone.utc)
+        db = 10.0 * np.log10(np.maximum(bins, 1e-30))
+        print(
+            f"{now:%Y-%m-%d},{now:%H:%M:%S},{lo:.0f},{hi:.0f},{rbw:.2f},{n},"
+            + ",".join(f"{x:.2f}" for x in db)
+        )
+        if k + 1 < args.count:
+            time.sleep(args.interval)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

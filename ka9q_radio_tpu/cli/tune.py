@@ -1,0 +1,73 @@
+"""tune-tpu — one-shot TLV tune/poll client (reference tune.c).
+
+    tune-tpu --radio test.local --ssrc 200 [--frequency 7m040] [--low -3k]
+             [--high 3k] [--gain 20] [--poll-only] [--timeout 2]
+"""
+from __future__ import annotations
+
+import argparse
+import random
+import select
+import sys
+
+from ..net.status import StatusType as T, PacketType, encode_status, decode_status, dump_text
+from ..net.multicast import resolve_dest, output_socket, listen_socket, DEFAULT_STAT_PORT
+from ..utils.parse import parse_frequency
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tune-tpu")
+    ap.add_argument("--radio", required=True, help="radiod status stream name/addr")
+    ap.add_argument("--ssrc", type=int, required=True)
+    ap.add_argument("--frequency", "-f")
+    ap.add_argument("--low")
+    ap.add_argument("--high")
+    ap.add_argument("--gain", type=float)
+    ap.add_argument("--headroom", type=float)
+    ap.add_argument("--squelch-open", type=float)
+    ap.add_argument("--squelch-close", type=float)
+    ap.add_argument("--shift", type=float)
+    ap.add_argument("--timeout", type=float, default=2.0)
+    args = ap.parse_args(argv)
+
+    tag = random.getrandbits(31)
+    fields = {T.OUTPUT_SSRC: args.ssrc, T.COMMAND_TAG: tag}
+    if args.frequency is not None:
+        fields[T.RADIO_FREQUENCY] = parse_frequency(args.frequency, True)
+    if args.low is not None:
+        fields[T.LOW_EDGE] = parse_frequency(args.low)
+    if args.high is not None:
+        fields[T.HIGH_EDGE] = parse_frequency(args.high)
+    if args.gain is not None:
+        fields[T.GAIN] = args.gain
+    if args.headroom is not None:
+        fields[T.HEADROOM] = args.headroom
+    if args.squelch_open is not None:
+        fields[T.SQUELCH_OPEN] = args.squelch_open
+    if args.squelch_close is not None:
+        fields[T.SQUELCH_CLOSE] = args.squelch_close
+    if args.shift is not None:
+        fields[T.SHIFT_FREQUENCY] = args.shift
+
+    dest = resolve_dest(args.radio, DEFAULT_STAT_PORT)
+    rx = listen_socket(dest)
+    tx = output_socket(dest)
+    tx.send(encode_status(fields, cmd=True))
+
+    r, _, _ = select.select([rx], [], [], args.timeout)
+    while r:
+        pkt, _ = rx.recvfrom(65536)
+        try:
+            ptype, f, _ = decode_status(pkt)
+        except Exception:
+            continue
+        if ptype == PacketType.STATUS and f.get(T.OUTPUT_SSRC) == args.ssrc and f.get(T.COMMAND_TAG) == tag:
+            print(dump_text(pkt))
+            return 0
+        r, _, _ = select.select([rx], [], [], args.timeout)
+    print("no response", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,297 @@
+"""radiod.conf-compatible INI loader -> Engine specification.
+
+Parses the reference's config dialect (radio.c loadconfig + modes.c
+loadpreset): a [global] section, one hardware section named by
+`hardware =` (only the sig_gen device is meaningful on TPU — real SDR
+front ends stream over the network into the host edge), and one channel
+section per receiver group. Each channel section resolves its settings by
+layered precedence *compiled defaults < [global] < preset < section*
+(radio.c:713-727) and expands `freq`/`freq0..9` and `raster`/`raster0..9
+= start stop step` lists (radio.c:795-919, frequencies parsed with the
+k/m/g heuristic). SSRC defaults to the kHz of the frequency (radio.c:936).
+
+Each channel section becomes one GroupSpec (a batched rate class); the
+whole file becomes a RadiodConfig the runtime daemon turns into an Engine.
+"""
+from __future__ import annotations
+
+import dataclasses
+import io
+import re
+from typing import Any
+
+from ..runtime.engine import ChannelSpec, GroupSpec
+from ..runtime.source import SigGenConfig
+from ..utils.parse import parse_frequency
+from .presets import preset_table
+
+__all__ = ["RadiodConfig", "load_config", "parse_bool", "parse_ini"]
+
+_TRUE = {"y", "yes", "true", "on", "1"}
+_FALSE = {"n", "no", "false", "off", "0"}
+
+
+def parse_bool(v: Any) -> bool:
+    if isinstance(v, bool):
+        return v
+    s = str(v).strip().lower()
+    if s in _TRUE:
+        return True
+    if s in _FALSE:
+        return False
+    raise ValueError(f"not a boolean: {v!r}")
+
+
+def parse_ini(text: str) -> dict[str, dict[str, str]]:
+    """Tiny iniparser-alike: case-insensitive keys, '#'/';' comments,
+    quoted values, duplicate keys last-wins, sections ordered."""
+    sections: dict[str, dict[str, str]] = {}
+    cur: dict[str, str] | None = None
+    pending = ""
+    for raw in io.StringIO(text):
+        line = pending + raw.rstrip("\n")
+        pending = ""
+        if line.endswith("\\"):
+            pending = line[:-1]
+            continue
+        # strip comments (respect quotes)
+        out, q = [], None
+        for ch in line:
+            if q:
+                if ch == q:
+                    q = None
+                out.append(ch)
+            elif ch in "\"'":
+                q = ch
+                out.append(ch)
+            elif ch in "#;":
+                break
+            else:
+                out.append(ch)
+        line = "".join(out).strip()
+        if not line:
+            continue
+        m = re.match(r"^\[(.+?)\]$", line)
+        if m:
+            cur = sections.setdefault(m.group(1).strip().lower(), {})
+            continue
+        if cur is None or "=" not in line:
+            continue
+        k, _, v = line.partition("=")
+        v = v.strip()
+        if len(v) >= 2 and v[0] == v[-1] and v[0] in "\"'":
+            v = v[1:-1]
+        cur[k.strip().lower()] = v
+    return sections
+
+
+@dataclasses.dataclass
+class RadiodConfig:
+    blocktime: float
+    overlap: int
+    source: SigGenConfig | None
+    groups: list[GroupSpec]
+    samprate: float
+    real: bool
+    options: dict[str, str]  # remaining [global] keys (status/data names, ttl...)
+
+
+def _expand_freqs(sec: dict[str, str]) -> list[tuple[float, float]]:
+    """freq/raster lists -> [(freq_hz, tone_hz)] (radio.c:795-930)."""
+    out: list[tuple[float, float]] = []
+    for i in [""] + [str(d) for d in range(10)]:
+        tone = float(sec.get(f"tone{i}", sec.get(f"pl{i}", sec.get(f"ctcss{i}", 0.0)) or 0.0) or 0.0)
+        r = sec.get(f"raster{i}")
+        if r:
+            toks = r.split()
+            if len(toks) != 3:
+                raise ValueError(f"bad raster: {r!r}")
+            start, stop, step = (parse_frequency(t, True) for t in toks)
+            if start > stop:
+                start, stop = stop, start
+            f = start
+            while f < stop:
+                out.append((f, tone))
+                f += step
+        fl = sec.get(f"freq{i}")
+        if fl:
+            for tok in fl.split():
+                out.append((parse_frequency(tok, True), tone))
+    # except list removes matching frequencies
+    exc = set()
+    for i in [""] + [str(d) for d in range(10)]:
+        el = sec.get(f"except{i}")
+        if el:
+            exc.update(parse_frequency(t, True) for t in el.split())
+    return [(f, t) for f, t in out if f not in exc]
+
+
+_GROUP_KEYS = {
+    "demod", "samprate", "low", "high", "kaiser-beta",
+    "squelch-open", "squelch-close", "squelch-tail", "squelchtail",
+    "headroom", "hang-time", "recovery-rate", "threshold", "gain", "pll-bw",
+    "pll", "square", "envelope", "agc", "snr-squelch", "mono", "stereo",
+    "channels", "conj", "threshold-extend", "extend", "deemph-tc",
+    "deemph-gain", "dc-cut", "shift",
+    # spectrum
+    "resolution-bw", "bin-count", "window-type", "spectrum-shape",
+    "fft-avg", "spectrum-overlap",
+}
+
+
+def _build_group(name: str, settings: dict[str, Any], freqs: list[tuple[float, float]]) -> GroupSpec:
+    s = settings
+    demod = str(s.get("demod", "linear")).lower()
+    envelope = parse_bool(s.get("envelope", False))
+    pll = parse_bool(s.get("pll", False))
+    square = parse_bool(s.get("square", False))
+    stereo = parse_bool(s.get("stereo", False)) or not parse_bool(s.get("mono", True))
+    if str(s.get("channels", "")).strip() == "2":
+        stereo = True
+    if demod == "linear":
+        if envelope and pll:
+            demod = "sam"
+        elif envelope:
+            demod = "am"
+        elif stereo and not parse_bool(s.get("conj", False)):
+            demod = "iq"
+
+    def fnum(key, default=None):
+        v = s.get(key, default)
+        return None if v is None else float(parse_frequency(v)) if isinstance(v, str) else float(v)
+
+    shift = fnum("shift", 0.0) or 0.0
+    chans = tuple(
+        ChannelSpec(
+            freq=f,
+            low=fnum("low", -5000.0),
+            high=fnum("high", 5000.0),
+            shift_hz=shift,
+            tone_freq=tone,
+            ssrc=int(s["ssrc"]) if "ssrc" in s and len(freqs) == 1 else None,
+        )
+        for f, tone in freqs
+    )
+    tail = s.get("squelch-tail", s.get("squelchtail"))
+    kw: dict[str, Any] = dict(
+        name=name,
+        demod=demod if demod in ("fm", "wfm", "spectrum", "am", "sam", "iq") else "linear",
+        samprate=int(round(parse_frequency(s.get("samprate", 12_000)))),
+        channels=chans,
+        enable_pll=pll or square,
+        pll_square=square,
+        envelope=envelope,
+        stereo=stereo,
+        agc=parse_bool(s.get("agc", True)),
+        snr_squelch=parse_bool(s.get("snr-squelch", False)),
+        threshold_extend=parse_bool(s.get("threshold-extend", s.get("extend", False))),
+        ctcss=any(t != 0.0 for _, t in freqs),
+        squelch_tail=int(tail) if tail is not None else None,
+        kaiser_beta=float(s.get("kaiser-beta", 11.0)),
+    )
+    for ini_key, field in [
+        ("squelch-open", "squelch_open_db"), ("squelch-close", "squelch_close_db"),
+        ("headroom", "headroom_db"), ("hang-time", "hangtime_s"),
+        ("recovery-rate", "recovery_rate_db"), ("threshold", "threshold_db"),
+        ("gain", "gain_db"), ("pll-bw", "pll_bw_hz"),
+        ("deemph-tc", "deemph_tc_us"), ("deemph-gain", "deemph_gain_db"),
+        ("dc-cut", "dc_cut_hz"),
+    ]:
+        if ini_key in s and s[ini_key] is not None and str(s[ini_key]) != "":
+            kw[field] = float(parse_frequency(s[ini_key])) if isinstance(s[ini_key], str) else float(s[ini_key])
+    if demod == "spectrum":
+        if "resolution-bw" in s:
+            kw["bin_bw"] = float(parse_frequency(s["resolution-bw"]))
+        if "bin-count" in s:
+            kw["bin_count"] = int(s["bin-count"])
+        if "fft-avg" in s:
+            kw["fft_avg"] = int(s["fft-avg"])
+        if "spectrum-overlap" in s:
+            kw["spectrum_overlap"] = float(s["spectrum-overlap"])
+    return GroupSpec(**kw)
+
+
+def _build_source(sec: dict[str, str]) -> SigGenConfig:
+    from ..utils.units import dB_to_power
+
+    real = parse_bool(sec.get("real", "y")) and not parse_bool(sec.get("complex", "n"))
+    amp_db = float(sec.get("amplitude", -20.0))
+    noise_db = sec.get("noise")
+    return SigGenConfig(
+        samprate=parse_frequency(sec.get("samprate", "30m0")),
+        real=real,
+        carrier_hz=parse_frequency(sec.get("carrier", "10m0")),
+        amplitude=float(10.0 ** (amp_db / 20.0)),
+        noise_n0=float(dB_to_power(float(noise_db))) if noise_db is not None else 0.0,
+        am_depth=0.3 if str(sec.get("modulation", "")).lower() == "am" else 0.0,
+        fm_deviation_hz=3000.0 if str(sec.get("modulation", "")).lower() == "fm" else 0.0,
+    )
+
+
+def load_config(text_or_path: str, presets: dict[str, dict] | None = None) -> RadiodConfig:
+    """Load a radiod .conf (path or literal text)."""
+    if "\n" not in text_or_path and not text_or_path.lstrip().startswith("["):
+        with open(text_or_path) as fh:
+            text = fh.read()
+    else:
+        text = text_or_path
+    ini = parse_ini(text)
+    if "global" not in ini:
+        raise ValueError("no [global] section")
+    g = dict(ini["global"])
+    presets = presets or preset_table()
+
+    blocktime = float(g.get("blocktime", 20.0)) * 1e-3
+    overlap = int(g.get("overlap", 5))
+    hw_name = g.get("hardware", "").strip().lower()
+
+    source = None
+    samprate = 0.0
+    real = True
+    if hw_name:
+        if hw_name not in ini:
+            raise ValueError(f"hardware section [{hw_name}] missing")
+        hw = ini[hw_name]
+        device = hw.get("device", hw_name).strip().strip('"').lower()
+        if device == "sig_gen":
+            source = _build_source(hw)
+            samprate, real = source.samprate, source.real
+        else:
+            # network/file front ends are host-edge concerns; still record geometry
+            samprate = parse_frequency(hw.get("samprate", "0"))
+            real = parse_bool(hw.get("real", "y")) and not parse_bool(hw.get("complex", "n"))
+
+    default_mode = g.get("mode", g.get("preset", "")).strip().lower()
+    groups: list[GroupSpec] = []
+    for name, sec in ini.items():
+        if name == "global" or name == hw_name:
+            continue
+        if "device" in sec:
+            continue  # another hardware section
+        freqs = _expand_freqs(sec)
+        if not freqs:
+            continue  # pure template/disabled section
+        mode = str(sec.get("mode", sec.get("preset", default_mode))).strip().lower()
+        settings: dict[str, Any] = {}
+        # layered precedence: defaults ◁ [global] ◁ preset ◁ section
+        for k in _GROUP_KEYS & set(g):
+            settings[k] = g[k]
+        if mode:
+            if mode not in presets:
+                raise ValueError(f"[{name}]: unknown preset {mode!r}")
+            settings.update(presets[mode])
+        for k in _GROUP_KEYS & set(sec):
+            settings[k] = sec[k]
+        if "ssrc" in sec:
+            settings["ssrc"] = sec["ssrc"]
+        groups.append(_build_group(name, settings, freqs))
+
+    return RadiodConfig(
+        blocktime=blocktime,
+        overlap=overlap,
+        source=source,
+        groups=groups,
+        samprate=samprate,
+        real=real,
+        options={k: v for k, v in g.items() if k not in ("blocktime", "overlap", "hardware")},
+    )

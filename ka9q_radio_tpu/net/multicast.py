@@ -1,0 +1,96 @@
+"""Multicast addressing and socket setup (multicast.c).
+
+Implements the reference's deterministic name -> 239.x.x.x group hashing
+(FNV-1, multicast.c:839-852) so stream names resolve to the same multicast
+groups as a stock radiod, plus output/listen socket helpers. In containers
+without multicast routing, names of the form "host:port" or plain IPs are
+honored directly and loopback TTL=0 operation works like the reference's
+(radio.c:483-487).
+"""
+from __future__ import annotations
+
+import socket
+import struct
+
+__all__ = ["fnv1hash", "make_maddr", "resolve_dest", "output_socket", "listen_socket",
+           "DEFAULT_RTP_PORT", "DEFAULT_STAT_PORT"]
+
+DEFAULT_RTP_PORT = 5004
+DEFAULT_RTCP_PORT = 5005
+DEFAULT_STAT_PORT = 5006
+
+
+def fnv1hash(data: bytes) -> int:
+    h = 0x811C9DC5
+    for b in data:
+        h = (h * 0x01000193) & 0xFFFFFFFF
+        h ^= b
+    return h
+
+
+def make_maddr(name: str) -> str:
+    """Deterministic stream-name -> 239.x.x.x group (multicast.c:839-852)."""
+    if not name:
+        return "0.0.0.0"
+    addr = (239 << 24) | (fnv1hash(name.encode()) & 0xFFFFFF)
+    if (addr & 0x007FFF00) == 0:
+        addr |= (addr & 0xFF) << 8
+    if (addr & 0x007FFF00) == 0:
+        addr |= 0x00100000
+    return socket.inet_ntoa(struct.pack(">I", addr))
+
+
+def _is_ip(s: str) -> bool:
+    try:
+        socket.inet_aton(s)
+        return True
+    except OSError:
+        return False
+
+
+def resolve_dest(name: str, default_port: int) -> tuple[str, int]:
+    """Stream name -> (ip, port). 'a.b.c.d:p' and bare IPs pass through;
+    anything else hashes like the reference (so 'test-pcm.local' lands on
+    the same group a stock radiod would advertise)."""
+    name = name.strip()
+    if ":" in name:
+        host, _, port = name.rpartition(":")
+        return (host if _is_ip(host) else make_maddr(host)), int(port)
+    if _is_ip(name):
+        return name, default_port
+    return make_maddr(name), default_port
+
+
+def output_socket(dest: tuple[str, int], ttl: int = 1, tos: int = 48 << 2) -> socket.socket:
+    """UDP sender socket, multicast-ready (mcast TTL/loopback, DSCP AF12
+    like radio.c:60)."""
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        s.setsockopt(socket.IPPROTO_IP, socket.IP_TOS, tos)
+    except OSError:
+        pass
+    ip = dest[0]
+    if ip.startswith("2") and int(ip.split(".")[0]) >= 224:
+        s.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_TTL, max(ttl, 0))
+        s.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_LOOP, 1)
+    s.connect(dest)
+    return s
+
+
+def listen_socket(dest: tuple[str, int]) -> socket.socket:
+    """UDP receive socket; joins the group for multicast addresses."""
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    ip, port = dest
+    first_octet = int(ip.split(".")[0])
+    if 224 <= first_octet <= 239:
+        s.bind(("", port))
+        mreq = socket.inet_aton(ip) + socket.inet_aton("0.0.0.0")
+        try:
+            s.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq)
+        except OSError:
+            pass  # no multicast routing in this container; loopback still works
+    else:
+        s.bind((ip, port))
+    s.setblocking(False)
+    return s

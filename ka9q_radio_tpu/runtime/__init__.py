@@ -17,4 +17,12 @@ __all__ = [
     "ChannelSpec",
     "GroupSpec",
     "Engine",
+    "Radiod",
 ]
+
+
+def __getattr__(name):
+    if name == "Radiod":  # lazy: radiod pulls in the net stack
+        from .radiod import Radiod
+        return Radiod
+    raise AttributeError(name)

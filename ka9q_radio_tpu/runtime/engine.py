@@ -114,6 +114,16 @@ class GroupSpec:
     samprate: int
     channels: tuple[ChannelSpec, ...]
     kaiser_beta: float = DEFAULTS["kaiser_beta"]
+    # preset-tunable knobs (None -> reference compiled defaults)
+    squelch_open_db: float | None = None
+    squelch_close_db: float | None = None
+    squelch_tail: int | None = None
+    headroom_db: float | None = None
+    hangtime_s: float | None = None
+    recovery_rate_db: float | None = None
+    threshold_db: float | None = None
+    gain_db: float | None = None
+    pll_bw_hz: float | None = None
     # linear flags (static — select compiled path)
     enable_pll: bool = False
     pll_square: bool = False
@@ -229,10 +239,16 @@ class _Group:
         f32 = lambda v: jnp.asarray(v, jnp.float32)
         i32 = lambda v: jnp.asarray(v, jnp.int32)
         bools = lambda v: jnp.asarray(v, bool)
+        def opt(field, default_key):
+            v = getattr(spec, field)
+            return v if v is not None else DEFAULTS[default_key]
+
         bw = f32([abs(c.high - c.low) for c in chans])
-        sq_open = f32([dB_to_power(c.squelch_open_db if c.squelch_open_db is not None else DEFAULTS["squelch_open_db"]) for c in chans])
-        sq_close = f32([dB_to_power(c.squelch_close_db if c.squelch_close_db is not None else DEFAULTS["squelch_close_db"]) for c in chans])
-        headroom = f32(np.full(self.C, dB_to_voltage(DEFAULTS["headroom_db"])))
+        g_sq_open = opt("squelch_open_db", "squelch_open_db")
+        g_sq_close = opt("squelch_close_db", "squelch_close_db")
+        sq_open = f32([dB_to_power(c.squelch_open_db if c.squelch_open_db is not None else g_sq_open) for c in chans])
+        sq_close = f32([dB_to_power(c.squelch_close_db if c.squelch_close_db is not None else g_sq_close) for c in chans])
+        headroom = f32(np.full(self.C, dB_to_voltage(opt("headroom_db", "headroom_db"))))
         r = spec.samprate
 
         p: dict[str, Any] = {
@@ -246,7 +262,7 @@ class _Group:
             "headroom": headroom,
             "squelch_open": sq_open,
             "squelch_close": sq_close,
-            "squelch_tail": i32(np.full(self.C, DEFAULTS["squelch_tail"])),
+            "squelch_tail": i32(np.full(self.C, opt("squelch_tail", "squelch_tail"))),
             "snr_squelch_enable": bools(np.full(self.C, spec.snr_squelch)),
         }
         if spec.demod == "spectrum":
@@ -275,17 +291,52 @@ class _Group:
             )
         else:
             dc_tau = -np.expm1(-2.0 * np.pi * spec.dc_cut_hz / r) if spec.dc_cut_hz > 0 else 0.0
+            g_gain = opt("gain_db", "gain_db")
             d.update(
                 agc_enable=bools(np.full(self.C, spec.agc)),
-                hangtime_samples=i32(np.full(self.C, int(DEFAULTS["hangtime_s"] * r))),
-                recovery_per_sample=f32(np.full(self.C, dB_to_voltage(DEFAULTS["recovery_rate_db"] / r))),
-                threshold=f32(np.full(self.C, dB_to_voltage(DEFAULTS["threshold_db"]))),
-                manual_gain=f32([dB_to_voltage(c.gain_db if c.gain_db is not None else DEFAULTS["gain_db"]) for c in chans]),
+                hangtime_samples=i32(np.full(self.C, int(opt("hangtime_s", "hangtime_s") * r))),
+                recovery_per_sample=f32(np.full(self.C, dB_to_voltage(opt("recovery_rate_db", "recovery_rate_db") / r))),
+                threshold=f32(np.full(self.C, dB_to_voltage(opt("threshold_db", "threshold_db")))),
+                manual_gain=f32([dB_to_voltage(c.gain_db if c.gain_db is not None else g_gain) for c in chans]),
                 shift_inc_q32=i32([rev_to_q32(c.shift_hz / r) for c in chans]),
                 pll_square=bools(np.full(self.C, spec.pll_square)),
-                pll_loop_bw=f32(np.full(self.C, DEFAULTS["pll_bw_hz"])),
+                pll_loop_bw=f32(np.full(self.C, opt("pll_bw_hz", "pll_bw_hz"))),
                 dc_tau=f32(np.full(self.C, dc_tau)),
             )
+        p["demod"] = d
+        return p
+
+    def retune(self, params: dict[str, Any], idx: int, freq: float) -> dict[str, Any]:
+        """New params pytree with channel idx retuned to freq (set_freq,
+        radio.c:1140-1175). Pure host-side array surgery — the jitted step
+        sees only new tensor values, so NO recompilation happens."""
+        N, L, fs = self.master.N, self.master.L, self.fs_in
+        shift, rem, ok = compute_tuning(N, fs, float(freq))
+        if not ok:
+            raise ValueError(f"freq {freq} outside front-end coverage")
+        p = dict(params)
+        p["shifts"] = params["shifts"].at[idx].set(np.int32(shift))
+        p["inc_q32"] = params["inc_q32"].at[idx].set(rev_to_q32(-rem / self.spec.samprate))
+        p["adj_q32"] = params["adj_q32"].at[idx].set(block_phase_adjust_q32(shift, L, N))
+        return p
+
+    def set_edges(self, params: dict[str, Any], idx: int, low: float, high: float,
+                  kaiser_beta: float | None = None) -> dict[str, Any]:
+        """New params with channel idx's filter redesigned (set_filter,
+        filter.c:934-1007). Same no-recompile hot-swap property."""
+        resp = response_to_device_order(
+            design_bandpass_response(
+                self.n_bins, self.olen,
+                low / self.spec.samprate, high / self.spec.samprate,
+                kaiser_beta=kaiser_beta if kaiser_beta is not None else self.spec.kaiser_beta,
+                real_master=self.master.real, master_points=self.master.N,
+            )
+        )
+        p = dict(params)
+        p["responses"] = params["responses"].at[idx].set(jnp.asarray(resp))
+        d = dict(params["demod"])
+        if "bandwidth" in d:
+            d["bandwidth"] = d["bandwidth"].at[idx].set(np.float32(abs(high - low)))
         p["demod"] = d
         return p
 
@@ -294,6 +345,10 @@ class _Group:
         dc = {
             "acc_q32": jnp.zeros((self.C,), jnp.int32),
             "n0": jnp.zeros((self.C,), jnp.float32),
+            # master-filter warm-up countdown: while >0, N0 re-seeds instead
+            # of EMA-smoothing (the first blocks see the signal's turn-on
+            # transient smeared across all bins by the zero-filled tail)
+            "warmup": jnp.full((), 2, jnp.int32),
         }
         if self.spec.demod == "fm":
             demod = fm_init(self.C)
@@ -313,10 +368,11 @@ class _Group:
 
         energies = gather_noise_bins(F, params["shifts"], self.noise_bins, m.real, m.N)
         n0_est = estimate_noise(energies, m.bins, self.fs_in)
+        warm = state["dc"]["warmup"] > 0
         n0 = jnp.where(
-            state["dc"]["n0"] > 0,
-            state["dc"]["n0"] + POWER_ALPHA * (n0_est - state["dc"]["n0"]),
+            warm | (state["dc"]["n0"] <= 0),
             n0_est,
+            state["dc"]["n0"] + POWER_ALPHA * (n0_est - state["dc"]["n0"]),
         )
 
         bb, acc = fine_tune(bb, state["dc"]["acc_q32"], params["inc_q32"], params["adj_q32"])
@@ -345,7 +401,12 @@ class _Group:
             )
         info["baseband_power"] = bb_power
         info["n0"] = n0
-        new_state = {"dc": {"acc_q32": acc, "n0": n0}, "demod": demod_state}
+        new_dc = {
+            "acc_q32": acc,
+            "n0": n0,
+            "warmup": jnp.maximum(state["dc"]["warmup"] - 1, 0),
+        }
+        new_state = {"dc": new_dc, "demod": demod_state}
         return new_state, audio, info
 
 
@@ -387,6 +448,18 @@ class Engine:
 
     def init_params(self):
         return {n: g.params for n, g in self.groups.items()}
+
+    def retune(self, params, group: str, idx: int, freq: float):
+        """Retune one channel; returns new params (no recompile)."""
+        p = dict(params)
+        p[group] = self.groups[group].retune(params[group], idx, freq)
+        return p
+
+    def set_edges(self, params, group: str, idx: int, low: float, high: float, kaiser_beta=None):
+        """Hot-swap one channel's filter response; returns new params."""
+        p = dict(params)
+        p[group] = self.groups[group].set_edges(params[group], idx, low, high, kaiser_beta)
+        return p
 
     def step(self, state, params, block):
         """One block: [L] input samples -> per-group audio + status info.

@@ -1,0 +1,359 @@
+"""radiod — the daemon: config -> Engine -> RTP data + TLV status over UDP.
+
+The TPU analog of the reference's main.c/radio_status.c/audio.c host side:
+one process owns the device engine; per 20 ms block it
+
+  1. drains control packets from the status socket (poll -> full status
+     response; settable keys -> params-pytree surgery with NO recompile,
+     mirroring decode_radio_commands radio_status.c:133-702),
+  2. pulls one input block from the front end (sig_gen or an external
+     feeder),
+  3. runs the jitted engine step,
+  4. packetizes each unmuted channel's audio as RTP (PCM s16be/f32/
+     mu-law/... via net.rtp) and multicasts it,
+  5. emits per-channel TLV status beacons every `update` blocks and
+     answers polls immediately (response(), radio.c:1563-1593).
+
+Where the reference binds its realtime loop to wall clock (the A/D paces
+it), this loop is paced by whoever calls run()/step_block — the benchmark
+runs it flat out, a live deployment paces on the source.
+"""
+from __future__ import annotations
+
+import dataclasses
+import select
+import time
+from typing import Any, Callable
+
+import numpy as np
+import jax
+
+from ..config.loader import RadiodConfig
+from ..net.status import StatusType as T, PacketType, encode_status, decode_status
+from ..net.rtp import RtpHeader, Encoding, PayloadRegistry, encode_samples
+from ..net.multicast import resolve_dest, output_socket, listen_socket, DEFAULT_RTP_PORT, DEFAULT_STAT_PORT
+from ..utils.units import power_to_dB, dB_to_power, voltage_to_dB
+from .engine import Engine
+from .source import siggen_init, siggen_block
+
+__all__ = ["Radiod", "DEMOD_TYPE_CODES"]
+
+DEMOD_TYPE_CODES = {"linear": 0, "fm": 1, "wfm": 2, "spectrum": 3}
+
+GPS_UTC_OFFSET = 18  # leap seconds (misc.h GPS epoch helpers)
+_GPS_EPOCH = 315964800  # 1980-01-06 UTC in unix time
+
+
+def _gps_time_ns() -> int:
+    return int((time.time() - _GPS_EPOCH + GPS_UTC_OFFSET) * 1e9)
+
+
+@dataclasses.dataclass
+class _Chan:
+    """Host-side bookkeeping for one channel (shadow of struct channel)."""
+
+    group: str
+    idx: int
+    ssrc: int
+    freq: float
+    low: float
+    high: float
+    samprate: int
+    channels: int  # audio channels in RTP output
+    encoding: Encoding
+    pt: int
+    rtp_seq: int = 0
+    rtp_timestamp: int = 0
+    sending: bool = False  # squelch state last block (for the RTP marker bit)
+    data_packets: int = 0
+    metadata_packets: int = 0
+    commands: int = 0
+    last_info: dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+class Radiod:
+    def __init__(
+        self,
+        cfg: RadiodConfig,
+        use_network: bool = True,
+        data_port: int = DEFAULT_RTP_PORT,
+        status_port: int = DEFAULT_STAT_PORT,
+    ):
+        self.cfg = cfg
+        self.engine = Engine(
+            samprate=cfg.samprate, real=cfg.real, groups=cfg.groups,
+            blocktime=cfg.blocktime, overlap=cfg.overlap,
+        )
+        self.state = self.engine.init_state()
+        self.params = self.engine.init_params()
+        self.step = jax.jit(self.engine.step, donate_argnums=0)
+        self.source_state = siggen_init(cfg.source) if cfg.source else None
+        self.registry = PayloadRegistry()
+        self.update_every = int(cfg.options.get("update", 25))  # blocks (modes.c:56)
+        self.blocks = 0
+
+        enc_name = str(cfg.options.get("encoding", "s16be")).upper()
+        default_enc = Encoding[enc_name] if enc_name in Encoding.__members__ else Encoding.S16BE
+
+        self.chans: dict[int, _Chan] = {}
+        for gname, g in self.engine.groups.items():
+            spec = g.spec
+            out_rate = 48_000 if spec.demod == "wfm" else spec.samprate
+            nch = 2 if (spec.stereo or spec.demod == "wfm") else 1
+            for i, c in enumerate(spec.channels):
+                ssrc = c.resolved_ssrc()
+                while ssrc in self.chans:  # collision: bump like the reference
+                    ssrc += 1
+                pt = self.registry.pt_from_info(out_rate, nch, default_enc)
+                self.chans[ssrc] = _Chan(
+                    group=gname, idx=i, ssrc=ssrc, freq=c.freq, low=c.low,
+                    high=c.high, samprate=out_rate, channels=nch,
+                    encoding=default_enc, pt=pt,
+                )
+
+        self.data_sock = self.status_sock = self.status_in = None
+        if use_network:
+            ttl = int(cfg.options.get("ttl", 1))
+            data_dest = resolve_dest(cfg.options.get("data", "127.0.0.1"), data_port)
+            stat_dest = resolve_dest(cfg.options.get("status", "127.0.0.1"), status_port)
+            self.data_sock = output_socket(data_dest, ttl)
+            self.status_sock = output_socket(stat_dest, ttl)
+            self.status_in = listen_socket(stat_dest)
+        self._sent: list[tuple[str, bytes]] = []  # (kind, pkt) when offline
+
+    # ------------------------------------------------------------------ IO
+    def _send_data(self, pkt: bytes):
+        if self.data_sock is not None:
+            try:
+                self.data_sock.send(pkt)
+            except OSError:
+                pass
+        else:
+            self._sent.append(("data", pkt))
+
+    def _send_status(self, pkt: bytes):
+        if self.status_sock is not None:
+            try:
+                self.status_sock.send(pkt)
+            except OSError:
+                pass
+        else:
+            self._sent.append(("status", pkt))
+
+    # ------------------------------------------------------------- control
+    def poll_commands(self, budget: int = 16):
+        """Drain pending control packets (radio_status.c:38-111)."""
+        if self.status_in is None:
+            return
+        for _ in range(budget):
+            r, _, _ = select.select([self.status_in], [], [], 0)
+            if not r:
+                return
+            try:
+                pkt, _addr = self.status_in.recvfrom(65536)
+            except OSError:
+                return
+            self.handle_packet(pkt)
+
+    def handle_packet(self, pkt: bytes):
+        try:
+            ptype, fields, _ = decode_status(pkt)
+        except Exception:
+            return
+        if ptype != PacketType.CMD:
+            return  # ignore other radiods' status (radio_status.c:52-57)
+        ssrc = fields.get(T.OUTPUT_SSRC)
+        tag = fields.get(T.COMMAND_TAG, 0)
+        if ssrc is None:
+            return
+        if ssrc == 0xFFFFFFFF:  # all-channel dump
+            for ch in list(self.chans.values()):
+                self._send_status(self.encode_channel_status(ch, tag))
+            return
+        ch = self.chans.get(ssrc)
+        if ch is None:
+            return  # dynamic channel creation: future work (needs recompile path)
+        ch.commands += 1
+        self.apply_command(ch, fields)
+        self._send_status(self.encode_channel_status(ch, tag))
+
+    def apply_command(self, ch: _Chan, fields: dict):
+        """Settable-key subset of decode_radio_commands (radio_status.c:211-685).
+        All updates are params surgery — zero recompiles."""
+        eng, g, i = self.engine, ch.group, ch.idx
+        if T.RADIO_FREQUENCY in fields:
+            f = float(fields[T.RADIO_FREQUENCY])
+            try:
+                self.params = eng.retune(self.params, g, i, f)
+                ch.freq = f
+            except ValueError:
+                pass  # out of coverage: ignored like the reference
+        new_low, new_high = fields.get(T.LOW_EDGE), fields.get(T.HIGH_EDGE)
+        if new_low is not None or new_high is not None:
+            lo = float(new_low) if new_low is not None else ch.low
+            hi = float(new_high) if new_high is not None else ch.high
+            self.params = eng.set_edges(self.params, g, i, lo, hi)
+            ch.low, ch.high = min(lo, hi), max(lo, hi)
+
+        gp = self.params[g]["demod"]
+
+        def setp(key, value):
+            nonlocal gp
+            gp = dict(gp)
+            gp[key] = gp[key].at[i].set(value)
+            p = dict(self.params)
+            p[g] = dict(p[g])
+            p[g]["demod"] = gp
+            self.params = p
+
+        if T.SQUELCH_OPEN in fields and "squelch_open" in gp:
+            setp("squelch_open", np.float32(dB_to_power(float(fields[T.SQUELCH_OPEN]))))
+        if T.SQUELCH_CLOSE in fields and "squelch_close" in gp:
+            setp("squelch_close", np.float32(dB_to_power(float(fields[T.SQUELCH_CLOSE]))))
+        if T.HEADROOM in fields and "headroom" in gp:
+            setp("headroom", np.float32(10 ** (float(fields[T.HEADROOM]) / 20)))
+        if T.GAIN in fields and "manual_gain" in gp:
+            setp("manual_gain", np.float32(10 ** (float(fields[T.GAIN]) / 20)))
+        if T.AGC_ENABLE in fields and "agc_enable" in gp:
+            setp("agc_enable", bool(fields[T.AGC_ENABLE]))
+        if T.AGC_HANGTIME in fields and "hangtime_samples" in gp:
+            setp("hangtime_samples", np.int32(float(fields[T.AGC_HANGTIME]) * ch.samprate))
+        if T.AGC_RECOVERY_RATE in fields and "recovery_per_sample" in gp:
+            setp("recovery_per_sample", np.float32(10 ** (float(fields[T.AGC_RECOVERY_RATE]) / 20 / ch.samprate)))
+        if T.AGC_THRESHOLD in fields and "threshold" in gp:
+            setp("threshold", np.float32(10 ** (float(fields[T.AGC_THRESHOLD]) / 20)))
+        if T.PL_TONE in fields and "tone_freq" in gp:
+            setp("tone_freq", np.float32(float(fields[T.PL_TONE])))
+        if T.SHIFT_FREQUENCY in fields and "shift_inc_q32" in gp:
+            from ..ops.osc import rev_to_q32
+            setp("shift_inc_q32", rev_to_q32(float(fields[T.SHIFT_FREQUENCY]) / ch.samprate))
+
+    # -------------------------------------------------------------- status
+    def encode_channel_status(self, ch: _Chan, tag: int = 0) -> bytes:
+        """encode_radio_status subset (radio_status.c:706-915)."""
+        spec = self.engine.groups[ch.group].spec
+        info = ch.last_info
+        g = lambda k, d=0.0: float(np.asarray(info[k][ch.idx])) if k in info else d
+        fields: dict[T, Any] = {
+            T.OUTPUT_SSRC: ch.ssrc,
+            T.COMMAND_TAG: tag,
+            T.GPS_TIME: _gps_time_ns(),
+            T.CMD_CNT: ch.commands,
+            T.RADIO_FREQUENCY: ch.freq,
+            T.DEMOD_TYPE: DEMOD_TYPE_CODES.get(spec.demod, 0),
+            T.LOW_EDGE: ch.low,
+            T.HIGH_EDGE: ch.high,
+            T.KAISER_BETA: spec.kaiser_beta,
+            T.OUTPUT_SAMPRATE: ch.samprate,
+            T.OUTPUT_CHANNELS: ch.channels,
+            T.INPUT_SAMPRATE: int(self.engine.samprate),
+            T.FE_ISREAL: self.engine.master.real,
+            T.FILTER_BLOCKSIZE: self.engine.master.L,
+            T.FILTER_FIR_LENGTH: self.engine.master.M,
+            T.RTP_PT: ch.pt,
+            T.OUTPUT_ENCODING: int(ch.encoding),
+            T.OUTPUT_DATA_PACKETS: ch.data_packets,
+            T.OUTPUT_METADATA_PACKETS: ch.metadata_packets,
+            T.BASEBAND_POWER: power_to_dB(max(g("baseband_power"), 1e-30)),
+            T.NOISE_DENSITY: power_to_dB(max(g("n0"), 1e-30)),
+            T.OUTPUT_LEVEL: power_to_dB(max(g("output_power"), 1e-30)),
+        }
+        if spec.demod in ("fm", "wfm"):
+            fields[T.FM_SNR] = power_to_dB(max(g("fm_snr"), 1e-30))
+            fields[T.PEAK_DEVIATION] = g("pdeviation")
+            fields[T.FREQ_OFFSET] = g("foffset")
+            if "tone_deviation" in info:
+                fields[T.PL_DEVIATION] = g("tone_deviation")
+                fields[T.PL_TONE] = float(np.asarray(self.params[ch.group]["demod"]["tone_freq"][ch.idx]))
+            fields[T.THRESH_EXTEND] = spec.threshold_extend
+        elif spec.demod == "spectrum":
+            geo = self.engine.groups[ch.group].spectrum_geo
+            fields[T.RESOLUTION_BW] = geo.rbw
+            fields[T.BIN_COUNT] = geo.bin_count
+            fields[T.SPECTRUM_FFT_N] = geo.fft_n
+            fields[T.SPECTRUM_AVG] = geo.fft_avg
+            if "bin_data" in info:
+                fields[T.BIN_DATA] = [float(x) for x in np.asarray(info["bin_data"][ch.idx])]
+        else:
+            if "snr" in info and np.isfinite(g("snr")):
+                fields[T.PLL_SNR] = power_to_dB(max(g("snr"), 1e-30))
+            fields[T.PLL_ENABLE] = spec.enable_pll
+            fields[T.PLL_SQUARE] = spec.pll_square
+            fields[T.ENVELOPE] = spec.envelope
+            fields[T.AGC_ENABLE] = bool(np.asarray(self.params[ch.group]["demod"]["agc_enable"][ch.idx]))
+            if "gain" in info:
+                fields[T.GAIN] = voltage_to_dB(max(g("gain"), 1e-30))
+            if spec.enable_pll:
+                fields[T.PLL_LOCK] = bool(np.asarray(info["pll_lock"][ch.idx])) if "pll_lock" in info else False
+                fields[T.FREQ_OFFSET] = g("foffset")
+        fields[T.SNR_SQUELCH] = spec.snr_squelch
+        sq = self.params[ch.group]["demod"].get("squelch_open")
+        if sq is not None:
+            fields[T.SQUELCH_OPEN] = power_to_dB(float(np.asarray(sq[ch.idx])))
+            fields[T.SQUELCH_CLOSE] = power_to_dB(float(np.asarray(self.params[ch.group]["demod"]["squelch_close"][ch.idx])))
+        ch.metadata_packets += 1
+        return encode_status(fields)
+
+    # ---------------------------------------------------------------- data
+    def _emit_rtp(self, ch: _Chan, audio: np.ndarray, send: bool):
+        """Packetize one block of audio (audio.c:42-212). Marker bit set on
+        the first packet after silence, timestamps advance even when muted."""
+        nsamp = audio.shape[0]
+        if not send:
+            ch.rtp_timestamp = (ch.rtp_timestamp + nsamp) & 0xFFFFFFFF
+            ch.sending = False
+            return
+        payload = encode_samples(audio, ch.encoding)
+        bytes_per_frame = max(len(payload) // nsamp, 1)
+        max_frames = max(1400 // bytes_per_frame, 1)
+        off = 0
+        first = True
+        while off < nsamp:
+            n = min(max_frames, nsamp - off)
+            hdr = RtpHeader(
+                type=ch.pt, seq=ch.rtp_seq, timestamp=ch.rtp_timestamp, ssrc=ch.ssrc,
+                marker=(first and not ch.sending),
+            )
+            self._send_data(hdr.pack() + payload[off * bytes_per_frame : (off + n) * bytes_per_frame])
+            ch.rtp_seq = (ch.rtp_seq + 1) & 0xFFFF
+            ch.rtp_timestamp = (ch.rtp_timestamp + n) & 0xFFFFFFFF
+            ch.data_packets += 1
+            off += n
+            first = False
+        ch.sending = True
+
+    # ---------------------------------------------------------------- main
+    def step_block(self, block=None):
+        """Run one 20 ms block end to end."""
+        self.poll_commands()
+        if block is None:
+            if self.source_state is None:
+                raise ValueError("no front end configured and no block given")
+            self.source_state, block = siggen_block(self.cfg.source, self.source_state, self.engine.L)
+        self.state, out = self.step(self.state, self.params, block)
+        self.blocks += 1
+        beacon = (self.blocks % self.update_every) == 0
+        host_out = jax.device_get(out)
+        for ch in self.chans.values():
+            gout = host_out[ch.group]
+            info = gout["info"]
+            ch.last_info = info
+            send = bool(np.asarray(info["send"][ch.idx])) if "send" in info else True
+            audio = np.asarray(gout["audio"][ch.idx])
+            if audio.size:
+                self._emit_rtp(ch, audio, send=send)
+            if beacon:
+                self._send_status(self.encode_channel_status(ch))
+        return host_out
+
+    def run(self, nblocks: int | None = None, realtime: bool = False):
+        t0 = time.monotonic()
+        k = 0
+        while nblocks is None or k < nblocks:
+            self.step_block()
+            k += 1
+            if realtime:
+                target = t0 + k * self.cfg.blocktime
+                dt = target - time.monotonic()
+                if dt > 0:
+                    time.sleep(dt)

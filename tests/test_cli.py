@@ -1,0 +1,132 @@
+"""CLI integration over real multicast loopback: radiod <-> clients."""
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from ka9q_radio_tpu.config import load_config
+from ka9q_radio_tpu.runtime.radiod import Radiod
+
+# unique stream names per test run to avoid group collisions between workers
+_UNIQ = f"{os.getpid()}"
+CONF = f"""
+[global]
+hardware = sig_gen
+status = test-{_UNIQ}.local
+data = test-pcm-{_UNIQ}.local
+mode = usb
+update = 5
+ttl = 1
+
+[sig_gen]
+device = sig_gen
+carrier = 201k0
+amplitude = -20
+noise = -130
+samprate = 1m024
+real = no
+
+[hf]
+mode = usb
+samprate = 16k
+freq = 200k0
+
+[spect]
+mode = spectrum
+samprate = 32k
+resolution-bw = 500
+bin-count = 64
+freq = 201k0
+ssrc = 9000
+"""
+
+
+@pytest.fixture(scope="module")
+def daemon():
+    rd = Radiod(load_config(CONF), use_network=True)
+    stop = threading.Event()
+
+    def run():
+        while not stop.is_set():
+            rd.step_block()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    # let it compile + run a few blocks
+    for _ in range(200):
+        if rd.blocks >= 8:
+            break
+        time.sleep(0.1)
+    yield rd
+    stop.set()
+    t.join(timeout=10)
+
+
+def test_tune_cli(daemon, capsys):
+    from ka9q_radio_tpu.cli.tune import main
+
+    rc = main(["--radio", f"test-{_UNIQ}.local", "--ssrc", "200", "--timeout", "5"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "RADIO_FREQUENCY" in out and "200000" in out
+
+
+def test_control_cli_retune(daemon, capsys):
+    from ka9q_radio_tpu.cli.control import main
+
+    rc = main(["--radio", f"test-{_UNIQ}.local", "--ssrc", "200",
+               "-c", "f 202k0", "-c", "poll"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "202000" in out
+    assert daemon.chans[200].freq == 202_000.0
+    # restore
+    main(["--radio", f"test-{_UNIQ}.local", "--ssrc", "200", "-c", "f 200k0"])
+
+
+def test_powers_cli(daemon, capsys):
+    from ka9q_radio_tpu.cli.powers import main
+
+    rc = main(["--radio", f"test-{_UNIQ}.local", "--ssrc", "9000", "--timeout", "5"])
+    assert rc == 0
+    line = capsys.readouterr().out.strip()
+    parts = line.split(",")
+    assert int(parts[5]) == 64  # bin count
+    dbs = np.array([float(x) for x in parts[6:]])
+    assert dbs.size == 64
+    # carrier at the channel center: max bin near the middle, ~-20 dBFS
+    assert abs(int(np.argmax(dbs)) - 32) <= 1
+    assert abs(dbs.max() + 20.0) < 3.0
+
+
+def test_pcmrecord_cli(daemon, tmp_path, capsys):
+    from ka9q_radio_tpu.cli.pcmrecord import main
+
+    rc = main(["--data", f"test-pcm-{_UNIQ}.local", "--status", f"test-{_UNIQ}.local",
+               "--duration", "3", "--dir", str(tmp_path), "--ssrc", "200"])
+    assert rc == 0
+    import wave
+
+    path = tmp_path / "ssrc200.wav"
+    assert path.exists()
+    with wave.open(str(path)) as w:
+        assert w.getframerate() == 16_000
+        assert w.getnchannels() == 1
+        n = w.getnframes()
+        data = np.frombuffer(w.readframes(n), "<i2").astype(np.float32) / 32767.0
+    assert n > 16_000  # at least a second of audio
+    spec = np.abs(np.fft.rfft(data * np.hanning(data.size)))
+    f = np.fft.rfftfreq(data.size, 1 / 16_000)
+    assert abs(f[np.argmax(spec)] - 1000.0) < 20.0  # the USB tone
+
+
+def test_monitor_cli(daemon, capsys):
+    from ka9q_radio_tpu.cli.monitor import main
+
+    rc = main(["--data", f"test-pcm-{_UNIQ}.local", "--status", f"test-{_UNIQ}.local",
+               "--duration", "2", "--quiet"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ssrc 200" in out and "drops" in out

@@ -1,0 +1,115 @@
+"""Config loader: radiod.conf dialect -> engine GroupSpecs."""
+import numpy as np
+import pytest
+
+from ka9q_radio_tpu.config import load_config, PRESETS
+from ka9q_radio_tpu.utils.parse import parse_frequency
+from ka9q_radio_tpu.runtime import Engine
+
+CONF = """
+# synthetic front end + three channel groups (reference dialect)
+[global]
+hardware = sig_gen
+status = test.local       ; DNS name
+data = test-pcm.local
+mode = usb                # default preset
+ttl = 1
+blocktime = 20
+overlap = 5
+
+[sig_gen]
+device = "sig_gen"
+description = "Software Signal Generator"
+carrier = 10m0
+amplitude = -20 # dBFS
+noise = -120
+samprate = 1m024
+real = no
+
+[wwv]
+mode = am
+freq = "100k0 200k0"
+
+[repeaters]
+mode = pm
+samprate = 16k
+freq = 300k0
+tone = 107.2
+
+[scan]
+mode = nfm
+samprate = 16k
+raster = 100k 125k 5k
+except = 110k
+"""
+
+
+def test_load_config_full():
+    cfg = load_config(CONF)
+    assert cfg.source is not None
+    assert cfg.source.samprate == 1_024_000
+    assert not cfg.source.real
+    assert abs(cfg.source.amplitude - 0.1) < 1e-9
+    assert abs(10 * np.log10(cfg.source.noise_n0) + 120) < 1e-6
+    assert cfg.blocktime == 0.02 and cfg.overlap == 5
+    assert cfg.options["status"] == "test.local"
+
+    by_name = {g.name: g for g in cfg.groups}
+    assert set(by_name) == {"wwv", "repeaters", "scan"}
+
+    wwv = by_name["wwv"]
+    assert wwv.demod == "linear" and wwv.envelope  # am preset
+    assert wwv.samprate == 12_000
+    assert [c.freq for c in wwv.channels] == [100_000.0, 200_000.0]
+    assert wwv.hangtime_s == 0.0 and wwv.recovery_rate_db == 50.0
+
+    rpt = by_name["repeaters"]
+    assert rpt.demod == "fm" and rpt.samprate == 16_000  # section overrides preset
+    assert rpt.ctcss and rpt.channels[0].tone_freq == 107.2
+    assert rpt.threshold_extend  # pm preset
+    assert rpt.squelch_open_db == 10.0 and rpt.squelch_close_db == 6.0
+    assert rpt.deemph_tc_us == 530.5 and rpt.deemph_gain_db == 12.0
+
+    scan = by_name["scan"]
+    freqs = [c.freq for c in scan.channels]
+    assert freqs == [100_000.0, 105_000.0, 115_000.0, 120_000.0]  # 110k excepted
+    assert scan.channels[0].resolved_ssrc() == 100
+
+    # and the whole thing builds a working engine
+    eng = Engine(samprate=cfg.samprate, real=cfg.real, groups=cfg.groups,
+                 blocktime=cfg.blocktime, overlap=cfg.overlap)
+    assert eng.L == 20_480
+
+
+def test_presets_complete():
+    # the reference ships these presets (share/presets.conf)
+    for want in ["pm", "npm", "wpm", "fm", "nfm", "wfm", "am", "sam", "ame", "iq",
+                 "cwu", "cwl", "usb", "lsb", "dsb", "isb", "amsq", "wspr",
+                 "spectrum", "nam"]:
+        assert want in PRESETS, want
+
+
+def test_parse_frequency_signs_and_infix():
+    assert parse_frequency("147m435") == 147_435_000.0
+    assert parse_frequency("-6k25") == -6250.0
+    assert parse_frequency("+8k") == 8000.0
+    assert parse_frequency("-100.0") == -100.0
+    assert parse_frequency("10m0") == 10_000_000.0
+    assert parse_frequency("446", True) == 446_000_000.0  # heuristic: MHz
+    assert parse_frequency("7040", True) == 7_040_000.0  # heuristic: kHz
+
+
+def test_cw_preset_shift():
+    cfg = load_config("""
+[global]
+hardware =
+mode = cwu
+[cw]
+freq = 100k0
+mode = cwu
+samprate = 12k
+""")
+    g = cfg.groups[0]
+    assert g.channels[0].shift_hz == 500.0
+    assert g.channels[0].low == -200.0 and g.channels[0].high == 200.0
+    assert g.hangtime_s == 0.2

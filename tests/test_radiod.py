@@ -1,0 +1,108 @@
+"""radiod daemon: config -> engine -> RTP/TLV, command handling, retune."""
+import numpy as np
+import pytest
+
+from ka9q_radio_tpu.config import load_config
+from ka9q_radio_tpu.runtime.radiod import Radiod
+from ka9q_radio_tpu.net.status import StatusType as T, PacketType, encode_status, decode_status
+from ka9q_radio_tpu.net.rtp import RtpHeader, Encoding, decode_samples
+
+CONF = """
+[global]
+hardware = sig_gen
+status = test.local
+data = test-pcm.local
+mode = usb
+update = 5
+
+[sig_gen]
+device = sig_gen
+carrier = 201k0
+amplitude = -20
+noise = -130
+samprate = 1m024
+real = no
+
+[hf]
+mode = usb
+samprate = 16k
+freq = 200k0
+"""
+
+
+@pytest.fixture(scope="module")
+def radiod():
+    rd = Radiod(load_config(CONF), use_network=False)
+    for _ in range(12):
+        rd.step_block()
+    return rd
+
+
+def test_rtp_stream(radiod):
+    data = [p for kind, p in radiod._sent if kind == "data"]
+    assert data, "no RTP packets emitted"
+    h, payload = RtpHeader.unpack(data[-1])
+    assert h.ssrc == 200
+    info = radiod.registry.info_from_pt(h.type)
+    assert info == (16_000, 1, Encoding.S16BE)
+    # concatenate the tail of the stream and find the 1 kHz tone
+    audio = np.concatenate([decode_samples(RtpHeader.unpack(p)[1], Encoding.S16BE) for p in data[-40:]])
+    spec = np.abs(np.fft.rfft(audio * np.hanning(audio.size)))
+    f = np.fft.rfftfreq(audio.size, 1 / 16_000)
+    assert abs(f[np.argmax(spec)] - 1000.0) < 20.0
+
+
+def test_status_beacons(radiod):
+    stats = [p for kind, p in radiod._sent if kind == "status"]
+    assert stats  # update = 5 -> beacons
+    ptype, fields, _ = decode_status(stats[-1])
+    assert ptype == PacketType.STATUS
+    assert fields[T.OUTPUT_SSRC] == 200
+    assert fields[T.RADIO_FREQUENCY] == 200_000.0
+    assert fields[T.DEMOD_TYPE] == 0
+    assert fields[T.OUTPUT_SAMPRATE] == 16_000
+    assert fields[T.LOW_EDGE] == 50.0 and fields[T.HIGH_EDGE] == 3000.0
+    assert abs(fields[T.NOISE_DENSITY] - (-130.0)) < 2.0
+    assert fields[T.INPUT_SAMPRATE] == 1_024_000
+
+
+def test_poll_and_command(radiod):
+    radiod._sent.clear()
+    # poll
+    radiod.handle_packet(encode_status({T.OUTPUT_SSRC: 200, T.COMMAND_TAG: 42}, cmd=True))
+    stats = [p for kind, p in radiod._sent if kind == "status"]
+    assert len(stats) == 1
+    _, fields, _ = decode_status(stats[0])
+    assert fields[T.COMMAND_TAG] == 42
+    assert fields[T.CMD_CNT] >= 1
+
+    # retune command: move the channel to 150 kHz, then verify params moved
+    old_shift = int(np.asarray(radiod.params["hf"]["shifts"][0]))
+    radiod.handle_packet(encode_status(
+        {T.OUTPUT_SSRC: 200, T.COMMAND_TAG: 43, T.RADIO_FREQUENCY: 150_000.0}, cmd=True))
+    new_shift = int(np.asarray(radiod.params["hf"]["shifts"][0]))
+    assert new_shift != old_shift
+    assert radiod.chans[200].freq == 150_000.0
+
+    # filter edge change
+    radiod.handle_packet(encode_status(
+        {T.OUTPUT_SSRC: 200, T.LOW_EDGE: -2000.0, T.HIGH_EDGE: 2000.0}, cmd=True))
+    assert radiod.chans[200].low == -2000.0
+    bw = float(np.asarray(radiod.params["hf"]["demod"]["bandwidth"][0]))
+    assert bw == 4000.0
+
+    # gain via command
+    radiod.handle_packet(encode_status({T.OUTPUT_SSRC: 200, T.HEADROOM: -10.0}, cmd=True))
+    hr = float(np.asarray(radiod.params["hf"]["demod"]["headroom"][0]))
+    assert abs(20 * np.log10(hr) + 10.0) < 1e-3
+
+    # engine still steps fine after surgery (no shape changes)
+    radiod.step_block()
+
+
+def test_retune_moves_audio(radiod):
+    # after retuning to 150 kHz the 201 kHz carrier is out of band: squelch noise
+    for _ in range(8):
+        radiod.step_block()
+    bb = float(np.asarray(radiod.chans[200].last_info["baseband_power"][0]))
+    assert bb < 1e-6  # carrier gone from passband
