@@ -48,9 +48,19 @@ def main() -> None:
 
     step = jax.jit(eng.step, donate_argnums=0)
 
-    # compile + warmup
-    state, out = step(state, params, block)
-    jax.block_until_ready(out)
+    # compile + warmup; the remote-TPU tunnel can throw transient
+    # UNIMPLEMENTED backend errors in bouts — retry with backoff
+    for attempt in range(6):
+        try:
+            state, out = step(state, params, block)
+            jax.block_until_ready(out)
+            break
+        except Exception:
+            if attempt == 5:
+                raise
+            time.sleep(15.0)
+            state = eng.init_state()
+            params = eng.init_params()
     for _ in range(3):
         state, out = step(state, params, block)
     jax.block_until_ready(out)

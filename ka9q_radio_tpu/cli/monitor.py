@@ -30,9 +30,16 @@ class Session:
         self.rtp = RtpState()
         self.level = 0.0
         self.samples = 0
+        self.opus = None
+        if encoding in (Encoding.OPUS, Encoding.OPUS_VOIP):
+            from ..net.opus import OpusDecoder
+            self.opus = OpusDecoder(samprate, channels)
 
     def ingest(self, hdr: RtpHeader, payload: bytes) -> np.ndarray | None:
-        audio = decode_samples(payload, self.encoding)
+        if self.opus is not None:
+            audio = self.opus.decode(payload).reshape(-1)
+        else:
+            audio = decode_samples(payload, self.encoding)
         nframes = audio.size // self.channels
         if self.rtp.process(hdr, nframes) < 0:
             return None

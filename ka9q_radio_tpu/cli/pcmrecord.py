@@ -28,6 +28,10 @@ class Session:
         self.samprate, self.channels, self.encoding = samprate, channels, encoding
         self.rtp = RtpState()
         self.to_stdout = to_stdout
+        self.opus = None
+        if encoding in (Encoding.OPUS, Encoding.OPUS_VOIP):
+            from ..net.opus import OpusDecoder
+            self.opus = OpusDecoder(samprate, channels)
         self.wav = None
         if not to_stdout:
             path = os.path.join(outdir, f"ssrc{ssrc}.wav")
@@ -38,7 +42,10 @@ class Session:
             self.path = path
 
     def write(self, hdr: RtpHeader, payload: bytes):
-        audio = decode_samples(payload, self.encoding)
+        if self.opus is not None:
+            audio = self.opus.decode(payload).reshape(-1)
+        else:
+            audio = decode_samples(payload, self.encoding)
         nframes = audio.size // self.channels
         gap = self.rtp.process(hdr, nframes)
         pcm = np.clip(audio * 32767.0, -32768, 32767).astype("<i2")

@@ -89,7 +89,9 @@ def parse_ini(text: str) -> dict[str, dict[str, str]]:
 class RadiodConfig:
     blocktime: float
     overlap: int
-    source: SigGenConfig | None
+    # SigGenConfig (synthetic), a descriptor dict for file/rtp front ends,
+    # or None (an external feeder passes blocks to step_block directly)
+    source: "SigGenConfig | dict | None"
     groups: list[GroupSpec]
     samprate: float
     real: bool
@@ -188,6 +190,8 @@ def _build_group(name: str, settings: dict[str, Any], freqs: list[tuple[float, f
         ctcss=any(t != 0.0 for _, t in freqs),
         squelch_tail=int(tail) if tail is not None else None,
         kaiser_beta=float(s.get("kaiser-beta", 11.0)),
+        filter2=int(s.get("filter2", 0) or 0),
+        isb=parse_bool(s.get("conj", False)),
     )
     for ini_key, field in [
         ("squelch-open", "squelch_open_db"), ("squelch-close", "squelch_close_db"),
@@ -256,8 +260,25 @@ def load_config(text_or_path: str, presets: dict[str, dict] | None = None) -> Ra
         if device == "sig_gen":
             source = _build_source(hw)
             samprate, real = source.samprate, source.real
+        elif device == "file":
+            samprate = parse_frequency(hw.get("samprate", "0"))
+            fmt = hw.get("format", "cf32le")
+            real = not fmt.startswith("c")
+            source = {
+                "kind": "file", "path": hw["path"], "samprate": samprate,
+                "format": fmt, "loop": parse_bool(hw.get("loop", "n")),
+            }
+        elif device == "rtp":
+            samprate = parse_frequency(hw.get("samprate", "0"))
+            real = parse_bool(hw.get("real", "n"))
+            source = {
+                "kind": "rtp", "stream": hw.get("stream", hw.get("data", "")),
+                "samprate": samprate, "real": real,
+                "encoding": hw.get("encoding", "s16be"),
+                "ssrc": int(hw["ssrc"]) if "ssrc" in hw else None,
+            }
         else:
-            # network/file front ends are host-edge concerns; still record geometry
+            # unknown hardware: record geometry; feeder must supply blocks
             samprate = parse_frequency(hw.get("samprate", "0"))
             real = parse_bool(hw.get("real", "y")) and not parse_bool(hw.get("complex", "n"))
 

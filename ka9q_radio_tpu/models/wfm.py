@@ -47,6 +47,7 @@ class WfmGeometry:
     audio_L: int
     pilot_shift: int
     subc_shift: int
+    rds_shift: int = 0
 
     @property
     def Nc(self) -> int:
@@ -65,17 +66,19 @@ def wfm_geometry(blocktime: float = 0.02) -> WfmGeometry:
     audio_L = int(round(AUDIO_SAMPRATE * blocktime))
     ps, prem, _ = compute_tuning(Nc, COMPOSITE_SAMPRATE, 19_000.0)
     ss, srem, _ = compute_tuning(Nc, COMPOSITE_SAMPRATE, 38_000.0)
+    rs, rrem, _ = compute_tuning(Nc, COMPOSITE_SAMPRATE, 57_000.0)
     # like the reference's asserts (wfm.c:101-109): clean rates only
-    if prem != 0.0 or srem != 0.0 or (ps * Lc) % Nc or (ss * Lc) % Nc:
+    if prem != 0.0 or srem != 0.0 or rrem != 0.0 or (ps * Lc) % Nc or (ss * Lc) % Nc or (rs * Lc) % Nc:
         raise ValueError("blocktime gives non-integer pilot/subcarrier bins")
-    return WfmGeometry(Lc=Lc, Mc=Mc, audio_L=audio_L, pilot_shift=ps, subc_shift=ss)
+    return WfmGeometry(Lc=Lc, Mc=Mc, audio_L=audio_L, pilot_shift=ps, subc_shift=ss, rds_shift=rs)
 
 
 def wfm_design(geo: WfmGeometry, kaiser_beta: float = 11.0):
-    """The three composite slave responses (static, shared by all stations).
+    """The composite slave responses (static, shared by all stations).
 
     Returns dict of np.complex64 arrays: mono [nb//2+1] (half spectrum for
-    the real IFFT), pilot [nb], lminusr [nb].
+    the real IFFT), pilot [nb], lminusr [nb], rds [nb] (57 kHz +/- 2.4 kHz
+    for the rdsd path).
     """
     nb, L = geo.nb, geo.audio_L
     fs = float(AUDIO_SAMPRATE)
@@ -91,12 +94,17 @@ def wfm_design(geo: WfmGeometry, kaiser_beta: float = 11.0):
         nb, L, -15_000.0 / fs, 15_000.0 / fs, kaiser_beta,
         real_master=True, master_points=geo.Nc,
     )
+    rds = design_bandpass_response(
+        nb, L, -2400.0 / fs, 2400.0 / fs, kaiser_beta,
+        real_master=True, master_points=geo.Nc,
+    )
     # jnp.fft.irfft's 1/nb normalization was pre-compensated for ifft; keep
     # the same convention (both normalize by the transform length).
     return {
         "mono": mono[: nb // 2 + 1].astype(np.complex64),
         "pilot": pilot.astype(np.complex64),
         "lminusr": lminusr.astype(np.complex64),
+        "rds": rds.astype(np.complex64),
     }
 
 
@@ -183,6 +191,7 @@ def wfm_demod(state, bb, bb_power, n0, params, geo: WfmGeometry, responses):
     mono = jnp.fft.irfft(hm, n=nb, axis=-1)[:, nb - aL :].astype(jnp.float32)
     pilot = _slave_complex(Fc, responses["pilot"], geo.pilot_shift, nb, geo.Nc, aL)
     lmr = _slave_complex(Fc, responses["lminusr"], geo.subc_shift, nb, geo.Nc, aL)
+    rds = _slave_complex(Fc, responses["rds"], geo.rds_shift, nb, geo.Nc, aL)
 
     # constant FM gain (wfm.c:209)
     gain = 2.0 * params["headroom"] * COMPOSITE_SAMPRATE / jnp.maximum(params["bandwidth"], 1.0)
@@ -196,6 +205,14 @@ def wfm_demod(state, bb, bb_power, n0, params, geo: WfmGeometry, responses):
     pnorm = jnp.maximum(pilot.real**2 + pilot.imag**2, 1e-30)
     subc_phasor = (pilot * pilot) / pnorm
     subc_info = 2.0 * (jnp.conj(subc_phasor) * lmr).imag
+
+    # RDS (57 kHz = 3x pilot): derotate by the cubed pilot so the BPSK data
+    # lands on the real axis for the host-side rdsd symbol decoder
+    p_unit = pilot / jnp.sqrt(pnorm)
+    rds_ref = p_unit * p_unit * p_unit
+    rds_bb = jnp.conj(rds_ref) * rds
+    info["rds_baseband"] = rds_bb.real.astype(jnp.float32)
+    info["rds_power"] = jnp.mean(rds.real**2 + rds.imag**2, axis=-1)
     s = (mono + subc_info) + 1j * (mono - subc_info)  # L + iR (wfm.c:243-246)
 
     rate = params["deemph_rate"][:, None]

@@ -137,6 +137,17 @@ class GroupSpec:
     deemph_tc_us: float | None = None  # None -> NBFM default for fm groups
     deemph_gain_db: float | None = None
     dc_cut_hz: float = 0.0  # AM carrier removal corner (0 = off)
+    # secondary filter cascade (set_channel_filter radio.c:1597-1649): a
+    # second overlap-save stage at the output rate for sharp skirts; the
+    # main channel filter becomes a roofing filter widened by a 4-bin
+    # margin. The reference aggregates `filter2` blocks per execution;
+    # here it runs every block with a power-of-2 FFT >= 2*olen (the
+    # static-schedule equivalent — same or better transition bandwidth).
+    filter2: int = 0
+    filter2_kaiser_beta: float | None = None
+    # independent sideband: LSB->I, USB->Q unpack in the filter2 stage
+    # (filter.c:862-876; preset `isb` sets conj=yes + filter2=1)
+    isb: bool = False
     # wfm flag: attempt stereo decode (mono fallback is always automatic)
     wfm_stereo: bool = True
     # spectrum options (modes.c:69-73)
@@ -192,7 +203,13 @@ class _Group:
             self.wfm_responses = {
                 k: jnp.asarray(v) for k, v in wfm_design(self.wfm_geo, spec.kaiser_beta).items()
             }
-        elif spec.demod == "spectrum":
+        if spec.filter2 > 0 or spec.isb:
+            self.f2_L = self.olen
+            self.f2_N = 1 << int(np.ceil(np.log2(max(2 * self.f2_L, 2))))
+            self.f2_M = self.f2_N - self.f2_L + 1
+        else:
+            self.f2_N = 0
+        if spec.demod == "spectrum":
             self.spectrum_geo = spectrum_geometry(
                 r, self.olen, spec.bin_bw, spec.bin_count,
                 spec.spectrum_window, spec.spectrum_window_param,
@@ -215,30 +232,56 @@ class _Group:
             adjs[i] = block_phase_adjust_q32(shift, L, N)
         return shifts, incs, adjs
 
+    def _design_main(self, low: float, high: float, kaiser_beta: float | None = None) -> np.ndarray:
+        """Main channel response; widened into a roofing filter when the
+        filter2 cascade is active (radio.c:1635-1643)."""
+        r = self.spec.samprate
+        lo, hi = min(low, high), max(low, high)
+        if self.f2_N:
+            V = self.master.overlap
+            binsize = (1.0 / self.blocktime) * (V - 1) / V
+            margin = 4.0 * binsize
+            lo = max(lo - margin, -r / 2)
+            hi = min(hi + margin, r / 2)
+        return response_to_device_order(
+            design_bandpass_response(
+                self.n_bins, self.olen, lo / r, hi / r,
+                kaiser_beta=kaiser_beta if kaiser_beta is not None else self.spec.kaiser_beta,
+                real_master=self.master.real, master_points=self.master.N,
+            )
+        )
+
+    def _design_f2(self, low: float, high: float) -> np.ndarray:
+        """filter2 response at exact edges (set_filter on filter2.out)."""
+        r = self.spec.samprate
+        lo = max(min(low, high), -r / 2)
+        hi = min(max(low, high), r / 2)
+        beta = self.spec.filter2_kaiser_beta
+        return response_to_device_order(
+            design_bandpass_response(
+                self.f2_N, self.f2_L, lo / r, hi / r,
+                kaiser_beta=beta if beta is not None else self.spec.kaiser_beta,
+                real_master=False, master_points=self.f2_N,
+            )
+        )
+
     def _build_params(self) -> dict[str, Any]:
+        """Build the retunable params pytree.
+
+        Every leaf is created by host->device transfer of a numpy array
+        (never by an eager device op), and `self.host` keeps authoritative
+        numpy mirrors so retunes/set-edges/command writes are host-side
+        surgery + a fresh transfer — both properties matter on remote-TPU
+        tunnels where eager device ops (notably complex64) are unavailable.
+        """
         spec = self.spec
         chans = spec.channels
         freqs = np.array([c.freq for c in chans], np.float64)
         shifts, incs, adjs = self._tuning_arrays(freqs)
-        resp = np.stack(
-            [
-                response_to_device_order(
-                    design_bandpass_response(
-                        self.n_bins,
-                        self.olen,
-                        c.low / spec.samprate,
-                        c.high / spec.samprate,
-                        kaiser_beta=spec.kaiser_beta,
-                        real_master=self.master.real,
-                        master_points=self.master.N,
-                    )
-                )
-                for c in chans
-            ]
-        )
-        f32 = lambda v: jnp.asarray(v, jnp.float32)
-        i32 = lambda v: jnp.asarray(v, jnp.int32)
-        bools = lambda v: jnp.asarray(v, bool)
+        resp = np.stack([self._design_main(c.low, c.high) for c in chans])
+        f32 = lambda v: np.asarray(v, np.float32)
+        i32 = lambda v: np.asarray(v, np.int32)
+        bools = lambda v: np.asarray(v, bool)
         def opt(field, default_key):
             v = getattr(spec, field)
             return v if v is not None else DEFAULTS[default_key]
@@ -252,11 +295,13 @@ class _Group:
         r = spec.samprate
 
         p: dict[str, Any] = {
-            "responses": jnp.asarray(resp),
+            "responses": resp,
             "shifts": i32(shifts),
             "inc_q32": i32(incs),
             "adj_q32": i32(adjs),
         }
+        if self.f2_N:
+            p["responses2"] = np.stack([self._design_f2(c.low, c.high) for c in chans])
         d: dict[str, Any] = {
             "bandwidth": bw,
             "headroom": headroom,
@@ -267,7 +312,8 @@ class _Group:
         }
         if spec.demod == "spectrum":
             p["demod"] = {}
-            return p
+            self.host = p
+            return jax.tree.map(jnp.asarray, p)
         if spec.demod == "wfm":
             # de-emphasis runs at the audio rate (modes.c:408-412)
             tc = (spec.deemph_tc_us if spec.deemph_tc_us is not None else DEFAULTS["wfm_deemph_tc_us"]) * 1e-6
@@ -304,7 +350,8 @@ class _Group:
                 dc_tau=f32(np.full(self.C, dc_tau)),
             )
         p["demod"] = d
-        return p
+        self.host = p  # authoritative numpy mirrors for host-side surgery
+        return jax.tree.map(jnp.asarray, p)
 
     def retune(self, params: dict[str, Any], idx: int, freq: float) -> dict[str, Any]:
         """New params pytree with channel idx retuned to freq (set_freq,
@@ -314,29 +361,28 @@ class _Group:
         shift, rem, ok = compute_tuning(N, fs, float(freq))
         if not ok:
             raise ValueError(f"freq {freq} outside front-end coverage")
+        self.host["shifts"][idx] = np.int32(shift)
+        self.host["inc_q32"][idx] = rev_to_q32(-rem / self.spec.samprate)
+        self.host["adj_q32"][idx] = block_phase_adjust_q32(shift, L, N)
         p = dict(params)
-        p["shifts"] = params["shifts"].at[idx].set(np.int32(shift))
-        p["inc_q32"] = params["inc_q32"].at[idx].set(rev_to_q32(-rem / self.spec.samprate))
-        p["adj_q32"] = params["adj_q32"].at[idx].set(block_phase_adjust_q32(shift, L, N))
+        for k in ("shifts", "inc_q32", "adj_q32"):
+            p[k] = jnp.asarray(self.host[k])
         return p
 
     def set_edges(self, params: dict[str, Any], idx: int, low: float, high: float,
                   kaiser_beta: float | None = None) -> dict[str, Any]:
         """New params with channel idx's filter redesigned (set_filter,
         filter.c:934-1007). Same no-recompile hot-swap property."""
-        resp = response_to_device_order(
-            design_bandpass_response(
-                self.n_bins, self.olen,
-                low / self.spec.samprate, high / self.spec.samprate,
-                kaiser_beta=kaiser_beta if kaiser_beta is not None else self.spec.kaiser_beta,
-                real_master=self.master.real, master_points=self.master.N,
-            )
-        )
+        self.host["responses"][idx] = self._design_main(low, high, kaiser_beta)
         p = dict(params)
-        p["responses"] = params["responses"].at[idx].set(jnp.asarray(resp))
+        p["responses"] = jnp.asarray(self.host["responses"])
+        if self.f2_N:
+            self.host["responses2"][idx] = self._design_f2(low, high)
+            p["responses2"] = jnp.asarray(self.host["responses2"])
         d = dict(params["demod"])
-        if "bandwidth" in d:
-            d["bandwidth"] = d["bandwidth"].at[idx].set(np.float32(abs(high - low)))
+        if "bandwidth" in self.host["demod"]:
+            self.host["demod"]["bandwidth"][idx] = np.float32(abs(high - low))
+            d["bandwidth"] = jnp.asarray(self.host["demod"]["bandwidth"])
         p["demod"] = d
         return p
 
@@ -345,6 +391,7 @@ class _Group:
         dc = {
             "acc_q32": jnp.zeros((self.C,), jnp.int32),
             "n0": jnp.zeros((self.C,), jnp.float32),
+            **({"tail2": jnp.zeros((self.C, self.f2_M - 1), jnp.complex64)} if self.f2_N else {}),
             # master-filter warm-up countdown: while >0, N0 re-seeds instead
             # of EMA-smoothing (the first blocks see the signal's turn-on
             # transient smeared across all bins by the zero-filled tail)
@@ -376,6 +423,27 @@ class _Group:
         )
 
         bb, acc = fine_tune(bb, state["dc"]["acc_q32"], params["inc_q32"], params["adj_q32"])
+
+        new_dc_extra = {}
+        if self.f2_N:
+            # filter2 cascade (radio.c:1543-1554): second overlap-save stage
+            # at the output rate, power-of-2 FFT, exact passband edges
+            buf = jnp.concatenate([state["dc"]["tail2"], bb], axis=1)  # [C, f2_N]
+            new_dc_extra["tail2"] = buf[:, self.f2_L :]
+            fd = jnp.fft.fft(buf, axis=-1) * params["responses2"]
+            if self.spec.isb:
+                # LSB/USB -> I/Q unpack (filter.c:862-876)
+                nb = self.f2_N
+                rev = jnp.flip(jnp.roll(fd, -1, axis=-1), axis=-1)
+                k = jnp.arange(nb)[None, :]
+                is_pos = (k >= 1) & (k < nb // 2)
+                is_neg = k > nb // 2
+                fd = jnp.where(
+                    is_pos, fd + jnp.conj(rev),
+                    jnp.where(is_neg, fd - jnp.conj(rev), jnp.where(k == 0, 0.0, fd)),
+                )
+            bb = jnp.fft.ifft(fd, axis=-1)[:, self.f2_N - self.olen :].astype(jnp.complex64)
+
         bb_power = jnp.mean(bb.real * bb.real + bb.imag * bb.imag, axis=-1)
 
         spec = self.spec
@@ -405,6 +473,7 @@ class _Group:
             "acc_q32": acc,
             "n0": n0,
             "warmup": jnp.maximum(state["dc"]["warmup"] - 1, 0),
+            **new_dc_extra,
         }
         new_state = {"dc": new_dc, "demod": demod_state}
         return new_state, audio, info

@@ -69,6 +69,8 @@ class _Chan:
     metadata_packets: int = 0
     commands: int = 0
     last_info: dict[str, Any] = dataclasses.field(default_factory=dict)
+    opus_encoder: Any = None  # lazily created for Encoding.OPUS channels
+    rds: bool = False  # emits the WFM channel's RDS baseband instead of audio
 
 
 class Radiod:
@@ -84,13 +86,27 @@ class Radiod:
             samprate=cfg.samprate, real=cfg.real, groups=cfg.groups,
             blocktime=cfg.blocktime, overlap=cfg.overlap,
         )
-        self.state = self.engine.init_state()
+        # initial state built INSIDE jit: remote-TPU tunnels (axon) are
+        # unreliable for eager device ops; compiled programs are the solid path
+        self.state = jax.jit(self.engine.init_state)()
         self.params = self.engine.init_params()
         self.step = jax.jit(self.engine.step, donate_argnums=0)
-        self.source_state = siggen_init(cfg.source) if cfg.source else None
+        self.source_state = None
+        self.frontend = None
+        if isinstance(cfg.source, dict):
+            from .frontends import FileSource, RtpSource
+
+            d = dict(cfg.source)
+            kind = d.pop("kind")
+            self.frontend = FileSource(**d) if kind == "file" else RtpSource(**d)
+        elif cfg.source is not None:
+            src = cfg.source
+            self.source_state = jax.jit(lambda: siggen_init(src))()
+            self._siggen = jax.jit(lambda s: siggen_block(src, s, self.engine.L))
         self.registry = PayloadRegistry()
         self.update_every = int(cfg.options.get("update", 25))  # blocks (modes.c:56)
         self.blocks = 0
+        self.block_drops = 0  # blocks lost to transient device errors
 
         enc_name = str(cfg.options.get("encoding", "s16be")).upper()
         default_enc = Encoding[enc_name] if enc_name in Encoding.__members__ else Encoding.S16BE
@@ -110,6 +126,14 @@ class Radiod:
                     high=c.high, samprate=out_rate, channels=nch,
                     encoding=default_enc, pt=pt,
                 )
+                if spec.demod == "wfm" and str(cfg.options.get("rds", "n")).lower() in ("y", "yes", "true", "1", "on"):
+                    # companion RDS-baseband stream on ssrc+1 (rdsd-tpu input)
+                    rds_pt = self.registry.pt_from_info(48_000, 1, Encoding.F16LE)
+                    self.chans[ssrc + 1] = _Chan(
+                        group=gname, idx=i, ssrc=ssrc + 1, freq=c.freq, low=c.low,
+                        high=c.high, samprate=48_000, channels=1,
+                        encoding=Encoding.F16LE, pt=rds_pt, rds=True,
+                    )
 
         self.data_sock = self.status_sock = self.status_in = None
         if use_network:
@@ -195,15 +219,17 @@ class Radiod:
             self.params = eng.set_edges(self.params, g, i, lo, hi)
             ch.low, ch.high = min(lo, hi), max(lo, hi)
 
-        gp = self.params[g]["demod"]
+        grp = eng.groups[g]
+        gp = grp.host["demod"]
 
         def setp(key, value):
-            nonlocal gp
-            gp = dict(gp)
-            gp[key] = gp[key].at[i].set(value)
+            # host-mirror surgery + full-array h2d (no eager device ops)
+            gp[key][i] = value
             p = dict(self.params)
             p[g] = dict(p[g])
-            p[g]["demod"] = gp
+            d = dict(p[g]["demod"])
+            d[key] = jax.numpy.asarray(gp[key])
+            p[g]["demod"] = d
             self.params = p
 
         if T.SQUELCH_OPEN in fields and "squelch_open" in gp:
@@ -264,7 +290,7 @@ class Radiod:
             fields[T.FREQ_OFFSET] = g("foffset")
             if "tone_deviation" in info:
                 fields[T.PL_DEVIATION] = g("tone_deviation")
-                fields[T.PL_TONE] = float(np.asarray(self.params[ch.group]["demod"]["tone_freq"][ch.idx]))
+                fields[T.PL_TONE] = float(self.engine.groups[ch.group].host["demod"]["tone_freq"][ch.idx])
             fields[T.THRESH_EXTEND] = spec.threshold_extend
         elif spec.demod == "spectrum":
             geo = self.engine.groups[ch.group].spectrum_geo
@@ -280,17 +306,17 @@ class Radiod:
             fields[T.PLL_ENABLE] = spec.enable_pll
             fields[T.PLL_SQUARE] = spec.pll_square
             fields[T.ENVELOPE] = spec.envelope
-            fields[T.AGC_ENABLE] = bool(np.asarray(self.params[ch.group]["demod"]["agc_enable"][ch.idx]))
+            fields[T.AGC_ENABLE] = bool(self.engine.groups[ch.group].host["demod"]["agc_enable"][ch.idx])
             if "gain" in info:
                 fields[T.GAIN] = voltage_to_dB(max(g("gain"), 1e-30))
             if spec.enable_pll:
                 fields[T.PLL_LOCK] = bool(np.asarray(info["pll_lock"][ch.idx])) if "pll_lock" in info else False
                 fields[T.FREQ_OFFSET] = g("foffset")
         fields[T.SNR_SQUELCH] = spec.snr_squelch
-        sq = self.params[ch.group]["demod"].get("squelch_open")
-        if sq is not None:
-            fields[T.SQUELCH_OPEN] = power_to_dB(float(np.asarray(sq[ch.idx])))
-            fields[T.SQUELCH_CLOSE] = power_to_dB(float(np.asarray(self.params[ch.group]["demod"]["squelch_close"][ch.idx])))
+        host_d = self.engine.groups[ch.group].host["demod"]
+        if "squelch_open" in host_d:
+            fields[T.SQUELCH_OPEN] = power_to_dB(float(host_d["squelch_open"][ch.idx]))
+            fields[T.SQUELCH_CLOSE] = power_to_dB(float(host_d["squelch_close"][ch.idx]))
         ch.metadata_packets += 1
         return encode_status(fields)
 
@@ -299,6 +325,26 @@ class Radiod:
         """Packetize one block of audio (audio.c:42-212). Marker bit set on
         the first packet after silence, timestamps advance even when muted."""
         nsamp = audio.shape[0]
+        if ch.encoding in (Encoding.OPUS, Encoding.OPUS_VOIP):
+            # Opus RTP timestamps tick at 48 kHz regardless of input rate
+            ts_inc = nsamp * 48_000 // ch.samprate
+            if not send:
+                ch.rtp_timestamp = (ch.rtp_timestamp + ts_inc) & 0xFFFFFFFF
+                ch.sending = False
+                return
+            if ch.opus_encoder is None:
+                from .. net.opus import OpusEncoder, OPUS_APPLICATION_VOIP, OPUS_APPLICATION_AUDIO
+                app = OPUS_APPLICATION_VOIP if ch.encoding == Encoding.OPUS_VOIP else OPUS_APPLICATION_AUDIO
+                ch.opus_encoder = OpusEncoder(ch.samprate, min(ch.channels, 2), app)
+            payload = ch.opus_encoder.encode(audio)
+            hdr = RtpHeader(type=ch.pt, seq=ch.rtp_seq, timestamp=ch.rtp_timestamp,
+                            ssrc=ch.ssrc, marker=not ch.sending)
+            self._send_data(hdr.pack() + payload)
+            ch.rtp_seq = (ch.rtp_seq + 1) & 0xFFFF
+            ch.rtp_timestamp = (ch.rtp_timestamp + ts_inc) & 0xFFFFFFFF
+            ch.data_packets += 1
+            ch.sending = True
+            return
         if not send:
             ch.rtp_timestamp = (ch.rtp_timestamp + nsamp) & 0xFFFFFFFF
             ch.sending = False
@@ -327,19 +373,34 @@ class Radiod:
         """Run one 20 ms block end to end."""
         self.poll_commands()
         if block is None:
-            if self.source_state is None:
+            if self.frontend is not None:
+                block = self.frontend.read_block(self.engine.L)
+            elif self.source_state is not None:
+                self.source_state, block = self._siggen(self.source_state)
+            else:
                 raise ValueError("no front end configured and no block given")
-            self.source_state, block = siggen_block(self.cfg.source, self.source_state, self.engine.L)
         self.state, out = self.step(self.state, self.params, block)
         self.blocks += 1
         beacon = (self.blocks % self.update_every) == 0
-        host_out = jax.device_get(out)
+        try:
+            host_out = jax.device_get(out)
+        except Exception:
+            # transient backend/tunnel error: drop this block's output but
+            # keep the stream alive (the reference's analog: USB transfer
+            # loss accounting + carry on, rx888.c:675-688)
+            self.block_drops += 1
+            if self.block_drops > 100 and self.block_drops > self.blocks // 2:
+                raise  # persistently broken — surface it
+            return None
         for ch in self.chans.values():
             gout = host_out[ch.group]
             info = gout["info"]
             ch.last_info = info
             send = bool(np.asarray(info["send"][ch.idx])) if "send" in info else True
-            audio = np.asarray(gout["audio"][ch.idx])
+            if ch.rds:
+                audio = np.asarray(info["rds_baseband"][ch.idx]) if "rds_baseband" in info else np.zeros(0)
+            else:
+                audio = np.asarray(gout["audio"][ch.idx])
             if audio.size:
                 self._emit_rtp(ch, audio, send=send)
             if beacon:

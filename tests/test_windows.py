@@ -47,8 +47,11 @@ def test_parse_frequency():
     assert parse_frequency("760k") == pytest.approx(760e3)
     assert parse_frequency("1g296") == pytest.approx(1.296e9)
     assert parse_frequency("12345") == pytest.approx(12345.0)
-    assert parse_frequency("14.074", default_heuristic=True) == pytest.approx(14.074e6)
+    # an explicit decimal point counts as a radix and disables the
+    # magnitude heuristic (misc.c:778-793): plain Hz
+    assert parse_frequency("14.074", default_heuristic=True) == pytest.approx(14.074)
     assert parse_frequency("7040", default_heuristic=True) == pytest.approx(7.04e6)
+    assert parse_frequency("446", default_heuristic=True) == pytest.approx(446e6)
 
 
 def test_units():
