@@ -19,32 +19,60 @@ import time
 import numpy as np
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
+def build_engine(config: str):
+    """BASELINE.md benchmark configs (defaults to #4, the headline)."""
     from ka9q_radio_tpu.runtime import ChannelSpec, GroupSpec, Engine
 
-    FS = 30_720_000
-    N_CH = 400
-    freqs = np.linspace(-0.45 * FS, 0.45 * FS, N_CH)
-    eng = Engine(
-        samprate=FS,
-        real=False,
-        groups=[
-            GroupSpec(
-                name="nbfm",
-                demod="fm",
-                samprate=24_000,
-                channels=tuple(ChannelSpec(freq=float(f), low=-8000.0, high=8000.0) for f in freqs),
-            )
-        ],
-    )
+    if config == "nbfm400":  # config 4: Pi4-class VHF band scan
+        FS, baseline = 30_720_000, 30.72
+        freqs = np.linspace(-0.45 * FS, 0.45 * FS, 400)
+        groups = [GroupSpec(name="nbfm", demod="fm", samprate=24_000,
+                            channels=tuple(ChannelSpec(freq=float(f), low=-8000.0, high=8000.0) for f in freqs))]
+        real = False
+    elif config == "rx888":  # config 5: 129.6 Msps real, 1000 HF channels + spectrum
+        FS, baseline = 129_600_000, 129.6
+        freqs = np.linspace(0.02 * FS, 0.48 * FS, 1000)
+        sfreqs = np.linspace(0.05 * FS, 0.45 * FS, 16)
+        groups = [
+            GroupSpec(name="hf", demod="linear", samprate=12_000, snr_squelch=True,
+                      channels=tuple(ChannelSpec(freq=float(f), low=50.0, high=3000.0) for f in freqs)),
+            GroupSpec(name="sweep", demod="spectrum", samprate=32_400, bin_bw=1000.0, bin_count=128,
+                      channels=tuple(ChannelSpec(freq=float(f)) for f in sfreqs)),
+        ]
+        real = True
+    elif config == "wfm":  # config 3: broadcast stereo stations
+        FS, baseline = 7_680_000, 7.68
+        freqs = np.linspace(-3_000_000, 3_000_000, 8)
+        groups = [GroupSpec(name="wfm", demod="wfm", samprate=384_000,
+                            channels=tuple(ChannelSpec(freq=float(f), low=-100_000.0, high=100_000.0) for f in freqs))]
+        real = False
+    elif config == "linear8":  # config 2: 8 linear channels with AGC
+        FS, baseline = 1_024_000, 1.024
+        freqs = np.linspace(-400_000, 400_000, 8)
+        groups = [GroupSpec(name="lin", demod="linear", samprate=16_000,
+                            channels=tuple(ChannelSpec(freq=float(f), low=50.0, high=3000.0) for f in freqs))]
+        real = False
+    else:
+        raise SystemExit(f"unknown config {config}")
+    return Engine(samprate=FS, real=real, groups=groups), FS, baseline
 
-    state = eng.init_state()
+
+def main() -> None:
+    import sys
+    import jax
+    import jax.numpy as jnp
+
+    config = sys.argv[1] if len(sys.argv) > 1 else "nbfm400"
+    eng, FS, baseline = build_engine(config)
+
+    state = jax.jit(eng.init_state)()
     params = eng.init_params()
     key = jax.random.PRNGKey(0)
-    noise = jax.random.normal(key, (eng.L, 2), jnp.float32) * 1e-3
-    block = (noise[:, 0] + 1j * noise[:, 1]).astype(jnp.complex64)
+    if eng.master.real:
+        block = jax.random.normal(key, (eng.L,), jnp.float32) * 1e-3
+    else:
+        noise = jax.random.normal(key, (eng.L, 2), jnp.float32) * 1e-3
+        block = (noise[:, 0] + 1j * noise[:, 1]).astype(jnp.complex64)
 
     step = jax.jit(eng.step, donate_argnums=0)
 
@@ -59,7 +87,7 @@ def main() -> None:
             if attempt == 5:
                 raise
             time.sleep(15.0)
-            state = eng.init_state()
+            state = jax.jit(eng.init_state)()
             params = eng.init_params()
     for _ in range(3):
         state, out = step(state, params, block)
@@ -77,10 +105,10 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "nbfm400_input_rate",
+                "metric": f"{config}_input_rate",
                 "value": round(msps, 3),
                 "unit": "Msps",
-                "vs_baseline": round(msps / 30.72, 3),
+                "vs_baseline": round(msps / baseline, 3),
             }
         )
     )

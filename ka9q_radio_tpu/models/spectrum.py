@@ -123,3 +123,120 @@ def spectrum_accumulate(state, bb, geo: SpectrumGeometry):
     (pwr, nframes), _ = jax.lax.scan(fold, (state["power"], state["frames"]), jnp.swapaxes(pwr_frames, 0, 1))
     new_state = {"carry": data[:, olen:], "power": pwr, "frames": nframes}
     return new_state, pwr
+
+
+# ---------------------------------------------------------------------------
+# Wideband algorithm (spectrum.c:317-531): windowed FFTs straight off the
+# raw A/D stream, used when the resolution bandwidth is coarser than the
+# crossover (default 200 Hz, modes.c:69) so the analysis FFT is SMALL.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class WideGeometry:
+    samprate: float  # raw front-end rate
+    L: int  # master block (samples per engine step)
+    real: bool
+    fft_n: int
+    hop: int
+    fft_avg: int
+    window: np.ndarray
+
+    @property
+    def frames_per_block(self) -> int:
+        return self.L // self.hop
+
+    @property
+    def carry(self) -> int:
+        return self.fft_n - self.hop if self.fft_n > self.hop else 0
+
+    @property
+    def bins(self) -> int:
+        return self.fft_n // 2 + 1 if self.real else self.fft_n
+
+    @property
+    def rbw(self) -> float:
+        return self.samprate / self.fft_n
+
+
+def wide_geometry(
+    samprate: float,
+    L: int,
+    real: bool,
+    bin_bw: float,
+    window: str = "kaiser",
+    window_param: float = 7.0,
+    fft_avg: int = 10,
+    overlap: float = 0.0,
+) -> WideGeometry:
+    fft_n = max(int(round(samprate / bin_bw)), 8)
+    frac = max(1.0 - overlap, 1.0 / 8)
+    hop = max(int(round(fft_n * frac)), 1)
+    divisors = [d for d in (range(1, 4097)) if L % d == 0]
+    # hop must divide L for a static frame schedule; fft_n rescaled to match
+    hop = min((d for d in divisors), key=lambda d: abs(d - hop)) if hop <= 4096 else hop
+    if L % hop:
+        for d in range(hop, 0, -1):
+            if L % d == 0:
+                hop = d
+                break
+    fft_n = max(int(round(hop / frac)), 8)
+    w = make_window(window, fft_n, window_param).astype(np.float64)
+    w = w / w.sum()
+    return WideGeometry(samprate=samprate, L=L, real=real, fft_n=fft_n,
+                        hop=hop, fft_avg=fft_avg, window=w.astype(np.float32))
+
+
+def wide_init(geo: WideGeometry):
+    dtype = jnp.float32 if geo.real else jnp.complex64
+    return {
+        "carry": jnp.zeros((geo.carry,), dtype),
+        "power": jnp.zeros((geo.bins,), jnp.float32),
+        "frames": jnp.zeros((), jnp.int32),
+    }
+
+
+def wide_accumulate(state, block, geo: WideGeometry):
+    """Fold one raw input block into the wideband average. Returns
+    (new_state, power [bins]) in raw FFT bin order."""
+    data = jnp.concatenate([state["carry"], block]) if geo.carry else block
+    nf = geo.frames_per_block
+    frames = jnp.stack([data[k * geo.hop : k * geo.hop + geo.fft_n] for k in range(nf)])
+    w = jnp.asarray(geo.window)
+    X = jnp.fft.rfft(frames * w, axis=-1) if geo.real else jnp.fft.fft(frames * w, axis=-1)
+    p = (X.real**2 + X.imag**2)
+    if geo.real:
+        p = p * 2.0  # one-sided spectrum carries half the energy (spectrum.c)
+
+    alpha = np.float32(1.0 / geo.fft_avg)
+
+    def fold(acc, fp):
+        pw, n = acc
+        a = jnp.where(n < geo.fft_avg, 1.0 / (n.astype(jnp.float32) + 1.0), alpha)
+        return (pw + a * (fp - pw), n + 1), None
+
+    (pwr, nfr), _ = jax.lax.scan(fold, (state["power"], state["frames"]), p)
+    new_state = {"power": pwr, "frames": nfr}
+    if geo.carry:
+        new_state["carry"] = data[geo.L :]
+    else:
+        new_state["carry"] = state["carry"]
+    return new_state, pwr
+
+
+def wide_extract(power, shifts, master_N: int, geo: WideGeometry, bin_count: int):
+    """Per-channel slice of the shared wideband average.
+
+    shifts: [C] master-FFT bin shifts; scaled down to analysis bins like
+    spectrum.c:359 (shift * fft_n / master_points). Output lowest
+    frequency first, [C, bin_count].
+    """
+    scaled = (shifts.astype(jnp.int64) * geo.fft_n // master_N).astype(jnp.int32)
+    k = jnp.arange(bin_count, dtype=jnp.int32)[None, :] - bin_count // 2
+    idx = scaled[:, None] + k
+    if geo.real:
+        m = geo.bins
+        mi = jnp.abs(idx)
+        valid = mi < m
+        return jnp.where(valid, power[jnp.clip(mi, 0, m - 1)], 0.0)
+    return power[jnp.mod(idx, geo.fft_n)]

@@ -1,0 +1,115 @@
+"""ctypes bindings + lazy build for the native RTP edge (rtp_edge.cpp)."""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+__all__ = ["RtpEdge", "native_available", "build"]
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "rtp_edge.cpp")
+_LIB = os.path.join(_DIR, "librtp_edge.so")
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def build() -> str:
+    """Compile the shared library if missing/stale. Returns its path."""
+    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+        return _LIB
+    subprocess.run(
+        ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
+        check=True, capture_output=True,
+    )
+    return _LIB
+
+
+def _load():
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            raise OSError("native build previously failed")
+        try:
+            lib = ctypes.CDLL(build())
+        except Exception:
+            _build_failed = True
+            raise
+        lib.rtp_edge_open.restype = ctypes.c_int
+        lib.rtp_edge_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.rtp_edge_close.argtypes = [ctypes.c_int]
+        lib.rtp_edge_send_block.restype = ctypes.c_int
+        lib.rtp_edge_send_block.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_char_p,
+        ]
+        _lib = lib
+        return lib
+
+
+def native_available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+class RtpEdge:
+    """Batched RTP output for one channel group sharing (dest, nframes, nch).
+
+    Owns the per-channel RTP sequence state as numpy arrays the C side
+    updates in place; one `send_block` call packetizes and transmits the
+    whole [C, ...] audio block via sendmmsg.
+    """
+
+    def __init__(self, dest: tuple[str, int], C: int, nch: int = 1,
+                 ttl: int = 1, tos: int = 48 << 2):
+        lib = _load()
+        self._lib = lib
+        self.fd = lib.rtp_edge_open(dest[0].encode(), dest[1], ttl, tos)
+        if self.fd < 0:
+            raise OSError(f"rtp_edge_open failed: {self.fd}")
+        self.C, self.nch = C, nch
+        self.ssrc = np.zeros(C, np.uint32)
+        self.pt = np.zeros(C, np.uint8)
+        self.encoding = np.full(C, 2, np.int32)  # S16BE
+        self.seq = np.zeros(C, np.uint16)
+        self.ts = np.zeros(C, np.uint32)
+        self.packets = 0
+
+    def send_block(self, audio: np.ndarray, send: np.ndarray, marker: np.ndarray) -> int:
+        """audio [C, nframes(, nch)] float32; send/marker [C] bool."""
+        a = np.ascontiguousarray(audio, np.float32)
+        nframes = a.shape[1]
+        sends = np.ascontiguousarray(send, np.uint8)
+        marks = np.ascontiguousarray(marker, np.uint8)
+        n = self._lib.rtp_edge_send_block(
+            self.fd,
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.C, nframes, self.nch,
+            sends.tobytes(),
+            self.ssrc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            self.pt.tobytes(),
+            self.encoding.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self.seq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            self.ts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            marks.tobytes(),
+        )
+        if n > 0:
+            self.packets += n
+        return n
+
+    def close(self):
+        if self.fd >= 0:
+            self._lib.rtp_edge_close(self.fd)
+            self.fd = -1

@@ -1,0 +1,210 @@
+// rtp_edge — native host-edge RTP packetizer for the TPU radiod.
+//
+// The reference's audio.c runs one send_output per channel per block in its
+// demod thread. Our host edge is a single Python loop; at 1000+ channels x
+// 50 blocks/s the per-channel numpy conversion + sendto() syscalls dominate
+// host CPU. This module packetizes an entire [C, N] block of float audio in
+// one call — PCM conversion (s16be / f32be / G.711 mu-law / A-law), RTP
+// header assembly (wire format per rtp.c hton_rtp), and one sendmmsg(2)
+// batch for all channels — updating per-channel seq/timestamp in place.
+//
+// Build: g++ -O3 -shared -fPIC rtp_edge.cpp -o librtp_edge.so (see edge.py)
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+
+#include <sys/socket.h>
+#include <netinet/in.h>
+#include <netinet/ip.h>
+#include <arpa/inet.h>
+#include <unistd.h>
+
+namespace {
+
+constexpr int MAX_PAYLOAD = 1408;  // samples bytes per packet (under MTU)
+
+struct Packet {
+  uint8_t buf[12 + MAX_PAYLOAD];
+  size_t len;
+};
+
+inline void put_rtp_header(uint8_t *b, uint8_t pt, bool marker, uint16_t seq,
+                           uint32_t ts, uint32_t ssrc) {
+  b[0] = 0x80;  // V=2, no pad/ext/csrc
+  b[1] = (pt & 0x7f) | (marker ? 0x80 : 0);
+  b[2] = seq >> 8;
+  b[3] = seq & 0xff;
+  b[4] = ts >> 24; b[5] = ts >> 16; b[6] = ts >> 8; b[7] = ts;
+  b[8] = ssrc >> 24; b[9] = ssrc >> 16; b[10] = ssrc >> 8; b[11] = ssrc;
+}
+
+inline int16_t f2s16(float x) {
+  float v = x * 32767.0f;
+  if (v > 32767.0f) v = 32767.0f;
+  if (v < -32768.0f) v = -32768.0f;
+  return (int16_t)lrintf(v);
+}
+
+inline uint8_t mulaw(float x) {
+  const int BIAS = 0x84, CLIP = 32635;
+  int s = (int)lrintf(x * 32767.0f);
+  int sign = 0;
+  if (s < 0) { s = -s; sign = 0x80; }
+  if (s > CLIP) s = CLIP;
+  s += BIAS;
+  int exp = 7;
+  for (int m = 0x4000; (s & m) == 0 && exp > 0; exp--, m >>= 1) {}
+  int mant = (s >> (exp + 3)) & 0x0f;
+  return (uint8_t)~(sign | (exp << 4) | mant);
+}
+
+inline uint8_t alaw(float x) {
+  int s = (int)lrintf(x * 32767.0f);
+  int sign = 0;
+  if (s < 0) { s = -s; sign = 0x80; }
+  if (s > 32635) s = 32635;
+  int exp = 7;
+  for (int m = 0x4000; (s & m) == 0 && exp > 0; exp--, m >>= 1) {}
+  int mant = (exp == 0) ? (s >> 4) & 0x0f : (s >> (exp + 3)) & 0x0f;
+  return (uint8_t)((sign | (exp << 4) | mant) ^ 0xD5);
+}
+
+// encoding codes match net/rtp.py Encoding
+enum { E_S16LE = 1, E_S16BE = 2, E_F32LE = 4, E_F16LE = 6, E_F32BE = 8,
+       E_F16BE = 9, E_MULAW = 10, E_ALAW = 11 };
+
+size_t sample_bytes(int enc) {
+  switch (enc) {
+    case E_MULAW: case E_ALAW: return 1;
+    case E_S16LE: case E_S16BE: case E_F16LE: case E_F16BE: return 2;
+    default: return 4;
+  }
+}
+
+inline uint16_t f2h(float f) {  // float32 -> IEEE half, round to nearest even
+  uint32_t x; memcpy(&x, &f, 4);
+  uint32_t sign = (x >> 16) & 0x8000;
+  int32_t exp = (int32_t)((x >> 23) & 0xff) - 127 + 15;
+  uint32_t mant = x & 0x7fffff;
+  if (exp <= 0) return (uint16_t)sign;                       // flush to zero
+  if (exp >= 31) return (uint16_t)(sign | 0x7c00);           // inf/overflow
+  uint32_t h = (uint32_t)(exp << 10) | (mant >> 13);
+  uint32_t rem = mant & 0x1fff;
+  if (rem > 0x1000 || (rem == 0x1000 && (h & 1))) h++;       // may carry into exp
+  return (uint16_t)(sign | h);
+}
+
+size_t encode(const float *src, size_t n, int enc, uint8_t *dst) {
+  switch (enc) {
+    case E_S16BE:
+      for (size_t i = 0; i < n; i++) { int16_t v = f2s16(src[i]); dst[2*i] = v >> 8; dst[2*i+1] = v & 0xff; }
+      return 2 * n;
+    case E_S16LE:
+      for (size_t i = 0; i < n; i++) { int16_t v = f2s16(src[i]); dst[2*i] = v & 0xff; dst[2*i+1] = (uint16_t)v >> 8; }
+      return 2 * n;
+    case E_MULAW:
+      for (size_t i = 0; i < n; i++) dst[i] = mulaw(src[i]);
+      return n;
+    case E_ALAW:
+      for (size_t i = 0; i < n; i++) dst[i] = alaw(src[i]);
+      return n;
+    case E_F16LE:
+      for (size_t i = 0; i < n; i++) { uint16_t h = f2h(src[i]); dst[2*i] = h & 0xff; dst[2*i+1] = h >> 8; }
+      return 2 * n;
+    case E_F16BE:
+      for (size_t i = 0; i < n; i++) { uint16_t h = f2h(src[i]); dst[2*i] = h >> 8; dst[2*i+1] = h & 0xff; }
+      return 2 * n;
+    case E_F32BE:
+      for (size_t i = 0; i < n; i++) {
+        uint32_t v; memcpy(&v, &src[i], 4);
+        dst[4*i] = v >> 24; dst[4*i+1] = v >> 16; dst[4*i+2] = v >> 8; dst[4*i+3] = v;
+      }
+      return 4 * n;
+    default:  // F32LE
+      memcpy(dst, src, 4 * n);
+      return 4 * n;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// UDP sender socket connected to ip:port; multicast TTL + loopback set.
+int rtp_edge_open(const char *ip, int port, int ttl, int tos) {
+  int fd = socket(AF_INET, SOCK_DGRAM, 0);
+  if (fd < 0) return -1;
+  if (tos) setsockopt(fd, IPPROTO_IP, IP_TOS, &tos, sizeof tos);
+  sockaddr_in sa{};
+  sa.sin_family = AF_INET;
+  sa.sin_port = htons((uint16_t)port);
+  if (inet_pton(AF_INET, ip, &sa.sin_addr) != 1) { close(fd); return -2; }
+  uint32_t a = ntohl(sa.sin_addr.s_addr);
+  if (a >= 0xE0000000u && a < 0xF0000000u) {
+    unsigned char t = (unsigned char)(ttl < 0 ? 0 : ttl);
+    setsockopt(fd, IPPROTO_IP, IP_MULTICAST_TTL, &t, sizeof t);
+    unsigned char loop = 1;
+    setsockopt(fd, IPPROTO_IP, IP_MULTICAST_LOOP, &loop, sizeof loop);
+  }
+  if (connect(fd, (sockaddr *)&sa, sizeof sa) < 0) { close(fd); return -3; }
+  int sz = 4 << 20;
+  setsockopt(fd, SOL_SOCKET, SO_SNDBUF, &sz, sizeof sz);
+  return fd;
+}
+
+void rtp_edge_close(int fd) { close(fd); }
+
+// Packetize + send one block of audio for C channels.
+//   audio: [C, nframes * nch] float32 (interleaved if nch=2)
+//   send/marker flags, ssrc/pt/encoding per channel; seq/ts updated in place.
+//   ts advances by nframes even for muted channels (audio.c semantics).
+// Returns packets sent, or -errno on socket failure.
+int rtp_edge_send_block(int fd, const float *audio, int nchan, int nframes,
+                        int nch, const uint8_t *send_flag, const uint32_t *ssrc,
+                        const uint8_t *pt, const int32_t *encoding,
+                        uint16_t *seq, uint32_t *ts, const uint8_t *marker) {
+  std::vector<Packet> pkts;
+  pkts.reserve((size_t)nchan * 2);
+  for (int c = 0; c < nchan; c++) {
+    if (!send_flag[c]) {
+      ts[c] += (uint32_t)nframes;
+      continue;
+    }
+    size_t bytes_per_frame = sample_bytes(encoding[c]) * (size_t)nch;
+    int frames_per_pkt = (int)(MAX_PAYLOAD / bytes_per_frame);
+    if (frames_per_pkt < 1) frames_per_pkt = 1;
+    const float *src = audio + (size_t)c * nframes * nch;
+    for (int off = 0; off < nframes; off += frames_per_pkt) {
+      int n = nframes - off;
+      if (n > frames_per_pkt) n = frames_per_pkt;
+      pkts.emplace_back();
+      Packet &p = pkts.back();
+      put_rtp_header(p.buf, pt[c], marker[c] && off == 0, seq[c], ts[c], ssrc[c]);
+      size_t plen = encode(src + (size_t)off * nch, (size_t)n * nch, encoding[c], p.buf + 12);
+      p.len = 12 + plen;
+      seq[c] = (uint16_t)(seq[c] + 1);
+      ts[c] += (uint32_t)n;
+    }
+  }
+  if (pkts.empty()) return 0;
+
+  std::vector<mmsghdr> hdrs(pkts.size());
+  std::vector<iovec> iovs(pkts.size());
+  for (size_t i = 0; i < pkts.size(); i++) {
+    iovs[i] = {pkts[i].buf, pkts[i].len};
+    std::memset(&hdrs[i], 0, sizeof(mmsghdr));
+    hdrs[i].msg_hdr.msg_iov = &iovs[i];
+    hdrs[i].msg_hdr.msg_iovlen = 1;
+  }
+  size_t done = 0;
+  while (done < hdrs.size()) {
+    int r = sendmmsg(fd, hdrs.data() + done, (unsigned)(hdrs.size() - done), 0);
+    if (r <= 0) return -(int)done;  // partial send; caller may count
+    done += (size_t)r;
+  }
+  return (int)pkts.size();
+}
+
+}  // extern "C"

@@ -180,9 +180,9 @@ def encode_samples(audio: np.ndarray, encoding: Encoding) -> bytes:
     """float32 [-1,1] (interleaved if stereo) -> wire bytes."""
     a = np.asarray(audio, np.float32).reshape(-1)
     if encoding == Encoding.S16BE:
-        return np.clip(a * 32767.0, -32768, 32767).astype(">i2").tobytes()
+        return np.rint(np.clip(a * 32767.0, -32768, 32767)).astype(">i2").tobytes()
     if encoding == Encoding.S16LE:
-        return np.clip(a * 32767.0, -32768, 32767).astype("<i2").tobytes()
+        return np.rint(np.clip(a * 32767.0, -32768, 32767)).astype("<i2").tobytes()
     if encoding == Encoding.F32BE:
         return a.astype(">f4").tobytes()
     if encoding == Encoding.F32LE:

@@ -59,7 +59,10 @@ from ..models.wfm import (
     AUDIO_SAMPRATE,
     COMPOSITE_SAMPRATE,
 )
-from ..models.spectrum import spectrum_geometry, spectrum_init, spectrum_accumulate
+from ..models.spectrum import (
+    spectrum_geometry, spectrum_init, spectrum_accumulate,
+    wide_geometry, wide_init, wide_accumulate, wide_extract,
+)
 from ..utils.units import dB_to_power, dB_to_voltage
 
 __all__ = ["ChannelSpec", "GroupSpec", "Engine", "DEFAULTS"]
@@ -157,6 +160,7 @@ class GroupSpec:
     spectrum_window_param: float = 7.0  # DEFAULT_SPECTRUM_KAISER_BETA
     fft_avg: int = 10
     spectrum_overlap: float = 0.0
+    crossover: float = 200.0  # rbw above this -> wideband raw-A/D algorithm
 
     def __post_init__(self):
         if self.demod in ("am", "envelope"):
@@ -210,11 +214,21 @@ class _Group:
         else:
             self.f2_N = 0
         if spec.demod == "spectrum":
-            self.spectrum_geo = spectrum_geometry(
-                r, self.olen, spec.bin_bw, spec.bin_count,
-                spec.spectrum_window, spec.spectrum_window_param,
-                spec.fft_avg, spec.spectrum_overlap,
-            )
+            # algorithm crossover (spectrum.c, modes.c:69): coarse rbw reads
+            # the raw A/D stream, fine rbw runs on downconverted baseband
+            self.spectrum_wide = spec.bin_bw >= spec.crossover
+            if self.spectrum_wide:
+                self.wide_geo = wide_geometry(
+                    self.fs_in, master.L, master.real, spec.bin_bw,
+                    spec.spectrum_window, spec.spectrum_window_param,
+                    spec.fft_avg, spec.spectrum_overlap,
+                )
+            else:
+                self.spectrum_geo = spectrum_geometry(
+                    r, self.olen, spec.bin_bw, spec.bin_count,
+                    spec.spectrum_window, spec.spectrum_window_param,
+                    spec.fft_avg, spec.spectrum_overlap,
+                )
         self.params = self._build_params()
 
     # -- retunable params ---------------------------------------------------
@@ -402,15 +416,24 @@ class _Group:
         elif self.spec.demod == "wfm":
             demod = wfm_init(self.C, self.wfm_geo)
         elif self.spec.demod == "spectrum":
-            demod = spectrum_init(self.C, self.spectrum_geo)
+            demod = wide_init(self.wide_geo) if self.spectrum_wide else spectrum_init(self.C, self.spectrum_geo)
         else:
             demod = linear_init(self.C)
         return {"dc": dc, "demod": demod}
 
     # -- per-block device program --------------------------------------------
-    def step(self, state, params, F):
-        """Downconvert + demod one block. F: [m_bins] master spectrum."""
+    def step(self, state, params, F, block=None):
+        """Downconvert + demod one block. F: [m_bins] master spectrum;
+        block: the raw input block (wideband spectrum reads it directly)."""
         m = self.master
+        if self.spec.demod == "spectrum" and self.spectrum_wide:
+            demod_state, pwr = wide_accumulate(state["demod"], block, self.wide_geo)
+            bins = wide_extract(pwr, params["shifts"], m.N, self.wide_geo, self.spec.bin_count)
+            audio = jnp.zeros((self.C, 0), jnp.float32)
+            info = {"bin_data": bins,
+                    "baseband_power": jnp.sum(bins, axis=-1),
+                    "n0": jnp.zeros((self.C,), jnp.float32)}
+            return {"dc": state["dc"], "demod": demod_state}, audio, info
         bb = channelize(F, params["responses"], params["shifts"], self.olen, m.real, m.N)
 
         energies = gather_noise_bins(F, params["shifts"], self.noise_bins, m.real, m.N)
@@ -538,7 +561,7 @@ class Engine:
         mstate, F = master_fft(self.master, state["master"], block)
         new_groups, outputs = {}, {}
         for name, g in self.groups.items():
-            gs, audio, info = g.step(state["groups"][name], params[name], F)
+            gs, audio, info = g.step(state["groups"][name], params[name], F, block)
             new_groups[name] = gs
             outputs[name] = {"audio": audio, "info": info}
         return {"master": mstate, "groups": new_groups}, outputs

@@ -107,6 +107,9 @@ class Radiod:
         self.update_every = int(cfg.options.get("update", 25))  # blocks (modes.c:56)
         self.blocks = 0
         self.block_drops = 0  # blocks lost to transient device errors
+        self.spectrum_byte = str(cfg.options.get("spectrum-format", "")).lower() == "byte"
+        self.spectrum_base = float(cfg.options.get("spectrum-base", -120.0))
+        self.spectrum_step = float(cfg.options.get("spectrum-step", 0.5))
 
         enc_name = str(cfg.options.get("encoding", "s16be")).upper()
         default_enc = Encoding[enc_name] if enc_name in Encoding.__members__ else Encoding.S16BE
@@ -136,6 +139,7 @@ class Radiod:
                     )
 
         self.data_sock = self.status_sock = self.status_in = None
+        self.edges: dict[str, tuple[Any, list[_Chan]]] = {}
         if use_network:
             ttl = int(cfg.options.get("ttl", 1))
             data_dest = resolve_dest(cfg.options.get("data", "127.0.0.1"), data_port)
@@ -143,7 +147,39 @@ class Radiod:
             self.data_sock = output_socket(data_dest, ttl)
             self.status_sock = output_socket(stat_dest, ttl)
             self.status_in = listen_socket(stat_dest)
+            if str(cfg.options.get("native-edge", "y")).lower() not in ("n", "no", "false", "0"):
+                self._setup_native_edges(data_dest, ttl)
         self._sent: list[tuple[str, bytes]] = []  # (kind, pkt) when offline
+
+    def _setup_native_edges(self, data_dest, ttl: int):
+        """Batched C++ RTP output (native/rtp_edge.cpp): one sendmmsg per
+        group per block instead of per-channel Python sendto loops. PCM
+        encodings only; Opus and RDS companions stay on the Python path."""
+        try:
+            from ..native import RtpEdge, native_available
+            if not native_available():
+                return
+        except Exception:
+            return
+        for gname, g in self.engine.groups.items():
+            spec = g.spec
+            if spec.demod == "spectrum":
+                continue
+            group_chans = [c for c in self.chans.values()
+                           if c.group == gname and not c.rds
+                           and c.encoding not in (Encoding.OPUS, Encoding.OPUS_VOIP)]
+            if len(group_chans) != g.C:
+                continue
+            group_chans.sort(key=lambda c: c.idx)
+            nch = group_chans[0].channels
+            try:
+                edge = RtpEdge(data_dest, C=g.C, nch=nch, ttl=ttl)
+            except Exception:
+                return
+            edge.ssrc[:] = [c.ssrc for c in group_chans]
+            edge.pt[:] = [c.pt for c in group_chans]
+            edge.encoding[:] = [int(c.encoding) for c in group_chans]
+            self.edges[gname] = (edge, group_chans)
 
     # ------------------------------------------------------------------ IO
     def _send_data(self, pkt: bytes):
@@ -293,13 +329,24 @@ class Radiod:
                 fields[T.PL_TONE] = float(self.engine.groups[ch.group].host["demod"]["tone_freq"][ch.idx])
             fields[T.THRESH_EXTEND] = spec.threshold_extend
         elif spec.demod == "spectrum":
-            geo = self.engine.groups[ch.group].spectrum_geo
+            grp = self.engine.groups[ch.group]
+            geo = grp.wide_geo if grp.spectrum_wide else grp.spectrum_geo
             fields[T.RESOLUTION_BW] = geo.rbw
-            fields[T.BIN_COUNT] = geo.bin_count
+            fields[T.BIN_COUNT] = spec.bin_count
             fields[T.SPECTRUM_FFT_N] = geo.fft_n
             fields[T.SPECTRUM_AVG] = geo.fft_avg
             if "bin_data" in info:
-                fields[T.BIN_DATA] = [float(x) for x in np.asarray(info["bin_data"][ch.idx])]
+                bins = np.asarray(info["bin_data"][ch.idx], np.float64)
+                if self.spectrum_byte:
+                    # v2 byte format (encode_byte_data, spectrum.c:536-554):
+                    # (dB - base)/step clipped to 0..255, 1 byte per bin
+                    db = 10.0 * np.log10(np.maximum(bins, 1e-30))
+                    q = np.clip((db - self.spectrum_base) / self.spectrum_step, 0, 255)
+                    fields[T.SPECTRUM_BASE] = self.spectrum_base
+                    fields[T.SPECTRUM_STEP] = self.spectrum_step
+                    fields[T.BIN_BYTE_DATA] = bytes(np.rint(q).astype(np.uint8))
+                else:
+                    fields[T.BIN_DATA] = [float(x) for x in bins]
         else:
             if "snr" in info and np.isfinite(g("snr")):
                 fields[T.PLL_SNR] = power_to_dB(max(g("snr"), 1e-30))
@@ -392,10 +439,28 @@ class Radiod:
             if self.block_drops > 100 and self.block_drops > self.blocks // 2:
                 raise  # persistently broken — surface it
             return None
+        # fast path: whole-group native packetization + one sendmmsg batch
+        for gname, (edge, group_chans) in self.edges.items():
+            gout = host_out[gname]
+            ginfo = gout["info"]
+            audio = np.asarray(gout["audio"])
+            sends = (np.asarray(ginfo["send"]) if "send" in ginfo
+                     else np.ones(len(group_chans), bool))
+            markers = np.array([bool(s) and not c.sending for s, c in zip(sends, group_chans)])
+            edge.send_block(audio, sends, markers)
+            for i, c in enumerate(group_chans):
+                c.sending = bool(sends[i])
+                c.rtp_seq = int(edge.seq[i])
+                c.rtp_timestamp = int(edge.ts[i])
+            group_chans[0].data_packets = edge.packets  # group-total stat
         for ch in self.chans.values():
             gout = host_out[ch.group]
             info = gout["info"]
             ch.last_info = info
+            if ch.group in self.edges and not ch.rds:
+                if beacon:
+                    self._send_status(self.encode_channel_status(ch))
+                continue
             send = bool(np.asarray(info["send"][ch.idx])) if "send" in info else True
             if ch.rds:
                 audio = np.asarray(info["rds_baseband"][ch.idx]) if "rds_baseband" in info else np.zeros(0)

@@ -1,0 +1,111 @@
+"""Native RTP edge: build, wire-format equivalence with the Python codec,
+and sendmmsg batching over multicast loopback."""
+import os
+import select
+import socket
+import struct
+
+import numpy as np
+import pytest
+
+from ka9q_radio_tpu.net.rtp import RtpHeader, Encoding, decode_samples, encode_samples
+from ka9q_radio_tpu.net.multicast import make_maddr
+
+native = pytest.importorskip("ka9q_radio_tpu.native")
+
+
+@pytest.fixture(scope="module")
+def edge_and_rx():
+    if not native.native_available():
+        pytest.skip("no C++ toolchain")
+    group = make_maddr(f"native-{os.getpid()}")
+    port = 46000 + os.getpid() % 1000
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    rx.bind(("", port))
+    rx.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP,
+                  socket.inet_aton(group) + socket.inet_aton("0.0.0.0"))
+    rx.setblocking(False)
+    edge = native.RtpEdge((group, port), C=4, nch=1)
+    edge.ssrc[:] = [100, 200, 300, 400]
+    edge.pt[:] = 77
+    yield edge, rx
+    edge.close()
+    rx.close()
+
+
+def _drain(rx, timeout=1.0):
+    pkts = []
+    while True:
+        r, _, _ = select.select([rx], [], [], timeout if not pkts else 0.2)
+        if not r:
+            break
+        pkts.append(rx.recvfrom(65536)[0])
+    return pkts
+
+
+def test_native_s16be_matches_python(edge_and_rx):
+    edge, rx = edge_and_rx
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal((4, 480)) * 0.3).astype(np.float32)
+    send = np.array([True, True, False, True])
+    marker = np.array([True, False, False, False])
+    n = edge.send_block(audio, send, marker)
+    assert n == 3
+    pkts = _drain(rx)
+    assert len(pkts) == 3
+    by_ssrc = {}
+    for p in pkts:
+        h, payload = RtpHeader.unpack(p)
+        by_ssrc[h.ssrc] = (h, payload)
+    assert set(by_ssrc) == {100, 200, 400}
+    h, payload = by_ssrc[100]
+    assert h.marker and h.type == 77 and h.seq == 0 and h.timestamp == 0
+    np.testing.assert_array_equal(
+        np.frombuffer(payload, ">i2"),
+        np.frombuffer(encode_samples(audio[0], Encoding.S16BE), ">i2"),
+    )
+    # muted channel: no packet but timestamp advanced
+    assert edge.ts[2] == 480
+    assert edge.seq[2] == 0
+    assert edge.seq[0] == 1 and edge.ts[0] == 480
+
+
+@pytest.mark.parametrize("enc", [Encoding.MULAW, Encoding.ALAW, Encoding.F32BE, Encoding.F16LE])
+def test_native_encodings_match_python(edge_and_rx, enc):
+    edge, rx = edge_and_rx
+    _drain(rx, 0.1)
+    edge.encoding[:] = int(enc)
+    x = (np.sin(np.linspace(0, 30, 480))[None, :] * np.array([[0.7], [0.1], [0.4], [0.9]])).astype(np.float32)
+    edge.send_block(x, np.ones(4, bool), np.zeros(4, bool))
+    pkts = _drain(rx)
+    # reassemble per SSRC in sequence order (large encodings split packets)
+    frags: dict[int, list] = {}
+    for p in pkts:
+        h, payload = RtpHeader.unpack(p)
+        frags.setdefault(h.ssrc, []).append((h.seq, payload))
+    assert set(frags) == {100, 200, 300, 400}
+    for ssrc, parts in frags.items():
+        i = {100: 0, 200: 1, 300: 2, 400: 3}[ssrc]
+        payload = b"".join(pl for _, pl in sorted(parts, key=lambda t: t[0]))
+        got = decode_samples(payload, enc)
+        want = decode_samples(encode_samples(x[i], enc), enc)
+        assert got.size == 480
+        # G.711 rounding may differ by one companding step at code
+        # boundaries; the largest step (top segment) is 1024/32767 = 0.031
+        atol = 0.04 if enc in (Encoding.MULAW, Encoding.ALAW) else 2e-4
+        np.testing.assert_allclose(got, want, atol=atol)
+    edge.encoding[:] = int(Encoding.S16BE)
+
+
+def test_native_packet_splitting(edge_and_rx):
+    edge, rx = edge_and_rx
+    _drain(rx, 0.1)
+    # 960 frames of s16 = 1920 bytes -> 2 packets per channel (1408-byte cap)
+    audio = np.zeros((4, 960), np.float32)
+    n = edge.send_block(audio, np.ones(4, bool), np.zeros(4, bool))
+    assert n == 8
+    pkts = _drain(rx)
+    assert len(pkts) == 8
+    sizes = sorted({len(p) - 12 for p in pkts})
+    assert sizes == [512, 1408]

@@ -42,3 +42,73 @@ def test_spectrum_carrier_bin():
     # noise bins far below
     far = np.abs(freqs - offset) > 5 * geo.rbw
     assert 10 * np.log10(pwr[far].max()) < peak_db - 40.0
+
+
+def test_spectrum_wideband_algorithm():
+    """Coarse rbw (>= crossover) runs the raw-A/D wideband path."""
+    amp = 0.5
+    src = SigGenConfig(samprate=FS, real=False, carrier_hz=250_000.0,
+                       amplitude=amp, noise_n0=10 ** (-120.0 / 10.0))
+    eng = Engine(
+        samprate=FS, real=False,
+        groups=[GroupSpec(
+            name="sweep", demod="spectrum", samprate=32_000,
+            bin_bw=2000.0, bin_count=64,  # 2 kHz rbw -> wideband
+            channels=(ChannelSpec(freq=240_000.0),),
+        )],
+    )
+    g = eng.groups["sweep"]
+    assert g.spectrum_wide
+    assert abs(g.wide_geo.rbw - 2000.0) < 500.0
+
+    state, params = eng.init_state(), eng.init_params()
+    s = siggen_init(src, 0)
+    step = jax.jit(eng.step)
+    for _ in range(12):
+        s, block = siggen_block(src, s, eng.L)
+        state, out = step(state, params, block)
+    pwr = np.asarray(jax.device_get(out["sweep"]["info"]["bin_data"][0]))
+    freqs = (np.arange(64) - 32) * g.wide_geo.rbw + 240_000.0
+    peak = int(np.argmax(pwr))
+    assert abs(freqs[peak] - 250_000.0) <= g.wide_geo.rbw, freqs[peak]
+    assert abs(10 * np.log10(pwr[peak]) - 20 * np.log10(amp)) < 2.0
+    far = np.abs(freqs - 250_000.0) > 4 * g.wide_geo.rbw
+    assert 10 * np.log10(pwr[far].max()) < 10 * np.log10(pwr[peak]) - 40
+
+
+def test_spectrum_byte_format():
+    from ka9q_radio_tpu.config import load_config
+    from ka9q_radio_tpu.runtime.radiod import Radiod
+    from ka9q_radio_tpu.net.status import StatusType as T, decode_status
+
+    cfg = load_config(f"""
+[global]
+hardware = sig_gen
+update = 2
+spectrum-format = byte
+[sig_gen]
+device = sig_gen
+carrier = 250k0
+amplitude = -6
+noise = -120
+samprate = 1m024
+real = no
+[sweep]
+mode = spectrum
+samprate = 32k
+resolution-bw = 2k
+bin-count = 64
+freq = 240k0
+""")
+    rd = Radiod(cfg, use_network=False)
+    for _ in range(8):
+        rd.step_block()
+    stats = [p for k, p in rd._sent if k == "status"]
+    _, f, _ = decode_status(stats[-1])
+    assert T.BIN_BYTE_DATA in f and T.BIN_DATA not in f
+    raw = f[T.BIN_BYTE_DATA]
+    assert len(raw) == 64
+    base, step_db = f[T.SPECTRUM_BASE], f[T.SPECTRUM_STEP]
+    db = base + np.frombuffer(raw, np.uint8).astype(np.float64) * step_db
+    peak = int(np.argmax(db))
+    assert abs(db[peak] - (-6.0)) < 2.5
