@@ -22,6 +22,36 @@ import numpy as np
 from ..net.rtp import RtpHeader, RtpState, Encoding, PayloadRegistry, decode_samples
 from ..net.status import StatusType as T, PacketType, decode_status
 from ..net.multicast import resolve_dest, listen_socket, DEFAULT_RTP_PORT, DEFAULT_STAT_PORT
+from ..daemons.ctcss import GoertzelBank
+
+
+class _PlNotch:
+    """Streaming 2-pole notch (iir.c:54-77, r=0.997) retuned to whatever
+    PL tone the Goertzel bank finds — the monitor's notch (monitor.h:101)."""
+
+    def __init__(self, fs: float):
+        self.fs = fs
+        self.bank = GoertzelBank(fs)
+        self.coeffs = None
+        self.x1 = self.x2 = self.y1 = self.y2 = 0.0
+
+    def process(self, x: np.ndarray) -> np.ndarray:
+        r = self.bank.feed(x)
+        if r is not None and r[1] >= 12.0:
+            w = 2.0 * np.pi * r[0] / self.fs
+            self.coeffs = (2.0 * np.cos(w), 0.997)
+        if self.coeffs is None:
+            return x
+        c, rr = self.coeffs
+        y = np.empty_like(x)
+        x1, x2, y1, y2 = self.x1, self.x2, self.y1, self.y2
+        for i, v in enumerate(x):
+            out = v - c * x1 + x2 + rr * c * y1 - rr * rr * y2
+            x2, x1 = x1, v
+            y2, y1 = y1, out
+            y[i] = out
+        self.x1, self.x2, self.y1, self.y2 = x1, x2, y1, y2
+        return y
 
 
 class Session:
@@ -58,6 +88,9 @@ def main(argv=None) -> int:
     ap.add_argument("--samprate", type=int, default=48_000, help="mix output rate")
     ap.add_argument("--gain", action="append", default=[], help="ssrc=dB per-session gain")
     ap.add_argument("--ssrc", type=int, action="append", default=None, help="only these SSRCs")
+    ap.add_argument("--vote", action="store_true",
+                    help="mix only the best-SNR session (monitor.h:185 voting)")
+    ap.add_argument("--notch", action="store_true", help="PL tone notch filter")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -71,6 +104,8 @@ def main(argv=None) -> int:
     registry = PayloadRegistry()
     fmt_by_ssrc: dict[int, tuple] = {}
     sessions: dict[int, Session] = {}
+    snr_by_ssrc: dict[int, float] = {}
+    notches: dict[int, _PlNotch] = {}
 
     wav = None
     if args.wav:
@@ -101,6 +136,9 @@ def main(argv=None) -> int:
                             int(f.get(T.OUTPUT_CHANNELS, 1)),
                             Encoding(int(f.get(T.OUTPUT_ENCODING, Encoding.S16BE))),
                         )
+                        snr = f.get(T.FM_SNR, f.get(T.PLL_SNR))
+                        if snr is not None:
+                            snr_by_ssrc[f[T.OUTPUT_SSRC]] = float(snr)
                     continue
                 try:
                     hdr, payload = RtpHeader.unpack(pkt)
@@ -119,6 +157,18 @@ def main(argv=None) -> int:
                 audio = sess.ingest(hdr, payload)
                 if audio is None or wav is None:
                     continue
+                if args.vote and snr_by_ssrc:
+                    # SNR voting across receivers (monitor.h:185-186)
+                    best = max(snr_by_ssrc, key=snr_by_ssrc.get)
+                    if hdr.ssrc != best:
+                        continue
+                if args.notch:
+                    nf = notches.get(hdr.ssrc)
+                    if nf is None:
+                        nf = notches[hdr.ssrc] = _PlNotch(sess.samprate)
+                    mono = audio.mean(axis=1)
+                    filtered = nf.process(mono.astype(np.float64)).astype(np.float32)
+                    audio = np.repeat(filtered[:, None], audio.shape[1], axis=1)
                 g = gains.get(hdr.ssrc, 1.0)
                 # resample by sample-and-hold to the mix rate; pan mono to center
                 step = sess.samprate / args.samprate

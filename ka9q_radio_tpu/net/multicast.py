@@ -84,7 +84,13 @@ def listen_socket(dest: tuple[str, int]) -> socket.socket:
     ip, port = dest
     first_octet = int(ip.split(".")[0])
     if 224 <= first_octet <= 239:
-        s.bind(("", port))
+        # bind the GROUP address, not INADDR_ANY: an any-bound socket would
+        # receive datagrams for every group any socket on this host joined
+        # on this port (classic Linux multicast gotcha)
+        try:
+            s.bind((ip, port))
+        except OSError:
+            s.bind(("", port))
         mreq = socket.inet_aton(ip) + socket.inet_aton("0.0.0.0")
         try:
             s.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq)

@@ -553,6 +553,28 @@ class Engine:
         p[group] = self.groups[group].set_edges(params[group], idx, low, high, kaiser_beta)
         return p
 
+    @property
+    def specs(self) -> list[GroupSpec]:
+        return [g.spec for g in self.groups.values()]
+
+    def adopt_host_params(self, old: "Engine"):
+        """Copy runtime-tweaked per-channel host params from a previous
+        engine into this one (channel-add/remove rebuild path). Matching
+        group names keep their leading rows; returns fresh device params."""
+        for name, g in self.groups.items():
+            og = old.groups.get(name)
+            if og is None:
+                continue
+            n = min(g.C, og.C)
+            for key in ("shifts", "inc_q32", "adj_q32", "responses", "responses2"):
+                if key in g.host and key in og.host:
+                    g.host[key][:n] = og.host[key][:n]
+            for key, arr in g.host["demod"].items():
+                o = og.host["demod"].get(key)
+                if o is not None and arr.shape[1:] == o.shape[1:]:
+                    arr[:n] = o[:n]
+        return {name: jax.tree.map(jnp.asarray, g.host) for name, g in self.groups.items()}
+
     def step(self, state, params, block):
         """One block: [L] input samples -> per-group audio + status info.
 
@@ -565,3 +587,35 @@ class Engine:
             new_groups[name] = gs
             outputs[name] = {"audio": audio, "info": info}
         return {"master": mstate, "groups": new_groups}, outputs
+
+
+def migrate_state(old_state, new_state):
+    """Merge a previous engine's carried state into a freshly initialized
+    one after a channel-table rebuild (the TPU analog of the reference's
+    dynamic create_chan, radio_status.c:92-105): matching groups keep their
+    leading [C_old] rows (master tail, AGC gains, PLL/squelch state, phase
+    accumulators); new rows keep their init values. Jit this with both
+    pytrees as arguments.
+    """
+    def merge_leaf(old, new):
+        if old is None:
+            return new
+        if old.shape == new.shape:
+            return old
+        if (old.ndim == new.ndim and old.ndim >= 1 and old.shape[1:] == new.shape[1:]
+                and new.shape[0] > old.shape[0]):
+            return jax.lax.dynamic_update_slice(new, old.astype(new.dtype), (0,) * old.ndim)
+        if (old.ndim == new.ndim and old.ndim >= 1 and old.shape[1:] == new.shape[1:]
+                and new.shape[0] < old.shape[0]):
+            return jax.lax.slice_in_dim(old, 0, new.shape[0], axis=0).astype(new.dtype)
+        return new
+
+    def merge(old, new):
+        if isinstance(new, dict):
+            return {k: merge(old.get(k), v) if isinstance(old, dict) else v
+                    for k, v in new.items()}
+        if old is None or not hasattr(old, "shape"):
+            return new
+        return merge_leaf(old, new)
+
+    return merge(old_state, new_state)

@@ -33,7 +33,7 @@ from ..net.status import StatusType as T, PacketType, encode_status, decode_stat
 from ..net.rtp import RtpHeader, Encoding, PayloadRegistry, encode_samples
 from ..net.multicast import resolve_dest, output_socket, listen_socket, DEFAULT_RTP_PORT, DEFAULT_STAT_PORT
 from ..utils.units import power_to_dB, dB_to_power, voltage_to_dB
-from .engine import Engine
+from .engine import Engine, migrate_state
 from .source import siggen_init, siggen_block
 
 __all__ = ["Radiod", "DEMOD_TYPE_CODES"]
@@ -71,6 +71,8 @@ class _Chan:
     last_info: dict[str, Any] = dataclasses.field(default_factory=dict)
     opus_encoder: Any = None  # lazily created for Encoding.OPUS channels
     rds: bool = False  # emits the WFM channel's RDS baseband instead of audio
+    dynamic: bool = False
+    lifetime: int = 0  # idle countdown in blocks (0 = immortal)
 
 
 class Radiod:
@@ -82,6 +84,17 @@ class Radiod:
         status_port: int = DEFAULT_STAT_PORT,
     ):
         self.cfg = cfg
+        # persisted XLA compilation cache — the analog of FFTW wisdom
+        # (docs/FFTW3.md:25-53): restarts reuse compiled programs
+        cache_dir = cfg.options.get("wisdom", "/tmp/ka9q_radio_tpu_xla_cache")
+        if cache_dir and str(cache_dir).lower() not in ("n", "no", "off"):
+            import os
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+            except Exception:
+                pass
         self.engine = Engine(
             samprate=cfg.samprate, real=cfg.real, groups=cfg.groups,
             blocktime=cfg.blocktime, overlap=cfg.overlap,
@@ -110,6 +123,16 @@ class Radiod:
         self.spectrum_byte = str(cfg.options.get("spectrum-format", "")).lower() == "byte"
         self.spectrum_base = float(cfg.options.get("spectrum-base", -120.0))
         self.spectrum_step = float(cfg.options.get("spectrum-step", 0.5))
+        self.default_mode = str(cfg.options.get("mode", cfg.options.get("preset", "usb"))).lower()
+        # [global] lifetime (seconds; 0 = infinite, radio.c:71,294)
+        self.lifetime_blocks = int(float(cfg.options.get("lifetime", 0.0)) / cfg.blocktime)
+        self.free_slots: dict[str, list[int]] = {}
+        self._data_port = data_port
+        self.rtcp_sock = None
+        self.rtcp_every = int(cfg.options.get("rtcp-interval", 250))  # blocks (~5 s)
+        self.description = str(cfg.options.get("description", "ka9q-radio-tpu"))
+        # DOPPLER_FREQUENCY/RATE steering (radio_status.c): ssrc -> [offset Hz, Hz/s]
+        self.doppler: dict[int, list[float]] = {}
 
         enc_name = str(cfg.options.get("encoding", "s16be")).upper()
         default_enc = Encoding[enc_name] if enc_name in Encoding.__members__ else Encoding.S16BE
@@ -149,6 +172,8 @@ class Radiod:
             self.status_in = listen_socket(stat_dest)
             if str(cfg.options.get("native-edge", "y")).lower() not in ("n", "no", "false", "0"):
                 self._setup_native_edges(data_dest, ttl)
+            # RTCP on the data address's next port (rtp.h:7-10)
+            self.rtcp_sock = output_socket((data_dest[0], data_dest[1] + 1), ttl)
         self._sent: list[tuple[str, bytes]] = []  # (kind, pkt) when offline
 
     def _setup_native_edges(self, data_dest, ttl: int):
@@ -232,10 +257,114 @@ class Radiod:
             return
         ch = self.chans.get(ssrc)
         if ch is None:
-            return  # dynamic channel creation: future work (needs recompile path)
+            ch = self.create_dynamic_channel(ssrc, fields)
+            if ch is None:
+                return
         ch.commands += 1
+        if ch.dynamic and self.lifetime_blocks:
+            ch.lifetime = self.lifetime_blocks  # poll/command refreshes it
         self.apply_command(ch, fields)
         self._send_status(self.encode_channel_status(ch, tag))
+
+    # ------------------------------------------------ dynamic channel table
+    def create_dynamic_channel(self, ssrc: int, fields: dict) -> "_Chan | None":
+        """Unknown SSRC command -> create the channel (radio_status.c:92-105).
+
+        A dynamic channel lands in the group "dyn-<preset>": a tombstoned
+        (freed) slot is reused with pure params surgery; otherwise the
+        channel table is rebuilt one slot larger — a cached recompile, with
+        every other channel's carried state and runtime params migrated
+        (engine.migrate_state).
+        """
+        from ..config.loader import _build_group
+        from ..config.presets import preset_table
+
+        presets = preset_table()
+        preset = str(fields.get(T.PRESET, "") or self.default_mode).lower()
+        if preset not in presets:
+            return None
+        freq = float(fields.get(T.RADIO_FREQUENCY, 0.0) or 0.0)
+        gname = f"dyn-{preset}"
+
+        slot = None
+        if self.free_slots.get(gname):
+            slot = self.free_slots[gname].pop()
+        elif gname not in self.engine.groups:
+            settings = dict(presets[preset])
+            spec = _build_group(gname, settings, [(freq, 0.0)])
+            self._rebuild(list(self.engine.specs) + [spec])
+            slot = 0
+        else:
+            g = self.engine.groups[gname]
+            spec = g.spec
+            new_spec = dataclasses.replace(
+                spec, channels=spec.channels + (spec.channels[0],))
+            specs = [new_spec if s.name == gname else s for s in self.engine.specs]
+            self._rebuild(specs)
+            slot = self.engine.groups[gname].C - 1
+
+        g = self.engine.groups[gname]
+        spec = g.spec
+        out_rate = 48_000 if spec.demod == "wfm" else spec.samprate
+        nch = 2 if (spec.stereo or spec.demod == "wfm") else 1
+        enc_name = str(self.cfg.options.get("encoding", "s16be")).upper()
+        enc = Encoding[enc_name] if enc_name in Encoding.__members__ else Encoding.S16BE
+        pt = self.registry.pt_from_info(out_rate, nch, enc)
+        ch = _Chan(group=gname, idx=slot, ssrc=ssrc, freq=freq,
+                   low=spec.channels[0].low, high=spec.channels[0].high,
+                   samprate=out_rate, channels=nch, encoding=enc, pt=pt,
+                   dynamic=True, lifetime=self.lifetime_blocks)
+        self.chans[ssrc] = ch
+        try:
+            self.params = self.engine.retune(self.params, gname, slot, freq)
+        except ValueError:
+            pass
+        self.params = self.engine.set_edges(self.params, gname, slot, ch.low, ch.high)
+        return ch
+
+    def remove_channel(self, ssrc: int):
+        """Tombstone an idle dynamic channel (radio.c:1465-1471): mute the
+        slot (squelch forced closed, zero gain) and recycle it for the next
+        dynamic create — zero recompiles."""
+        ch = self.chans.pop(ssrc, None)
+        if ch is None:
+            return
+        g = self.engine.groups[ch.group]
+        host = g.host["demod"]
+        if "squelch_open" in host:
+            host["squelch_open"][ch.idx] = np.float32(1e30)
+            host["squelch_close"][ch.idx] = np.float32(1e30)
+            host["snr_squelch_enable"][ch.idx] = True
+        if "manual_gain" in host:
+            host["manual_gain"][ch.idx] = 0.0
+        p = dict(self.params)
+        p[ch.group] = dict(p[ch.group])
+        d = dict(p[ch.group]["demod"])
+        for key in ("squelch_open", "squelch_close", "snr_squelch_enable", "manual_gain"):
+            if key in host:
+                d[key] = jax.numpy.asarray(host[key])
+        p[ch.group]["demod"] = d
+        self.params = p
+        self.free_slots.setdefault(ch.group, []).append(ch.idx)
+
+    def _rebuild(self, specs):
+        """Recompile-path channel table change, carrying state across."""
+        old = self.engine
+        new_eng = Engine(samprate=self.cfg.samprate, real=self.cfg.real,
+                         groups=specs, blocktime=self.cfg.blocktime,
+                         overlap=self.cfg.overlap)
+        new_init = jax.jit(new_eng.init_state)()
+        self.state = jax.jit(migrate_state)(self.state, new_init)
+        self.params = new_eng.adopt_host_params(old)
+        self.engine = new_eng
+        self.step = jax.jit(new_eng.step, donate_argnums=0)
+        if self.edges:
+            for edge, _ in self.edges.values():
+                edge.close()
+            self.edges = {}
+            ttl = int(self.cfg.options.get("ttl", 1))
+            data_dest = resolve_dest(self.cfg.options.get("data", "127.0.0.1"), self._data_port)
+            self._setup_native_edges(data_dest, ttl)
 
     def apply_command(self, ch: _Chan, fields: dict):
         """Settable-key subset of decode_radio_commands (radio_status.c:211-685).
@@ -289,6 +418,21 @@ class Radiod:
         if T.SHIFT_FREQUENCY in fields and "shift_inc_q32" in gp:
             from ..ops.osc import rev_to_q32
             setp("shift_inc_q32", rev_to_q32(float(fields[T.SHIFT_FREQUENCY]) / ch.samprate))
+        if T.DOPPLER_FREQUENCY in fields or T.DOPPLER_FREQUENCY_RATE in fields:
+            dop = self.doppler.setdefault(ch.ssrc, [0.0, 0.0])
+            if T.DOPPLER_FREQUENCY in fields:
+                dop[0] = float(fields[T.DOPPLER_FREQUENCY])
+            if T.DOPPLER_FREQUENCY_RATE in fields:
+                dop[1] = float(fields[T.DOPPLER_FREQUENCY_RATE])
+            if dop == [0.0, 0.0]:
+                del self.doppler[ch.ssrc]
+                try:
+                    self.params = self.engine.retune(self.params, ch.group, ch.idx, ch.freq)
+                except ValueError:
+                    pass
+        if T.LIFETIME in fields:
+            ch.lifetime = int(fields[T.LIFETIME]) 
+            ch.dynamic = ch.dynamic or ch.lifetime > 0
 
     # -------------------------------------------------------------- status
     def encode_channel_status(self, ch: _Chan, tag: int = 0) -> bytes:
@@ -416,9 +560,44 @@ class Radiod:
         ch.sending = True
 
     # ---------------------------------------------------------------- main
+    def _steer_doppler(self):
+        """Advance doppler-steered channels (DOPPLER_FREQUENCY[_RATE]):
+        per-block retune with the accumulated offset — pure params surgery,
+        no recompiles (satellite tracking, radio.h doppler fields)."""
+        for ssrc, dop in list(self.doppler.items()):
+            ch = self.chans.get(ssrc)
+            if ch is None:
+                del self.doppler[ssrc]
+                continue
+            dop[0] += dop[1] * self.cfg.blocktime
+            try:
+                self.params = self.engine.retune(self.params, ch.group, ch.idx, ch.freq + dop[0])
+            except ValueError:
+                pass
+
+    def _send_rtcp(self):
+        if self.rtcp_sock is None:
+            return
+        from ..net.rtcp import build_sr, build_sdes, compound
+        for ch in self.chans.values():
+            if not ch.sending and ch.data_packets == 0:
+                continue
+            pkt = compound(
+                build_sr(ch.ssrc, ch.rtp_timestamp, ch.data_packets, 0),
+                build_sdes(ch.ssrc, f"{self.description} ssrc {ch.ssrc}"),
+            )
+            try:
+                self.rtcp_sock.send(pkt)
+            except OSError:
+                pass
+
     def step_block(self, block=None):
         """Run one 20 ms block end to end."""
         self.poll_commands()
+        if self.doppler:
+            self._steer_doppler()
+        if self.rtcp_sock is not None and self.blocks % self.rtcp_every == self.rtcp_every - 1:
+            self._send_rtcp()
         if block is None:
             if self.frontend is not None:
                 block = self.frontend.read_block(self.engine.L)
@@ -470,6 +649,15 @@ class Radiod:
                 self._emit_rtp(ch, audio, send=send)
             if beacon:
                 self._send_status(self.encode_channel_status(ch))
+        # idle dynamic channels count down and self-destruct (radio.c:1465)
+        expired = []
+        for ssrc, ch in self.chans.items():
+            if ch.dynamic and ch.lifetime > 0:
+                ch.lifetime -= 1
+                if ch.lifetime == 0:
+                    expired.append(ssrc)
+        for ssrc in expired:
+            self.remove_channel(ssrc)
         return host_out
 
     def run(self, nblocks: int | None = None, realtime: bool = False):

@@ -106,3 +106,56 @@ def test_retune_moves_audio(radiod):
         radiod.step_block()
     bb = float(np.asarray(radiod.chans[200].last_info["baseband_power"][0]))
     assert bb < 1e-6  # carrier gone from passband
+
+
+def test_dynamic_channel_lifecycle():
+    """Unknown SSRC command creates a channel; idle dynamic channels expire
+    and their slots are recycled without a rebuild."""
+    cfg = load_config(CONF.replace("update = 5", "update = 5\nlifetime = 0.08"))
+    rd = Radiod(cfg, use_network=False)
+    for _ in range(3):
+        rd.step_block()
+
+    # create via command: new SSRC, nfm preset at 150 kHz
+    rd.handle_packet(encode_status({
+        T.OUTPUT_SSRC: 9999, T.COMMAND_TAG: 7, T.PRESET: "nfm",
+        T.RADIO_FREQUENCY: 150_000.0,
+    }, cmd=True))
+    assert 9999 in rd.chans
+    ch = rd.chans[9999]
+    assert ch.dynamic and ch.group == "dyn-nfm"
+    assert rd.engine.groups["dyn-nfm"].C == 1
+    # the response status went out
+    stats = [p for k, p in rd._sent if k == "status"]
+    _, f, _ = decode_status(stats[-1])
+    assert f[T.OUTPUT_SSRC] == 9999 and f[T.COMMAND_TAG] == 7
+    assert f[T.DEMOD_TYPE] == 1  # fm
+    assert f[T.RADIO_FREQUENCY] == 150_000.0
+
+    # engine still steps; pre-existing static channel unaffected
+    out = rd.step_block()
+    assert "dyn-nfm" in out
+    assert 200 in rd.chans
+
+    # second dynamic channel extends the group (rebuild path)
+    rd.handle_packet(encode_status({
+        T.OUTPUT_SSRC: 8888, T.PRESET: "nfm", T.RADIO_FREQUENCY: 160_000.0,
+    }, cmd=True))
+    assert rd.engine.groups["dyn-nfm"].C == 2
+    assert rd.chans[8888].idx == 1
+    rd.step_block()
+
+    # lifetime 0.08 s = 4 blocks: let both expire
+    for _ in range(6):
+        rd.step_block()
+    assert 9999 not in rd.chans and 8888 not in rd.chans
+    assert sorted(rd.free_slots["dyn-nfm"]) == [0, 1]
+
+    # recreate: reuses a tombstoned slot with NO rebuild
+    eng_before = rd.engine
+    rd.handle_packet(encode_status({
+        T.OUTPUT_SSRC: 7777, T.PRESET: "nfm", T.RADIO_FREQUENCY: 155_000.0,
+    }, cmd=True))
+    assert rd.engine is eng_before  # no recompile
+    assert rd.chans[7777].idx in (0, 1)
+    rd.step_block()
