@@ -62,8 +62,14 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    config = sys.argv[1] if len(sys.argv) > 1 else "nbfm400"
+    args = [a for a in sys.argv[1:] if a != "--pallas"]
+    use_pallas = "--pallas" in sys.argv
+    config = args[0] if args else "nbfm400"
     eng, FS, baseline = build_engine(config)
+    if use_pallas:
+        from ka9q_radio_tpu.runtime.engine import Engine as _E
+        eng = _E(samprate=eng.samprate, real=eng.master.real,
+                 groups=eng.specs, blocktime=eng.blocktime, use_pallas=True)
 
     state = jax.jit(eng.init_state)()
     params = eng.init_params()

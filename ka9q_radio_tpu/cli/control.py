@@ -26,11 +26,21 @@ from ..utils.parse import parse_frequency
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="control-tpu")
-    ap.add_argument("--radio", required=True)
+    ap.add_argument("--radio", default=None)
+    ap.add_argument("--browse", action="store_true", help="discover radiods via mDNS")
     ap.add_argument("--ssrc", type=int, default=None)
     ap.add_argument("-c", "--command", action="append", default=None,
                     help="run commands non-interactively")
     args = ap.parse_args(argv)
+
+    if args.browse:
+        from ..net.mdns import browse as mdns_browse, SVC_CTL
+        for e in mdns_browse(SVC_CTL, timeout=2.0):
+            txt = " ".join(f"{k}={v}" for k, v in e.get("txt", {}).items())
+            print(f"{e.get('instance')}  {e.get('addr')}:{e.get('port')}  {txt}")
+        return 0
+    if not args.radio:
+        ap.error("--radio required (or use --browse)")
 
     dest = resolve_dest(args.radio, DEFAULT_STAT_PORT)
     rx = listen_socket(dest)

@@ -134,7 +134,7 @@ _GROUP_KEYS = {
     "headroom", "hang-time", "recovery-rate", "threshold", "gain", "pll-bw",
     "pll", "square", "envelope", "agc", "snr-squelch", "mono", "stereo",
     "channels", "conj", "threshold-extend", "extend", "deemph-tc",
-    "deemph-gain", "dc-cut", "shift",
+    "deemph-gain", "dc-cut", "shift", "beam", "a-amp", "a-phase", "b-amp", "b-phase",
     # spectrum
     "resolution-bw", "bin-count", "window-type", "spectrum-shape",
     "fft-avg", "spectrum-overlap",
@@ -193,6 +193,11 @@ def _build_group(name: str, settings: dict[str, Any], freqs: list[tuple[float, f
         filter2=int(s.get("filter2", 0) or 0),
         isb=parse_bool(s.get("conj", False)),
     )
+    if parse_bool(s.get("beam", False)):
+        import cmath
+        a = float(s.get("a-amp", 1.0)) * cmath.exp(1j * cmath.pi * float(s.get("a-phase", 0.0)) / 180.0)
+        b = float(s.get("b-amp", 0.0)) * cmath.exp(1j * cmath.pi * float(s.get("b-phase", 0.0)) / 180.0)
+        kw.update(beam=True, a_weight=a, b_weight=b)
     for ini_key, field in [
         ("squelch-open", "squelch_open_db"), ("squelch-close", "squelch_close_db"),
         ("headroom", "headroom_db"), ("hang-time", "hangtime_s"),

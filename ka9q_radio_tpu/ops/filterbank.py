@@ -252,3 +252,31 @@ def good_blocksize(x: int) -> int:
     while not ok(n):
         n += 1
     return n
+
+
+def channelize_beam(F, responses, shifts, olen: int, master_N: int, alpha, beta):
+    """Dual-coherent-antenna beamforming channelizer (filter.c:723-742).
+
+    Two real antenna streams ride the I and Q rails of one complex master
+    (the Fobos independent-input mode). Each output bin combines the master
+    bin and the conjugate of its mirror with per-channel complex weights:
+
+        out[k] = (alpha*F[rp] + beta*conj(F[-rp])) * response[k]
+
+    which evaluates `alpha*X1[k'] + beta*X2[k']`-style antenna combining up
+    to a fixed scale; DC and Nyquist carry the antennas separated as
+    real/imag parts.
+
+    F: [m_bins] complex64 (complex master); responses [C, n_bins];
+    shifts [C] i32; alpha/beta [C] complex64. Returns [C, olen] complex64.
+    """
+    nb = responses.shape[-1]
+    signed = _signed_bins(nb)[None, :]
+    rp = jnp.mod(shifts[:, None] + signed, master_N)
+    mirror = jnp.mod(master_N - rp, master_N)
+    vals = alpha[:, None] * F[rp] + beta[:, None] * jnp.conj(F[mirror])
+    special = (rp == 0) | (rp == master_N // 2)
+    sval = alpha[:, None] * F[rp].real + beta[:, None] * F[rp].imag
+    fd = jnp.where(special, sval, vals) * responses
+    bb = jnp.fft.ifft(fd, axis=-1)
+    return bb[:, nb - olen :].astype(jnp.complex64)

@@ -42,6 +42,7 @@ from ..ops.filterbank import (
     master_init,
     master_fft,
     channelize,
+    channelize_beam,
     fine_tune,
     compute_tuning,
     block_phase_adjust_q32,
@@ -151,6 +152,11 @@ class GroupSpec:
     # independent sideband: LSB->I, USB->Q unpack in the filter2 stage
     # (filter.c:862-876; preset `isb` sets conj=yes + filter2=1)
     isb: bool = False
+    # dual-antenna beamforming on a complex master (filter.c:723-742,
+    # modes.c:511-519): complex weights from a-amp/a-phase/b-amp/b-phase
+    beam: bool = False
+    a_weight: complex = 1.0 + 0.0j
+    b_weight: complex = 0.0 + 0.0j
     # wfm flag: attempt stereo decode (mono fallback is always automatic)
     wfm_stereo: bool = True
     # spectrum options (modes.c:69-73)
@@ -182,9 +188,11 @@ class GroupSpec:
 class _Group:
     """Host-side compiled geometry + initial params for one GroupSpec."""
 
-    def __init__(self, spec: GroupSpec, master: MasterConfig, samprate: float, blocktime: float):
+    def __init__(self, spec: GroupSpec, master: MasterConfig, samprate: float, blocktime: float,
+                 use_pallas: bool = False):
         self.spec = spec
         self.master = master
+        self.use_pallas = use_pallas and not master.real
         self.fs_in = samprate
         self.blocktime = blocktime
         r = int(spec.samprate)
@@ -316,6 +324,11 @@ class _Group:
         }
         if self.f2_N:
             p["responses2"] = np.stack([self._design_f2(c.low, c.high) for c in chans])
+        if spec.beam:
+            if self.master.real:
+                raise ValueError("beamforming needs a complex master")
+            p["beam_alpha"] = np.full(self.C, complex(spec.a_weight), np.complex64)
+            p["beam_beta"] = np.full(self.C, complex(spec.b_weight), np.complex64)
         d: dict[str, Any] = {
             "bandwidth": bw,
             "headroom": headroom,
@@ -434,7 +447,14 @@ class _Group:
                     "baseband_power": jnp.sum(bins, axis=-1),
                     "n0": jnp.zeros((self.C,), jnp.float32)}
             return {"dc": state["dc"], "demod": demod_state}, audio, info
-        bb = channelize(F, params["responses"], params["shifts"], self.olen, m.real, m.N)
+        if self.spec.beam:
+            bb = channelize_beam(F, params["responses"], params["shifts"], self.olen, m.N,
+                                 params["beam_alpha"], params["beam_beta"])
+        elif self.use_pallas:
+            from ..ops.pallas_kernels import channelize_pallas
+            bb = channelize_pallas(F, params["responses"], params["shifts"], self.olen, m.N)
+        else:
+            bb = channelize(F, params["responses"], params["shifts"], self.olen, m.real, m.N)
 
         energies = gather_noise_bins(F, params["shifts"], self.noise_bins, m.real, m.N)
         n0_est = estimate_noise(energies, m.bins, self.fs_in)
@@ -519,14 +539,17 @@ class Engine:
         real: bool = True,
         blocktime: float = 0.02,
         overlap: int = 5,
+        use_pallas: bool = False,
     ):
         self.master = MasterConfig.from_rate(samprate, blocktime, overlap, real)
         self.samprate = float(samprate)
         self.blocktime = blocktime
+        self.use_pallas = use_pallas
         names = [g.name for g in groups]
         if len(set(names)) != len(names):
             raise ValueError("duplicate group names")
-        self.groups = {g.name: _Group(g, self.master, self.samprate, blocktime) for g in groups}
+        self.groups = {g.name: _Group(g, self.master, self.samprate, blocktime, use_pallas)
+                       for g in groups}
 
     @property
     def L(self) -> int:
@@ -586,6 +609,11 @@ class Engine:
             gs, audio, info = g.step(state["groups"][name], params[name], F, block)
             new_groups[name] = gs
             outputs[name] = {"audio": audio, "info": info}
+        # front-end metrics (frontend->if_power smoothing, rx888.c contract)
+        p_in = block.real * block.real
+        if not self.master.real:
+            p_in = p_in + block.imag * block.imag
+        outputs["_frontend"] = {"if_power": jnp.mean(p_in)[None]}
         return {"master": mstate, "groups": new_groups}, outputs
 
 

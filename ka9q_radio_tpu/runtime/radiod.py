@@ -71,6 +71,7 @@ class _Chan:
     last_info: dict[str, Any] = dataclasses.field(default_factory=dict)
     opus_encoder: Any = None  # lazily created for Encoding.OPUS channels
     rds: bool = False  # emits the WFM channel's RDS baseband instead of audio
+    agg: list = dataclasses.field(default_factory=list)  # aggregation queue
     dynamic: bool = False
     lifetime: int = 0  # idle countdown in blocks (0 = immortal)
 
@@ -133,6 +134,11 @@ class Radiod:
         self.description = str(cfg.options.get("description", "ka9q-radio-tpu"))
         # DOPPLER_FREQUENCY/RATE steering (radio_status.c): ssrc -> [offset Hz, Hz/s]
         self.doppler: dict[int, list[float]] = {}
+        self.if_power = 0.0  # smoothed front-end input power
+        # output aggregation: min blocks per RTP packet (audio.c:64-110,
+        # config 'block = 0-4'); >0 buffers audio and disables the native
+        # edge (the Python path owns packet timing then)
+        self.agg_blocks = max(0, min(int(cfg.options.get("block", 0)), 4))
 
         enc_name = str(cfg.options.get("encoding", "s16be")).upper()
         default_enc = Encoding[enc_name] if enc_name in Encoding.__members__ else Encoding.S16BE
@@ -170,10 +176,27 @@ class Radiod:
             self.data_sock = output_socket(data_dest, ttl)
             self.status_sock = output_socket(stat_dest, ttl)
             self.status_in = listen_socket(stat_dest)
-            if str(cfg.options.get("native-edge", "y")).lower() not in ("n", "no", "false", "0"):
+            if (self.agg_blocks == 0
+                    and str(cfg.options.get("native-edge", "y")).lower() not in ("n", "no", "false", "0")):
                 self._setup_native_edges(data_dest, ttl)
             # RTCP on the data address's next port (rtp.h:7-10)
             self.rtcp_sock = output_socket((data_dest[0], data_dest[1] + 1), ttl)
+            # mDNS service advertisement (avahi.c analog; 'advertise = no' off)
+            self.mdns = None
+            if str(cfg.options.get("advertise", "y")).lower() not in ("n", "no", "false", "0"):
+                try:
+                    from ..net.mdns import MdnsAdvertiser, SVC_CTL, SVC_RTP
+                    inst = str(cfg.options.get("description", "radiod-tpu")).replace(".", "-")
+                    self.mdns = MdnsAdvertiser()
+                    self.mdns.add_service(SVC_CTL, inst, stat_dest[1],
+                                          {"status": cfg.options.get("status", ""),
+                                           "addr": stat_dest[0]})
+                    self.mdns.add_service(SVC_RTP, inst + "-pcm", data_dest[1],
+                                          {"data": cfg.options.get("data", ""),
+                                           "addr": data_dest[0]})
+                    self.mdns.start()
+                except Exception:
+                    self.mdns = None
         self._sent: list[tuple[str, bytes]] = []  # (kind, pkt) when offline
 
     def _setup_native_edges(self, data_dest, ttl: int):
@@ -444,6 +467,12 @@ class Radiod:
             T.OUTPUT_SSRC: ch.ssrc,
             T.COMMAND_TAG: tag,
             T.GPS_TIME: _gps_time_ns(),
+            T.DESCRIPTION: self.description,
+            T.RTP_TIMESNAP: ch.rtp_timestamp,
+            T.STATUS_INTERVAL: self.update_every,
+            T.AD_BITS_PER_SAMPLE: 16,
+            T.OUTPUT_SAMPLES: ch.rtp_timestamp,
+            T.INPUT_SAMPLES: self.blocks * self.engine.L,
             T.CMD_CNT: ch.commands,
             T.RADIO_FREQUENCY: ch.freq,
             T.DEMOD_TYPE: DEMOD_TYPE_CODES.get(spec.demod, 0),
@@ -460,6 +489,7 @@ class Radiod:
             T.OUTPUT_ENCODING: int(ch.encoding),
             T.OUTPUT_DATA_PACKETS: ch.data_packets,
             T.OUTPUT_METADATA_PACKETS: ch.metadata_packets,
+            T.IF_POWER: power_to_dB(max(self.if_power, 1e-30)),
             T.BASEBAND_POWER: power_to_dB(max(g("baseband_power"), 1e-30)),
             T.NOISE_DENSITY: power_to_dB(max(g("n0"), 1e-30)),
             T.OUTPUT_LEVEL: power_to_dB(max(g("output_power"), 1e-30)),
@@ -646,7 +676,18 @@ class Radiod:
             else:
                 audio = np.asarray(gout["audio"][ch.idx])
             if audio.size:
-                self._emit_rtp(ch, audio, send=send)
+                if self.agg_blocks > 0 and not ch.rds:
+                    # aggregation queue (audio.c:64-110): coalesce blocks,
+                    # flush when full or on squelch close
+                    if send:
+                        ch.agg.append(audio)
+                    if ch.agg and (not send or len(ch.agg) >= self.agg_blocks):
+                        self._emit_rtp(ch, np.concatenate(ch.agg), send=True)
+                        ch.agg = []
+                    if not send:
+                        self._emit_rtp(ch, audio, send=False)  # advance ts
+                else:
+                    self._emit_rtp(ch, audio, send=send)
             if beacon:
                 self._send_status(self.encode_channel_status(ch))
         # idle dynamic channels count down and self-destruct (radio.c:1465)

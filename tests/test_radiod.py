@@ -159,3 +159,22 @@ def test_dynamic_channel_lifecycle():
     assert rd.engine is eng_before  # no recompile
     assert rd.chans[7777].idx in (0, 1)
     rd.step_block()
+
+
+def test_output_aggregation():
+    """block = N coalesces N blocks per RTP packet (audio.c maxdelay)."""
+    cfg = load_config(CONF.replace("update = 5", "update = 100\nblock = 3"))
+    rd = Radiod(cfg, use_network=False)
+    for _ in range(9):
+        rd.step_block()
+    data = [p for k, p in rd._sent if k == "data"]
+    assert data
+    h, payload = RtpHeader.unpack(data[-1])
+    # 3 blocks of 320 frames at 16 kHz = 960 frames = 1920 bytes s16be,
+    # split into <=1400-byte packets: sizes 1400 + 520
+    sizes = sorted(len(p) - 12 for p in data[-2:])
+    assert sum(sizes) == 960 * 2
+    # timestamps advance by aggregate counts
+    h0, _ = RtpHeader.unpack(data[0])
+    h1, _ = RtpHeader.unpack(data[1])
+    assert (h1.timestamp - h0.timestamp) % 0x100000000 in (700, 960, 320, 640)
