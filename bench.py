@@ -1,13 +1,14 @@
-"""Flagship benchmark: BASELINE.md config #4 — a VHF band scan.
+"""Flagship benchmark: BASELINE.md config #5 — RX888 full rate.
 
-400 simultaneous NBFM channels channelized from a 30.72 Msps complex front
-end (the reference's "every NBFM channel on a VHF band on a Raspberry Pi 4
-+ Airspy R2" workload, README.md:6-9). Metric: sustained front-end input
-rate in Msamples/s through the full pipeline (shared master FFT ->
-400-channel filter bank -> NBFM demod with squelch/de-emphasis).
+129.6 Msps real input (the reference's maximum supported hardware rate,
+rof3240000: a 3,240,000-point real FFT per 20 ms block) feeding 1000
+simultaneous SSB channels with AGC plus a 16-point spectrum sweep — the
+"north star" workload. Metric: sustained front-end input rate in
+Msamples/s through the full pipeline.
 
-vs_baseline: ratio to the 30.72 Msps the reference sustains in real time on
-that workload (>1.0 means faster than real time on the baseline config).
+vs_baseline: ratio to the 129.6 Msps the reference sustains in real time on
+a mid-range x86 (>1.0 = faster than real time on its biggest config).
+Alternate configs: `bench.py nbfm400|wfm|linear8` (BASELINE 2-4).
 
 Prints ONE json line. Run on the real TPU chip (no platform override).
 """
@@ -64,7 +65,7 @@ def main() -> None:
 
     args = [a for a in sys.argv[1:] if a != "--pallas"]
     use_pallas = "--pallas" in sys.argv
-    config = args[0] if args else "nbfm400"
+    config = args[0] if args else "rx888"
     eng, FS, baseline = build_engine(config)
     if use_pallas:
         from ka9q_radio_tpu.runtime.engine import Engine as _E
@@ -74,20 +75,38 @@ def main() -> None:
     state = jax.jit(eng.init_state)()
     params = eng.init_params()
     key = jax.random.PRNGKey(0)
+    # time K chained blocks per dispatch (lax.scan over DISTINCT random
+    # blocks — no loop-invariant input for the compiler to exploit) so
+    # host<->device round trips don't pollute the measurement; audio is
+    # folded into a checksum so nothing is dead-code-eliminated
+    K = 8
     if eng.master.real:
-        block = jax.random.normal(key, (eng.L,), jnp.float32) * 1e-3
+        blocks = jax.random.normal(key, (K, eng.L), jnp.float32) * 1e-3
     else:
-        noise = jax.random.normal(key, (eng.L, 2), jnp.float32) * 1e-3
-        block = (noise[:, 0] + 1j * noise[:, 1]).astype(jnp.complex64)
+        noise = jax.random.normal(key, (K, eng.L, 2), jnp.float32) * 1e-3
+        blocks = (noise[..., 0] + 1j * noise[..., 1]).astype(jnp.complex64)
 
-    step = jax.jit(eng.step, donate_argnums=0)
+    def run_k(state, params, blocks):
+        def body(carry, blk):
+            st, acc = carry
+            st, out = eng.step(st, params, blk)
+            for name, g in out.items():
+                if name.startswith("_"):
+                    continue
+                acc = acc + jnp.sum(g["audio"])
+            return (st, acc), None
+
+        (state, acc), _ = jax.lax.scan(body, (state, jnp.float32(0)), blocks)
+        return state, acc
+
+    runk = jax.jit(run_k, donate_argnums=0)
 
     # compile + warmup; the remote-TPU tunnel can throw transient
     # UNIMPLEMENTED backend errors in bouts — retry with backoff
     for attempt in range(6):
         try:
-            state, out = step(state, params, block)
-            jax.block_until_ready(out)
+            state, acc = runk(state, params, blocks)
+            jax.block_until_ready(acc)
             break
         except Exception:
             if attempt == 5:
@@ -95,16 +114,15 @@ def main() -> None:
             time.sleep(15.0)
             state = jax.jit(eng.init_state)()
             params = eng.init_params()
-    for _ in range(3):
-        state, out = step(state, params, block)
-    jax.block_until_ready(out)
+    state, acc = runk(state, params, blocks)
+    jax.block_until_ready(acc)
 
-    iters = 20
+    iters = 8
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, out = step(state, params, block)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+        state, acc = runk(state, params, blocks)
+    jax.block_until_ready(acc)
+    dt = (time.perf_counter() - t0) / (iters * K)
 
     sps = eng.L / dt  # sustained front-end samples/s
     msps = sps / 1e6

@@ -32,7 +32,17 @@ def main(argv=None) -> int:
                   f"{ch.samprate} Hz out pt={ch.pt}", file=sys.stderr)
     t0 = time.monotonic()
     try:
-        rd.run(nblocks=args.blocks, realtime=not args.flat_out)
+        if args.verbose:
+            # periodic stats like the reference's 10 s verbose loop
+            remaining = args.blocks
+            while remaining is None or remaining > 0:
+                n = 500 if remaining is None else min(500, remaining)
+                rd.run(nblocks=n, realtime=not args.flat_out)
+                if remaining is not None:
+                    remaining -= n
+                print(rd.stats_line(), file=sys.stderr)
+        else:
+            rd.run(nblocks=args.blocks, realtime=not args.flat_out)
     except KeyboardInterrupt:
         pass
     if args.verbose:

@@ -231,7 +231,9 @@ def wide_extract(power, shifts, master_N: int, geo: WideGeometry, bin_count: int
     spectrum.c:359 (shift * fft_n / master_points). Output lowest
     frequency first, [C, bin_count].
     """
-    scaled = (shifts.astype(jnp.int64) * geo.fft_n // master_N).astype(jnp.int32)
+    # shift*fft_n overflows int32 at RX888 sizes and int64 is unavailable
+    # without x64; the f32 product is exact enough (<0.2 bin) for display
+    scaled = jnp.rint(shifts.astype(jnp.float32) * np.float32(geo.fft_n / master_N)).astype(jnp.int32)
     k = jnp.arange(bin_count, dtype=jnp.int32)[None, :] - bin_count // 2
     idx = scaled[:, None] + k
     if geo.real:

@@ -135,6 +135,11 @@ class Radiod:
         # DOPPLER_FREQUENCY/RATE steering (radio_status.c): ssrc -> [offset Hz, Hz/s]
         self.doppler: dict[int, list[float]] = {}
         self.if_power = 0.0  # smoothed front-end input power
+        # per-block wall-time stats (the reference's FFT timing EMA,
+        # filter.c:479-530 / main.c:151-188 verbose loop)
+        self.t_avg = 0.0
+        self.t_min = float("inf")
+        self.t_max = 0.0
         # output aggregation: min blocks per RTP packet (audio.c:64-110,
         # config 'block = 0-4'); >0 buffers audio and disables the native
         # edge (the Python path owns packet timing then)
@@ -489,6 +494,9 @@ class Radiod:
             T.OUTPUT_ENCODING: int(ch.encoding),
             T.OUTPUT_DATA_PACKETS: ch.data_packets,
             T.OUTPUT_METADATA_PACKETS: ch.metadata_packets,
+            T.FILTER_DROPS: self.block_drops,
+            T.TP1: self.t_avg * 1e3,  # test points: block time ms / drops
+            T.TP2: float(self.block_drops),
             T.IF_POWER: power_to_dB(max(self.if_power, 1e-30)),
             T.BASEBAND_POWER: power_to_dB(max(g("baseband_power"), 1e-30)),
             T.NOISE_DENSITY: power_to_dB(max(g("n0"), 1e-30)),
@@ -621,8 +629,16 @@ class Radiod:
             except OSError:
                 pass
 
+    def stats_line(self) -> str:
+        return (f"{self.blocks} blocks, {self.block_drops} drops, "
+                f"block time avg {self.t_avg*1e3:.2f} ms "
+                f"min {0 if self.t_min == float('inf') else self.t_min*1e3:.2f} "
+                f"max {self.t_max*1e3:.2f}, if_power "
+                f"{10*np.log10(max(self.if_power,1e-30)):.1f} dBFS")
+
     def step_block(self, block=None):
         """Run one 20 ms block end to end."""
+        _t0 = time.monotonic()
         self.poll_commands()
         if self.doppler:
             self._steer_doppler()
@@ -699,6 +715,10 @@ class Radiod:
                     expired.append(ssrc)
         for ssrc in expired:
             self.remove_channel(ssrc)
+        _dt = time.monotonic() - _t0
+        self.t_avg += 0.01 * (_dt - self.t_avg)
+        self.t_min = min(self.t_min, _dt)
+        self.t_max = max(self.t_max, _dt)
         return host_out
 
     def run(self, nblocks: int | None = None, realtime: bool = False):

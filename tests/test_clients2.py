@@ -1,0 +1,150 @@
+"""Loopback tests for repeater, aprsfeed (dry-run), pcmspawn, opussend."""
+import os
+import socket
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from ka9q_radio_tpu.net.rtp import RtpHeader, Encoding, encode_samples, decode_samples
+from ka9q_radio_tpu.net.multicast import make_maddr, resolve_dest, listen_socket, output_socket
+
+UNIQ = os.getpid()
+
+# Subprocess clients don't need jax; skip the axon sitecustomize TPU-tunnel
+# registration (it can take many seconds per interpreter start).
+SUBENV = {**os.environ, "PALLAS_AXON_POOL_IPS": ""}
+
+
+def _send_tone(dest_name, ssrc=5, seconds=1.0, fs=24_000, pt=11, freq=600.0):
+    tx = output_socket(resolve_dest(dest_name, 5004))
+    t = np.arange(int(fs * seconds)) / fs
+    audio = (0.4 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+    seq = ts = 0
+    for off in range(0, audio.size, 480):
+        chunk = audio[off : off + 480]
+        tx.send(RtpHeader(type=pt, seq=seq, timestamp=ts, ssrc=ssrc).pack()
+                + encode_samples(chunk, Encoding.S16BE))
+        seq += 1
+        ts += chunk.size
+        time.sleep(0.0005)
+    tx.close()
+
+
+def test_repeater_relays_and_ids():
+    from ka9q_radio_tpu.cli.repeater import main as repeater_main
+    import threading
+
+    inp, out = f"rptin-{UNIQ}.local", f"rptout-{UNIQ}.local"
+    rx = listen_socket(resolve_dest(out, 5004))
+    th = threading.Thread(
+        target=repeater_main,
+        args=([ "--input", inp, "--output", out, "--id", "TEST", "--id-interval", "3600",
+                "--samprate", "44100", "--duration", "4"],),
+        daemon=True,
+    )
+    th.start()
+    time.sleep(0.5)
+    _send_tone(inp, seconds=1.0, fs=44_100)
+    pkts = []
+    import select as sel
+    t_end = time.monotonic() + 3
+    while time.monotonic() < t_end:
+        r, _, _ = sel.select([rx], [], [], 0.2)
+        if r:
+            pkts.append(rx.recvfrom(65536)[0])
+    th.join(timeout=6)
+    assert pkts, "repeater emitted nothing"
+    # first output is the Morse ID (keyed at startup), later the relay
+    total = b"".join(RtpHeader.unpack(p)[1] for p in pkts)
+    audio = decode_samples(total, Encoding.S16BE)
+    assert audio.size > 10_000
+    assert np.abs(audio).max() > 0.1
+
+
+def test_aprsfeed_dry_run_gates_frames():
+    from ka9q_radio_tpu.daemons.ax25 import Ax25Address, build_ui_frame, afsk_modulate
+    from ka9q_radio_tpu.cli.aprsfeed import aprs_passcode
+
+    assert 0 <= aprs_passcode("N0CALL") < 0x8000
+
+    stream = f"aprsin-{UNIQ}.local"
+    frame = build_ui_frame(Ax25Address("KA9Q", 1), Ax25Address("APRS"), b">gateway test")
+    audio = afsk_modulate(frame, 44_100.0)
+    p = subprocess.Popen(
+        [sys.executable, "-m", "ka9q_radio_tpu.cli.aprsfeed", "--data", stream,
+         "--callsign", "N0CALL", "--dry-run", "--duration", "6"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=SUBENV,
+    )
+    time.sleep(1.5)
+    tx = output_socket(resolve_dest(stream, 5004))
+    seq = ts = 0
+    padded = np.concatenate([np.zeros(2000, np.float32), audio, np.zeros(2000, np.float32)])
+    for _attempt in range(2):  # resend once in case the join raced startup
+        for off in range(0, padded.size, 480):
+            chunk = padded[off : off + 480]
+            tx.send(RtpHeader(type=11, seq=seq, timestamp=ts, ssrc=9).pack()
+                    + encode_samples(chunk, Encoding.S16BE))
+            seq += 1
+            ts += chunk.size
+            time.sleep(0.0005)
+        time.sleep(1.0)
+    out, err = p.communicate(timeout=15)
+    assert "KA9Q-1>APRS" in out, (out, err)
+    assert ">gateway test" in out
+
+
+def test_pcmspawn_pipes_audio(tmp_path):
+    stream = f"spawn-{UNIQ}.local"
+    p = subprocess.Popen(
+        [sys.executable, "-m", "ka9q_radio_tpu.cli.pcmspawn", "--data", stream,
+         "--duration", "4", "--",
+         sys.executable, "-c",
+         "import sys,shutil; shutil.copyfileobj(sys.stdin.buffer, open(sys.argv[1],'wb'))",
+         f"{tmp_path}/out-{{ssrc}}.raw"],
+        stderr=subprocess.PIPE, text=True, env=SUBENV,
+    )
+    time.sleep(1.5)
+    _send_tone(stream, ssrc=42, seconds=0.5, fs=44_100)
+    p.wait(timeout=10)
+    # the {ssrc} substitution happens in pcmspawn's command tokens
+    candidates = list(tmp_path.glob("out-*.raw"))
+    assert candidates, p.stderr.read() if p.stderr else "no output file"
+    data = np.frombuffer(candidates[0].read_bytes(), "<i2")
+    assert data.size > 5_000
+
+
+def test_opussend_stream(tmp_path):
+    from ka9q_radio_tpu.net.opus import available
+
+    if not available():
+        pytest.skip("no libopus")
+    fs = 48_000
+    t = np.arange(fs) / fs
+    pcm = np.rint(0.4 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    f = tmp_path / "tone.s16"
+    f.write_bytes(pcm.tobytes())
+    stream = f"opustx-{UNIQ}.local"
+    rx = listen_socket(resolve_dest(stream, 5004))
+    rc = subprocess.run(
+        [sys.executable, "-m", "ka9q_radio_tpu.cli.opussend", str(f), "--data", stream,
+         "--samprate", "48k", "--flat-out"],
+        capture_output=True, text=True, timeout=30, env=SUBENV,
+    )
+    assert rc.returncode == 0, rc.stderr
+    import select as sel
+    pkts = []
+    while True:
+        r, _, _ = sel.select([rx], [], [], 0.5)
+        if not r:
+            break
+        pkts.append(rx.recvfrom(65536)[0])
+    assert len(pkts) >= 40  # ~50 x 20 ms frames
+    from ka9q_radio_tpu.net.opus import OpusDecoder
+    dec = OpusDecoder(48_000, 2)
+    out = np.concatenate([dec.decode(RtpHeader.unpack(p)[1]) for p in pkts[1:]])
+    spec = np.abs(np.fft.rfft(out[:, 0] * np.hanning(out.shape[0])))
+    fgrid = np.fft.rfftfreq(out.shape[0], 1 / 48_000)
+    assert abs(fgrid[np.argmax(spec)] - 440.0) < 20
