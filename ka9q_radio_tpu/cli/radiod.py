@@ -16,13 +16,21 @@ def main(argv=None) -> int:
     ap.add_argument("--blocks", type=int, default=None, help="exit after N blocks (default: run forever)")
     ap.add_argument("--flat-out", action="store_true", help="don't pace to wall clock (benchmarking)")
     ap.add_argument("--no-network", action="store_true", help="don't open sockets (dry run)")
+    ap.add_argument("--checkpoint", default=None, help="state snapshot file (resume + periodic save)")
+    ap.add_argument("--checkpoint-interval", type=float, default=60.0)
     args = ap.parse_args(argv)
 
     from ..config import load_config
     from ..runtime.radiod import Radiod
 
     cfg = load_config(args.config)
+    for w in cfg.warnings:
+        print(f"config: {w}", file=sys.stderr)
     rd = Radiod(cfg, use_network=not args.no_network)
+    if args.checkpoint:
+        import os
+        if os.path.exists(args.checkpoint) and rd.load_checkpoint(args.checkpoint):
+            print(f"resumed from {args.checkpoint} at block {rd.blocks}", file=sys.stderr)
     if args.verbose:
         print(f"master: L={rd.engine.L} N={rd.engine.master.N} "
               f"fs={rd.engine.samprate:.0f} {'real' if rd.engine.master.real else 'complex'}",
@@ -32,17 +40,18 @@ def main(argv=None) -> int:
                   f"{ch.samprate} Hz out pt={ch.pt}", file=sys.stderr)
     t0 = time.monotonic()
     try:
-        if args.verbose:
-            # periodic stats like the reference's 10 s verbose loop
-            remaining = args.blocks
-            while remaining is None or remaining > 0:
-                n = 500 if remaining is None else min(500, remaining)
-                rd.run(nblocks=n, realtime=not args.flat_out)
-                if remaining is not None:
-                    remaining -= n
+        remaining = args.blocks
+        last_ckpt = time.monotonic()
+        while remaining is None or remaining > 0:
+            n = 500 if remaining is None else min(500, remaining)
+            rd.run(nblocks=n, realtime=not args.flat_out)
+            if remaining is not None:
+                remaining -= n
+            if args.verbose:
                 print(rd.stats_line(), file=sys.stderr)
-        else:
-            rd.run(nblocks=args.blocks, realtime=not args.flat_out)
+            if args.checkpoint and time.monotonic() - last_ckpt >= args.checkpoint_interval:
+                rd.save_checkpoint(args.checkpoint)
+                last_ckpt = time.monotonic()
     except KeyboardInterrupt:
         pass
     if args.verbose:

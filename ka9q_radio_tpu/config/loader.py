@@ -96,6 +96,7 @@ class RadiodConfig:
     samprate: float
     real: bool
     options: dict[str, str]  # remaining [global] keys (status/data names, ttl...)
+    warnings: list = dataclasses.field(default_factory=list)  # unknown keys etc.
 
 
 def _expand_freqs(sec: dict[str, str]) -> list[tuple[float, float]]:
@@ -127,6 +128,19 @@ def _expand_freqs(sec: dict[str, str]) -> list[tuple[float, float]]:
             exc.update(parse_frequency(t, True) for t in el.split())
     return [(f, t) for f, t in out if f not in exc]
 
+
+_CHANNEL_ONLY_KEYS = {
+    "mode", "preset", "ssrc", "freq", "raster", "except", "tone", "pl",
+    "ctcss", "filter2", "encoding", "block", "update", "ttl", "data",
+    "lifetime", "prio",
+}
+_GLOBAL_KEYS = {
+    "hardware", "status", "data", "mode", "preset", "ttl", "blocktime",
+    "overlap", "update", "encoding", "block", "lifetime", "wisdom",
+    "advertise", "rds", "native-edge", "description", "rtcp-interval",
+    "spectrum-format", "spectrum-base", "spectrum-step", "iface",
+    "fft-threads", "fft-plan-level", "dns", "tos",
+}
 
 _GROUP_KEYS = {
     "demod", "samprate", "low", "high", "kaiser-beta",
@@ -238,10 +252,28 @@ def _build_source(sec: dict[str, str]) -> SigGenConfig:
 
 
 def load_config(text_or_path: str, presets: dict[str, dict] | None = None) -> RadiodConfig:
-    """Load a radiod .conf (path or literal text)."""
+    """Load a radiod .conf (path or literal text).
+
+    Like the reference (radio.c:181-278), a `<path>.d/` directory (or the
+    path itself being a directory) is concatenated in sorted order after
+    the base file.
+    """
+    import os
+
     if "\n" not in text_or_path and not text_or_path.lstrip().startswith("["):
-        with open(text_or_path) as fh:
-            text = fh.read()
+        parts = []
+        if os.path.isdir(text_or_path):
+            d = text_or_path
+        else:
+            with open(text_or_path) as fh:
+                parts.append(fh.read())
+            d = text_or_path + ".d"
+        if os.path.isdir(d):
+            for name in sorted(os.listdir(d)):
+                if name.endswith(".conf"):
+                    with open(os.path.join(d, name)) as fh:
+                        parts.append(fh.read())
+        text = "\n".join(parts)
     else:
         text = text_or_path
     ini = parse_ini(text)
@@ -289,6 +321,10 @@ def load_config(text_or_path: str, presets: dict[str, dict] | None = None) -> Ra
 
     default_mode = g.get("mode", g.get("preset", "")).strip().lower()
     groups: list[GroupSpec] = []
+    warnings: list[str] = []
+    for k in g:
+        if k not in _GLOBAL_KEYS and k not in _GROUP_KEYS:
+            warnings.append(f"[global]: unknown key {k!r}")
     for name, sec in ini.items():
         if name == "global" or name == hw_name:
             continue
@@ -298,6 +334,10 @@ def load_config(text_or_path: str, presets: dict[str, dict] | None = None) -> Ra
         if not freqs:
             continue  # pure template/disabled section
         mode = str(sec.get("mode", sec.get("preset", default_mode))).strip().lower()
+        for k in sec:
+            base = k.rstrip("0123456789")
+            if k not in _GROUP_KEYS and base not in _CHANNEL_ONLY_KEYS:
+                warnings.append(f"[{name}]: unknown key {k!r}")
         settings: dict[str, Any] = {}
         # layered precedence: defaults ◁ [global] ◁ preset ◁ section
         for k in _GROUP_KEYS & set(g):
@@ -320,4 +360,5 @@ def load_config(text_or_path: str, presets: dict[str, dict] | None = None) -> Ra
         samprate=samprate,
         real=real,
         options={k: v for k, v in g.items() if k not in ("blocktime", "overlap", "hardware")},
+        warnings=warnings,
     )

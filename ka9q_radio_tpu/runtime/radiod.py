@@ -186,6 +186,16 @@ class Radiod:
                 self._setup_native_edges(data_dest, ttl)
             # RTCP on the data address's next port (rtp.h:7-10)
             self.rtcp_sock = output_socket((data_dest[0], data_dest[1] + 1), ttl)
+            # SAP/SDP session announcements (radio.c:1244-1366)
+            self.sap = None
+            self._sap_dest = data_dest
+            self._sap_ttl = ttl
+            if str(cfg.options.get("sap", "y")).lower() not in ("n", "no", "false", "0"):
+                try:
+                    from ..net.sap import SapAnnouncer
+                    self.sap = SapAnnouncer(ttl)
+                except Exception:
+                    self.sap = None
             # mDNS service advertisement (avahi.c analog; 'advertise = no' off)
             self.mdns = None
             if str(cfg.options.get("advertise", "y")).lower() not in ("n", "no", "false", "0"):
@@ -613,6 +623,23 @@ class Radiod:
             except ValueError:
                 pass
 
+    def _send_sap(self):
+        if getattr(self, "sap", None) is None:
+            return
+        enc_names = {Encoding.S16BE: "L16", Encoding.OPUS: "opus", Encoding.MULAW: "PCMU",
+                     Encoding.ALAW: "PCMA"}
+        pts = []
+        seen = set()
+        for ch in self.chans.values():
+            if ch.pt in seen:
+                continue
+            seen.add(ch.pt)
+            pts.append((ch.pt, enc_names.get(ch.encoding, "L16"),
+                        48_000 if ch.encoding in (Encoding.OPUS, Encoding.OPUS_VOIP) else ch.samprate,
+                        ch.channels))
+        self.sap.announce(self.description, self._sap_dest[0], self._sap_dest[1],
+                          pts, self._sap_ttl)
+
     def _send_rtcp(self):
         if self.rtcp_sock is None:
             return
@@ -629,6 +656,69 @@ class Radiod:
             except OSError:
                 pass
 
+    # -------------------------------------------------------- checkpoint
+    def save_checkpoint(self, path: str):
+        """Snapshot ALL carried DSP state (filter tails, AGC gains, PLL
+        phases, squelch counters, noise floors) + RTP bookkeeping to one
+        .npz. The reference has no signal-state persistence (SURVEY.md §5);
+        this plus the XLA cache gives warm restarts."""
+        import json
+        import jax.tree_util as jtu
+
+        leaves = jtu.tree_flatten_with_path(self.state)[0]
+        arrs = {}
+        for kp, leaf in leaves:
+            arrs[jtu.keystr(kp)] = np.asarray(leaf)
+        if self.source_state is not None:
+            # sig_gen phase + PRNG (key arrays serialize via key_data)
+            arrs["__src_phase__"] = np.asarray(self.source_state["phase"])
+            arrs["__src_tone__"] = np.asarray(self.source_state["tone_phase"])
+            arrs["__src_key__"] = np.asarray(jax.random.key_data(self.source_state["key"]))
+        meta = {
+            "blocks": self.blocks,
+            "chans": {str(ssrc): {"seq": ch.rtp_seq, "ts": ch.rtp_timestamp,
+                                  "freq": ch.freq, "group": ch.group, "idx": ch.idx}
+                      for ssrc, ch in self.chans.items()},
+        }
+        np.savez_compressed(path, __meta__=json.dumps(meta), **arrs)
+
+    def load_checkpoint(self, path: str) -> bool:
+        """Restore a snapshot taken with the same configuration. Returns
+        False (untouched state) on any structure mismatch."""
+        import json
+        import jax.tree_util as jtu
+
+        try:
+            z = np.load(path, allow_pickle=False)
+        except OSError:
+            return False
+        leaves, treedef = jtu.tree_flatten_with_path(self.state)
+        new = []
+        for kp, leaf in leaves:
+            key = jtu.keystr(kp)
+            if key not in z or z[key].shape != leaf.shape:
+                return False
+            new.append(jax.device_put(z[key].astype(np.asarray(leaf).dtype)))
+        self.state = jtu.tree_unflatten(jtu.tree_structure(self.state), new)
+        if self.source_state is not None and "__src_phase__" in z:
+            key = self.source_state["key"]
+            try:
+                key = jax.random.wrap_key_data(jax.numpy.asarray(z["__src_key__"]))
+            except Exception:
+                key = jax.numpy.asarray(z["__src_key__"])
+            self.source_state = {
+                "phase": jax.numpy.asarray(z["__src_phase__"]),
+                "tone_phase": jax.numpy.asarray(z["__src_tone__"]),
+                "key": key,
+            }
+        meta = json.loads(str(z["__meta__"]))
+        self.blocks = int(meta.get("blocks", 0))
+        for ssrc_s, m in meta.get("chans", {}).items():
+            ch = self.chans.get(int(ssrc_s))
+            if ch is not None and ch.group == m["group"] and ch.idx == m["idx"]:
+                ch.rtp_seq, ch.rtp_timestamp = int(m["seq"]), int(m["ts"])
+        return True
+
     def stats_line(self) -> str:
         return (f"{self.blocks} blocks, {self.block_drops} drops, "
                 f"block time avg {self.t_avg*1e3:.2f} ms "
@@ -644,6 +734,7 @@ class Radiod:
             self._steer_doppler()
         if self.rtcp_sock is not None and self.blocks % self.rtcp_every == self.rtcp_every - 1:
             self._send_rtcp()
+            self._send_sap()
         if block is None:
             if self.frontend is not None:
                 block = self.frontend.read_block(self.engine.L)

@@ -63,3 +63,17 @@ def test_doppler_steering():
     }, cmd=True))
     assert 200 not in rd.doppler
     assert int(np.asarray(rd.params["hf"]["shifts"][0])) == shift0
+
+
+def test_sap_sdp_roundtrip():
+    from ka9q_radio_tpu.net.sap import build_sdp, build_sap, parse_sap
+
+    sdp = build_sdp("my radio", "239.1.2.3", 5004, "10.0.0.1",
+                    [(77, "L16", 24000, 1), (123, "opus", 48000, 2)])
+    assert "m=audio 5004 RTP/AVP 77 123" in sdp
+    assert "a=rtpmap:77 L16/24000/1" in sdp
+    assert "c=IN IP4 239.1.2.3/1" in sdp
+    pkt = build_sap(sdp, "10.0.0.1", msg_id=42)
+    origin, msg_id, deletion, text = parse_sap(pkt)
+    assert origin == "10.0.0.1" and msg_id == 42 and not deletion
+    assert text == sdp
