@@ -72,7 +72,19 @@ def main() -> None:
         eng = _E(samprate=eng.samprate, real=eng.master.real,
                  groups=eng.specs, blocktime=eng.blocktime, use_pallas=True)
 
-    state = jax.jit(eng.init_state)()
+    def _init_state():
+        # the tunnel can flake on any first dispatch — retry with backoff
+        for attempt in range(6):
+            try:
+                st = jax.jit(eng.init_state)()
+                jax.block_until_ready(st)
+                return st
+            except Exception:
+                if attempt == 5:
+                    raise
+                time.sleep(15.0)
+
+    state = _init_state()
     params = eng.init_params()
     key = jax.random.PRNGKey(0)
     # time K chained blocks per dispatch (lax.scan over DISTINCT random
@@ -112,7 +124,7 @@ def main() -> None:
             if attempt == 5:
                 raise
             time.sleep(15.0)
-            state = jax.jit(eng.init_state)()
+            state = _init_state()
             params = eng.init_params()
     state, acc = runk(state, params, blocks)
     jax.block_until_ready(acc)

@@ -71,8 +71,14 @@ class Session:
         else:
             audio = decode_samples(payload, self.encoding)
         nframes = audio.size // self.channels
-        if self.rtp.process(hdr, nframes) < 0:
+        gap = self.rtp.process(hdr, nframes)
+        if gap is not None and gap < 0:
             return None
+        if self.opus is not None and gap:
+            # packet-loss concealment for the gap (monitor-data.c:525-633)
+            plc = self.opus.decode(None, min(int(gap), 5760)).reshape(-1)
+            audio = np.concatenate([plc, audio])
+            nframes = audio.size // self.channels
         self.samples += nframes
         if audio.size:
             self.level = 0.9 * self.level + 0.1 * float(np.sqrt(np.mean(audio**2)))

@@ -23,9 +23,13 @@ from ..net.multicast import resolve_dest, listen_socket, DEFAULT_RTP_PORT, DEFAU
 
 
 class Session:
-    def __init__(self, ssrc: int, samprate: int, channels: int, encoding: Encoding, outdir: str, to_stdout: bool):
+    def __init__(self, ssrc: int, samprate: int, channels: int, encoding: Encoding, outdir: str, to_stdout: bool,
+                 rotate_s: float | None = None):
         self.ssrc = ssrc
         self.samprate, self.channels, self.encoding = samprate, channels, encoding
+        self.outdir = outdir
+        self.rotate_s = rotate_s
+        self.opened_at = time.monotonic()
         self.rtp = RtpState()
         self.to_stdout = to_stdout
         self.opus = None
@@ -34,14 +38,27 @@ class Session:
             self.opus = OpusDecoder(samprate, channels)
         self.wav = None
         if not to_stdout:
-            path = os.path.join(outdir, f"ssrc{ssrc}.wav")
-            self.wav = wave.open(path, "wb")
-            self.wav.setnchannels(channels)
-            self.wav.setsampwidth(2)
-            self.wav.setframerate(samprate)
-            self.path = path
+            self._open_file()
+
+    def _open_file(self):
+        # wd-record-style timestamped names so rotation never collides
+        stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+        path = os.path.join(self.outdir, f"ssrc{self.ssrc}.wav" if not self.rotate_s
+                            else f"{stamp}_ssrc{self.ssrc}.wav")
+        self.wav = wave.open(path, "wb")
+        self.wav.setnchannels(self.channels)
+        self.wav.setsampwidth(2)
+        self.wav.setframerate(self.samprate)
+        self.path = path
+        self.opened_at = time.monotonic()
 
     def write(self, hdr: RtpHeader, payload: bytes):
+        if (self.wav is not None and self.rotate_s
+                and time.monotonic() - self.opened_at >= self.rotate_s):
+            # wd-record per-interval file rotation
+            self.wav.close()
+            print(f"wrote {self.path}", file=sys.stderr)
+            self._open_file()
         if self.opus is not None:
             audio = self.opus.decode(payload).reshape(-1)
         else:
@@ -69,6 +86,8 @@ def main(argv=None) -> int:
     ap.add_argument("--dir", default=".")
     ap.add_argument("--ssrc", type=int, default=None, help="record only this SSRC")
     ap.add_argument("--stdout", action="store_true", help="raw s16le to stdout (single ssrc)")
+    ap.add_argument("--rotate", type=float, default=None,
+                    help="rotate files every N seconds (wd-record behavior)")
     args = ap.parse_args(argv)
 
     rx = listen_socket(resolve_dest(args.data, DEFAULT_RTP_PORT))
@@ -110,7 +129,8 @@ def main(argv=None) -> int:
                     fmt = fmt_by_ssrc.get(hdr.ssrc) or registry.info_from_pt(hdr.type)
                     if fmt is None:
                         continue  # unknown payload type; wait for status
-                    sess = sessions[hdr.ssrc] = Session(hdr.ssrc, *fmt, args.dir, args.stdout)
+                    sess = sessions[hdr.ssrc] = Session(hdr.ssrc, *fmt, args.dir, args.stdout,
+                                                        rotate_s=args.rotate)
                     print(f"ssrc {hdr.ssrc}: {fmt[0]} Hz x{fmt[1]} {fmt[2].name}", file=sys.stderr)
                 sess.write(hdr, payload)
     except KeyboardInterrupt:

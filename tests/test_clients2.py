@@ -148,3 +148,54 @@ def test_opussend_stream(tmp_path):
     spec = np.abs(np.fft.rfft(out[:, 0] * np.hanning(out.shape[0])))
     fgrid = np.fft.rfftfreq(out.shape[0], 1 / 48_000)
     assert abs(fgrid[np.argmax(spec)] - 440.0) < 20
+
+
+def test_stereod_decodes_composite():
+    import threading
+    from ka9q_radio_tpu.cli.stereod import main as stereod_main
+
+    inp, out = f"comp-{UNIQ}.local", f"st-{UNIQ}.local"
+    rx = listen_socket(resolve_dest(out, 5004))
+    th = threading.Thread(target=stereod_main,
+                          args=(["--input", inp, "--output", out, "--duration", "14"],),
+                          daemon=True)
+    th.start()
+    time.sleep(0.5)
+
+    fs = 384_000.0
+    n = 20 * 7680
+    t = np.arange(n) / fs
+    left = np.cos(2 * np.pi * 1000.0 * t)
+    comp = (0.45 * left + 0.1 * np.sin(2 * np.pi * 19_000.0 * t)
+            + 0.45 * left * np.sin(2 * np.pi * 38_000.0 * t)) * 0.9
+    tx = output_socket(resolve_dest(inp, 5004))
+    seq = ts = 0
+    for off in range(0, n, 640):
+        chunk = comp[off : off + 640].astype(np.float32)
+        tx.send(RtpHeader(type=96, seq=seq, timestamp=ts, ssrc=3).pack()
+                + encode_samples(chunk, Encoding.S16BE))
+        seq += 1
+        ts += chunk.size
+        time.sleep(0.0002)
+
+    import select as sel
+    pkts = []
+    t_end = time.monotonic() + 12
+    while time.monotonic() < t_end:
+        r, _, _ = sel.select([rx], [], [], 0.3)
+        if r:
+            pkts.append(rx.recvfrom(65536)[0])
+        elif pkts:
+            break
+    assert len(pkts) > 10, "stereod produced no output"
+    frags = sorted((RtpHeader.unpack(p)[0].seq, RtpHeader.unpack(p)[1]) for p in pkts)
+    audio = decode_samples(b"".join(pl for _, pl in frags), Encoding.S16BE).reshape(-1, 2)
+    # skip warm-up, check the 1 kHz tone decodes with L dominant
+    a = audio[len(audio) // 2 :]
+    spec_l = np.abs(np.fft.rfft(a[:, 0] * np.hanning(a.shape[0])))
+    f = np.fft.rfftfreq(a.shape[0], 1 / 48_000)
+    assert abs(f[np.argmax(spec_l)] - 1000.0) < 25
+    pl_ = spec_l.max()
+    spec_r = np.abs(np.fft.rfft(a[:, 1] * np.hanning(a.shape[0])))
+    band = (f > 950) & (f < 1050)
+    assert pl_ > 10 * spec_r[band].max()  # >20 dB separation

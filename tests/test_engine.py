@@ -138,3 +138,20 @@ def test_noise_density_calibration():
     n0 = float(outs[-1]["iq"]["info"]["n0"][0])
     n0_rep_db = 10 * np.log10(n0)
     assert abs(n0_rep_db - n0_db) < 1.0, n0_rep_db
+
+
+def test_capacity_2000_channels():
+    """The reference caps at 2000 channels/instance (radio.h:344); our
+    channel table is a tensor axis — prove 2000 compile and step."""
+    fs = 2_048_000
+    freqs = np.linspace(-0.45 * fs, 0.45 * fs, 2000)
+    eng = Engine(samprate=fs, real=False, groups=[GroupSpec(
+        name="scan", demod="fm", samprate=8000,
+        channels=tuple(ChannelSpec(freq=float(f), low=-3000.0, high=3000.0) for f in freqs))])
+    assert eng.groups["scan"].C == 2000
+    state, params = eng.init_state(), eng.init_params()
+    step = jax.jit(eng.step)
+    block = jnp.zeros((eng.L,), jnp.complex64)
+    for _ in range(2):
+        state, out = step(state, params, block)
+    assert out["scan"]["audio"].shape == (2000, 160)
