@@ -212,9 +212,10 @@ class _Group:
         self.noise_bins = int(min(master.bins, max(self.n_bins, MIN_NOISE_BINS)))
         if spec.demod == "wfm":
             self.wfm_geo = wfm_geometry(blocktime)
-            self.wfm_responses = {
-                k: jnp.asarray(v) for k, v in wfm_design(self.wfm_geo, spec.kaiser_beta).items()
-            }
+            # keep as NUMPY: device arrays closure-captured into the jitted
+            # step force a device->host constant fetch at trace time (flaky
+            # over the tunnel); numpy embeds as a plain constant
+            self.wfm_responses = wfm_design(self.wfm_geo, spec.kaiser_beta)
         if spec.filter2 > 0 or spec.isb:
             self.f2_L = self.olen
             self.f2_N = 1 << int(np.ceil(np.log2(max(2 * self.f2_L, 2))))
