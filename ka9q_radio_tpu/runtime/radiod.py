@@ -96,9 +96,10 @@ class Radiod:
                 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
             except Exception:
                 pass
+        use_pallas = str(cfg.options.get("pallas", "n")).lower() in ("y", "yes", "true", "1", "on")
         self.engine = Engine(
             samprate=cfg.samprate, real=cfg.real, groups=cfg.groups,
-            blocktime=cfg.blocktime, overlap=cfg.overlap,
+            blocktime=cfg.blocktime, overlap=cfg.overlap, use_pallas=use_pallas,
         )
         # initial state built INSIDE jit: remote-TPU tunnels (axon) are
         # unreliable for eager device ops; compiled programs are the solid path
@@ -390,7 +391,7 @@ class Radiod:
         old = self.engine
         new_eng = Engine(samprate=self.cfg.samprate, real=self.cfg.real,
                          groups=specs, blocktime=self.cfg.blocktime,
-                         overlap=self.cfg.overlap)
+                         overlap=self.cfg.overlap, use_pallas=self.engine.use_pallas)
         new_init = jax.jit(new_eng.init_state)()
         self.state = jax.jit(migrate_state)(self.state, new_init)
         self.params = new_eng.adopt_host_params(old)

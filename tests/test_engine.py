@@ -155,3 +155,26 @@ def test_capacity_2000_channels():
     for _ in range(2):
         state, out = step(state, params, block)
     assert out["scan"]["audio"].shape == (2000, 160)
+
+
+def test_snr_reporting_accuracy():
+    """Reported SNR tracks the constructed scene within a fraction of a dB
+    (the SURVEY §4 verification bound)."""
+    amp = 0.01
+    n0_db = -120.0
+    bw = 12_000.0
+    src = SigGenConfig(samprate=FS, real=False, carrier_hz=150_000.0,
+                       amplitude=amp, noise_n0=10 ** (n0_db / 10.0))
+    eng = Engine(samprate=FS, real=False, groups=[GroupSpec(
+        name="iq", demod="iq", samprate=16_000, agc=False, snr_squelch=True,
+        channels=(ChannelSpec(freq=150_000.0, low=-bw / 2, high=bw / 2, gain_db=0.0),))])
+    outs = run_blocks(eng, src, 30)
+    info = outs[-1]["iq"]["info"]
+    # analytic: signal power amp^2 over noise N0*bw
+    want_snr_db = 10 * np.log10(amp**2 / (10 ** (n0_db / 10.0) * bw))
+    got_bb = 10 * np.log10(info["baseband_power"][0])
+    got_n0 = 10 * np.log10(info["n0"][0])
+    got_snr_db = got_bb - (got_n0 + 10 * np.log10(bw))
+    assert abs(got_snr_db - want_snr_db) < 0.75, (got_snr_db, want_snr_db)
+    # carrier power itself accurate to ~0.1 dB
+    assert abs(got_bb - 20 * np.log10(amp)) < 0.1, got_bb
