@@ -183,9 +183,18 @@ def main(argv=None) -> int:
                 frames = audio[idx]
                 if sess.channels == 1:
                     frames = np.repeat(frames, 2, axis=1)
-                base = int((sess.samples - audio.shape[0]) / step)
+                # place at the session's stream position (RTP-derived) so
+                # gaps and late joins stay time-aligned in the mix
+                base = int(round((sess.samples - audio.shape[0]) / step))
                 buf = mix.get(sess.ssrc)
-                mix[sess.ssrc] = frames * g if buf is None else np.concatenate([buf, frames * g])
+                need = base + frames.shape[0]
+                if buf is None or buf.shape[0] < need:
+                    grown = np.zeros((need, 2), np.float32)
+                    if buf is not None:
+                        grown[: buf.shape[0]] = buf
+                    buf = grown
+                buf[base:need] += (frames * g).astype(np.float32)
+                mix[sess.ssrc] = buf
     except KeyboardInterrupt:
         pass
 

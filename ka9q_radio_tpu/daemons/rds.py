@@ -124,12 +124,13 @@ class RdsDecoder:
         # search timing offset maximizing sum |soft|
         best, best_tau = None, 0.0
         half = sps / 2
+        cs = np.concatenate([[0.0], np.cumsum(x)])  # shared by all tau
+        sym_idx = np.arange(n_sym) * sps
         for tau in np.linspace(0, sps, 20, endpoint=False):
             # half-symbol sums via the cumulative sum
-            h1s = (np.arange(n_sym) * sps + tau).astype(int)
-            h2s = (np.arange(n_sym) * sps + tau + half).astype(int)
-            h3s = (np.arange(n_sym) * sps + tau + 2 * half).astype(int)
-            cs = np.concatenate([[0.0], np.cumsum(x)])
+            h1s = (sym_idx + tau).astype(int)
+            h2s = (sym_idx + tau + half).astype(int)
+            h3s = (sym_idx + tau + 2 * half).astype(int)
             s1 = cs[np.minimum(h2s, x.size)] - cs[np.minimum(h1s, x.size)]
             s2 = cs[np.minimum(h3s, x.size)] - cs[np.minimum(h2s, x.size)]
             soft = s1 - s2

@@ -211,8 +211,7 @@ def browse(service_type: str, timeout: float = 2.0) -> list[dict]:
             if rtype == 33 and len(rdata) >= 6:  # SRV
                 _, _, port = struct.unpack(">HHH", rdata[:6])
                 host, _ = _parse_name(pkt, doff + 6)
-                inst = name[: -len(service_type) - 1] if name.endswith("." + service_type) else name
-                inst = name.split(".")[0]
+                inst = name[: -len(service_type) - 1] if name.endswith("." + service_type) else name.split(".")[0]
                 e = found.setdefault(name, {"instance": inst, "port": port, "host": host,
                                             "addr": addrs.get(host), "txt": {}})
                 e["port"], e["host"] = port, host

@@ -341,6 +341,7 @@ class _Group:
         if spec.demod == "spectrum":
             p["demod"] = {}
             self.host = p
+            self.pristine_demod = {}
             return jax.tree.map(jnp.asarray, p)
         if spec.demod == "wfm":
             # de-emphasis runs at the audio rate (modes.c:408-412)
@@ -379,6 +380,9 @@ class _Group:
             )
         p["demod"] = d
         self.host = p  # authoritative numpy mirrors for host-side surgery
+        # pristine copy of build-time demod defaults (tombstoned dynamic
+        # slots are restored from this on reuse)
+        self.pristine_demod = {k: np.copy(v) for k, v in d.items()}
         return jax.tree.map(jnp.asarray, p)
 
     def retune(self, params: dict[str, Any], idx: int, freq: float) -> dict[str, Any]:

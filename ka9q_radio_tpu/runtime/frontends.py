@@ -73,10 +73,14 @@ class FileSource:
             buf += chunk
         raw = np.frombuffer(buf, self.dtype)
         if self.dtype.kind == "i":
-            scale = 1.0 / 127.0 if self.dtype.itemsize == 1 else 1.0 / 32767.0
-            x = raw.astype(np.float32) * scale
             if self.rtl_offset:
-                x = (raw.astype(np.float32) - 127.5) / 127.5
+                # rtl_sdr bytes are UNSIGNED offset binary — reinterpret
+                # before centering or the top half of the range wraps sign
+                u = np.frombuffer(buf, np.uint8).astype(np.float32)
+                x = (u - 127.5) / 127.5
+            else:
+                scale = 1.0 / 127.0 if self.dtype.itemsize == 1 else 1.0 / 32767.0
+                x = raw.astype(np.float32) * scale
         else:
             x = raw.astype(np.float32)
         if self.real:

@@ -74,6 +74,7 @@ class _Chan:
     agg: list = dataclasses.field(default_factory=list)  # aggregation queue
     dynamic: bool = False
     lifetime: int = 0  # idle countdown in blocks (0 = immortal)
+    lifetime_init: int = 0  # value a poll/command refreshes the countdown to
 
 
 class Radiod:
@@ -165,10 +166,14 @@ class Radiod:
                     encoding=default_enc, pt=pt,
                 )
                 if spec.demod == "wfm" and str(cfg.options.get("rds", "n")).lower() in ("y", "yes", "true", "1", "on"):
-                    # companion RDS-baseband stream on ssrc+1 (rdsd-tpu input)
+                    # companion RDS-baseband stream on ssrc+1 (rdsd-tpu
+                    # input); bump on collision like primary channels
+                    rds_ssrc = ssrc + 1
+                    while rds_ssrc in self.chans:
+                        rds_ssrc += 1
                     rds_pt = self.registry.pt_from_info(48_000, 1, Encoding.F16LE)
-                    self.chans[ssrc + 1] = _Chan(
-                        group=gname, idx=i, ssrc=ssrc + 1, freq=c.freq, low=c.low,
+                    self.chans[rds_ssrc] = _Chan(
+                        group=gname, idx=i, ssrc=rds_ssrc, freq=c.freq, low=c.low,
                         high=c.high, samprate=48_000, channels=1,
                         encoding=Encoding.F16LE, pt=rds_pt, rds=True,
                     )
@@ -300,8 +305,8 @@ class Radiod:
             if ch is None:
                 return
         ch.commands += 1
-        if ch.dynamic and self.lifetime_blocks:
-            ch.lifetime = self.lifetime_blocks  # poll/command refreshes it
+        if ch.dynamic and ch.lifetime_init:
+            ch.lifetime = ch.lifetime_init  # poll/command restarts the countdown
         self.apply_command(ch, fields)
         self._send_status(self.encode_channel_status(ch, tag))
 
@@ -328,6 +333,20 @@ class Radiod:
         slot = None
         if self.free_slots.get(gname):
             slot = self.free_slots[gname].pop()
+            # un-tombstone: restore the slot's demod params from the group's
+            # pristine (build-time) defaults that remove_channel overwrote
+            g0 = self.engine.groups[gname]
+            pristine = g0.pristine_demod
+            host = g0.host["demod"]
+            p = dict(self.params)
+            p[gname] = dict(p[gname])
+            d = dict(p[gname]["demod"])
+            for key, arr in pristine.items():
+                if key in host:
+                    host[key][slot] = arr[min(slot, arr.shape[0] - 1)]
+                    d[key] = jax.numpy.asarray(host[key])
+            p[gname]["demod"] = d
+            self.params = p
         elif gname not in self.engine.groups:
             settings = dict(presets[preset])
             spec = _build_group(gname, settings, [(freq, 0.0)])
@@ -352,7 +371,8 @@ class Radiod:
         ch = _Chan(group=gname, idx=slot, ssrc=ssrc, freq=freq,
                    low=spec.channels[0].low, high=spec.channels[0].high,
                    samprate=out_rate, channels=nch, encoding=enc, pt=pt,
-                   dynamic=True, lifetime=self.lifetime_blocks)
+                   dynamic=True, lifetime=self.lifetime_blocks,
+                   lifetime_init=self.lifetime_blocks)
         self.chans[ssrc] = ch
         try:
             self.params = self.engine.retune(self.params, gname, slot, freq)
@@ -470,7 +490,7 @@ class Radiod:
                 except ValueError:
                     pass
         if T.LIFETIME in fields:
-            ch.lifetime = int(fields[T.LIFETIME]) 
+            ch.lifetime = ch.lifetime_init = int(fields[T.LIFETIME])
             ch.dynamic = ch.dynamic or ch.lifetime > 0
 
     # -------------------------------------------------------------- status
@@ -628,14 +648,15 @@ class Radiod:
         if getattr(self, "sap", None) is None:
             return
         enc_names = {Encoding.S16BE: "L16", Encoding.OPUS: "opus", Encoding.MULAW: "PCMU",
-                     Encoding.ALAW: "PCMA"}
+                     Encoding.ALAW: "PCMA", Encoding.F32LE: "F32LE", Encoding.F32BE: "F32BE",
+                     Encoding.F16LE: "F16LE", Encoding.F16BE: "F16BE", Encoding.S16LE: "L16LE"}
         pts = []
         seen = set()
         for ch in self.chans.values():
             if ch.pt in seen:
                 continue
             seen.add(ch.pt)
-            pts.append((ch.pt, enc_names.get(ch.encoding, "L16"),
+            pts.append((ch.pt, enc_names.get(ch.encoding, ch.encoding.name),
                         48_000 if ch.encoding in (Encoding.OPUS, Encoding.OPUS_VOIP) else ch.samprate,
                         ch.channels))
         self.sap.announce(self.description, self._sap_dest[0], self._sap_dest[1],
@@ -756,6 +777,10 @@ class Radiod:
             if self.block_drops > 100 and self.block_drops > self.blocks // 2:
                 raise  # persistently broken — surface it
             return None
+        fe = host_out.pop("_frontend", None)
+        if fe is not None:
+            # EMA like frontend->if_power smoothing in the drivers
+            self.if_power += 0.1 * (float(np.asarray(fe["if_power"])[0]) - self.if_power)
         # fast path: whole-group native packetization + one sendmmsg batch
         for gname, (edge, group_chans) in self.edges.items():
             gout = host_out[gname]

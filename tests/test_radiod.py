@@ -157,7 +157,13 @@ def test_dynamic_channel_lifecycle():
         T.OUTPUT_SSRC: 7777, T.PRESET: "nfm", T.RADIO_FREQUENCY: 155_000.0,
     }, cmd=True))
     assert rd.engine is eng_before  # no recompile
-    assert rd.chans[7777].idx in (0, 1)
+    slot = rd.chans[7777].idx
+    assert slot in (0, 1)
+    # the tombstone muting must be undone: squelch thresholds back to the
+    # preset's values, not the 1e30 mute sentinel
+    d = rd.engine.groups["dyn-nfm"].host["demod"]
+    assert d["squelch_open"][slot] < 100.0
+    assert not d["snr_squelch_enable"][slot]
     rd.step_block()
 
 
