@@ -62,6 +62,12 @@ def main(argv=None) -> int:
             except Exception:
                 continue
             if ptype == PacketType.STATUS and f.get(T.COMMAND_TAG) == tag:
+                freq = f.get(T.RADIO_FREQUENCY)
+                if freq:
+                    from ..config.bandplan import band_name
+                    b = band_name(float(freq))
+                    if b:
+                        print(f"[{b}]")
                 print(dump_text(pkt))
                 return True
         print("(no response)", file=sys.stderr)

@@ -139,7 +139,7 @@ _GLOBAL_KEYS = {
     "overlap", "update", "encoding", "block", "lifetime", "wisdom",
     "advertise", "rds", "native-edge", "description", "rtcp-interval",
     "spectrum-format", "spectrum-base", "spectrum-step", "iface", "pallas", "sap",
-    "fft-threads", "fft-plan-level", "dns", "tos",
+    "fft-threads", "fft-plan-level", "dns", "tos", "spurs",
 }
 
 _GROUP_KEYS = {

@@ -545,6 +545,7 @@ class Engine:
         blocktime: float = 0.02,
         overlap: int = 5,
         use_pallas: bool = False,
+        spurs: "Sequence[float] | None" = None,
     ):
         self.master = MasterConfig.from_rate(samprate, blocktime, overlap, real)
         self.samprate = float(samprate)
@@ -555,16 +556,28 @@ class Engine:
             raise ValueError("duplicate group names")
         self.groups = {g.name: _Group(g, self.master, self.samprate, blocktime, use_pallas)
                        for g in groups}
+        # adaptive spur notches on master bins (radio.c:662-683,
+        # filter.c:441-453): per spur, a slow complex one-pole tracks the
+        # coherent bin value and subtracts it; DC always included
+        bins = [0]
+        for f in (spurs or []):
+            shift, _rem, ok = compute_tuning(self.master.N, self.samprate, abs(float(f)))
+            if ok and abs(shift) < self.master.bins and shift not in bins:
+                bins.append(abs(shift))
+        self.spur_bins = np.asarray(sorted(set(bins)), np.int32) if spurs else None
 
     @property
     def L(self) -> int:
         return self.master.L
 
     def init_state(self):
-        return {
+        st = {
             "master": master_init(self.master),
             "groups": {n: g.init_state() for n, g in self.groups.items()},
         }
+        if self.spur_bins is not None:
+            st["spurs"] = jnp.zeros((len(self.spur_bins),), jnp.complex64)
+        return st
 
     def init_params(self):
         return {n: g.params for n, g in self.groups.items()}
@@ -609,6 +622,13 @@ class Engine:
         Pure; jit with donate_argnums=0 to reuse the state buffers.
         """
         mstate, F = master_fft(self.master, state["master"], block)
+        new_state = {"master": mstate}
+        if self.spur_bins is not None:
+            alpha = np.float32(0.01)  # ~10 s tracker (filter.c:447)
+            vals = F[self.spur_bins]
+            track = state["spurs"] + alpha * (vals - state["spurs"])
+            F = F.at[self.spur_bins].add(-track)
+            new_state["spurs"] = track
         new_groups, outputs = {}, {}
         for name, g in self.groups.items():
             gs, audio, info = g.step(state["groups"][name], params[name], F, block)
@@ -619,7 +639,8 @@ class Engine:
         if not self.master.real:
             p_in = p_in + block.imag * block.imag
         outputs["_frontend"] = {"if_power": jnp.mean(p_in)[None]}
-        return {"master": mstate, "groups": new_groups}, outputs
+        new_state["groups"] = new_groups
+        return new_state, outputs
 
 
 def migrate_state(old_state, new_state):

@@ -98,9 +98,13 @@ class Radiod:
             except Exception:
                 pass
         use_pallas = str(cfg.options.get("pallas", "n")).lower() in ("y", "yes", "true", "1", "on")
+        from ..utils.parse import parse_frequency
+        spurs = [parse_frequency(t, True) for t in str(cfg.options.get("spurs", "")).split()] or None
+        self._spurs = spurs
         self.engine = Engine(
             samprate=cfg.samprate, real=cfg.real, groups=cfg.groups,
             blocktime=cfg.blocktime, overlap=cfg.overlap, use_pallas=use_pallas,
+            spurs=spurs,
         )
         # initial state built INSIDE jit: remote-TPU tunnels (axon) are
         # unreliable for eager device ops; compiled programs are the solid path
@@ -411,7 +415,8 @@ class Radiod:
         old = self.engine
         new_eng = Engine(samprate=self.cfg.samprate, real=self.cfg.real,
                          groups=specs, blocktime=self.cfg.blocktime,
-                         overlap=self.cfg.overlap, use_pallas=self.engine.use_pallas)
+                         overlap=self.cfg.overlap, use_pallas=self.engine.use_pallas,
+                         spurs=self._spurs)
         new_init = jax.jit(new_eng.init_state)()
         self.state = jax.jit(migrate_state)(self.state, new_init)
         self.params = new_eng.adopt_host_params(old)

@@ -113,3 +113,14 @@ samprate = 12k
     assert g.channels[0].shift_hz == 500.0
     assert g.channels[0].low == -200.0 and g.channels[0].high == 200.0
     assert g.hangtime_s == 0.2
+
+
+def test_bandplan_lookup():
+    from ka9q_radio_tpu.config.bandplan import band_name, power_limit
+
+    assert band_name(14_074_000) == "20m"
+    assert band_name(146_520_000) == "2m"
+    assert band_name(96_300_000) == "FM BC"
+    assert band_name(162_475_000) == "WX"
+    assert band_name(999) == ""
+    assert power_limit(7_100_000) == "amateur"

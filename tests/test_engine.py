@@ -178,3 +178,19 @@ def test_snr_reporting_accuracy():
     assert abs(got_snr_db - want_snr_db) < 0.75, (got_snr_db, want_snr_db)
     # carrier power itself accurate to ~0.1 dB
     assert abs(got_bb - 20 * np.log10(amp)) < 0.1, got_bb
+
+
+def test_spur_notch():
+    """Adaptive master-bin notches remove coherent spurs (radio.c:662-683)."""
+    spur_hz = 128_000.0
+    src = SigGenConfig(samprate=FS, real=False, carrier_hz=spur_hz, amplitude=0.2,
+                       noise_n0=10 ** (-130.0 / 10.0))
+    mk = lambda spurs: Engine(samprate=FS, real=False, spurs=spurs, groups=[GroupSpec(
+        name="iq", demod="iq", samprate=16_000, agc=False,
+        channels=(ChannelSpec(freq=spur_hz, low=-6000.0, high=6000.0, gain_db=0.0),))])
+    base = run_blocks(mk(None), src, 40)
+    notched = run_blocks(mk([spur_hz]), src, 200)
+    p0 = float(base[-1]["iq"]["info"]["baseband_power"][0])
+    p1 = float(notched[-1]["iq"]["info"]["baseband_power"][0])
+    # alpha=0.01/block tracker: amplitude residual 0.99^200 -> -35 dB power
+    assert p1 < p0 * 0.05, (p0, p1)
