@@ -204,6 +204,7 @@ def _build_group(name: str, settings: dict[str, Any], freqs: list[tuple[float, f
         ctcss=any(t != 0.0 for _, t in freqs),
         squelch_tail=int(tail) if tail is not None else None,
         kaiser_beta=float(s.get("kaiser-beta", 11.0)),
+        encoding=str(s["encoding"]).lower() if "encoding" in s else None,
         filter2=int(s.get("filter2", 0) or 0),
         isb=parse_bool(s.get("conj", False)),
     )

@@ -167,6 +167,8 @@ class GroupSpec:
     fft_avg: int = 10
     spectrum_overlap: float = 0.0
     crossover: float = 200.0  # rbw above this -> wideband raw-A/D algorithm
+    # host-edge hint: RTP encoding for this group (None -> [global] encoding)
+    encoding: str | None = None
 
     def __post_init__(self):
         if self.demod in ("am", "envelope"):

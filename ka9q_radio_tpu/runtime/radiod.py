@@ -159,15 +159,18 @@ class Radiod:
             spec = g.spec
             out_rate = 48_000 if spec.demod == "wfm" else spec.samprate
             nch = 2 if (spec.stereo or spec.demod == "wfm") else 1
+            genc = default_enc
+            if spec.encoding and spec.encoding.upper() in Encoding.__members__:
+                genc = Encoding[spec.encoding.upper()]  # per-section override
             for i, c in enumerate(spec.channels):
                 ssrc = c.resolved_ssrc()
                 while ssrc in self.chans:  # collision: bump like the reference
                     ssrc += 1
-                pt = self.registry.pt_from_info(out_rate, nch, default_enc)
+                pt = self.registry.pt_from_info(out_rate, nch, genc)
                 self.chans[ssrc] = _Chan(
                     group=gname, idx=i, ssrc=ssrc, freq=c.freq, low=c.low,
                     high=c.high, samprate=out_rate, channels=nch,
-                    encoding=default_enc, pt=pt,
+                    encoding=genc, pt=pt,
                 )
                 if spec.demod == "wfm" and str(cfg.options.get("rds", "n")).lower() in ("y", "yes", "true", "1", "on"):
                     # companion RDS-baseband stream on ssrc+1 (rdsd-tpu
@@ -762,25 +765,40 @@ class Radiod:
         if self.rtcp_sock is not None and self.blocks % self.rtcp_every == self.rtcp_every - 1:
             self._send_rtcp()
             self._send_sap()
-        if block is None:
-            if self.frontend is not None:
-                block = self.frontend.read_block(self.engine.L)
-            elif self.source_state is not None:
-                self.source_state, block = self._siggen(self.source_state)
-            else:
-                raise ValueError("no front end configured and no block given")
-        self.state, out = self.step(self.state, self.params, block)
-        self.blocks += 1
-        beacon = (self.blocks % self.update_every) == 0
         try:
+            if block is None:
+                if self.frontend is not None:
+                    block = self.frontend.read_block(self.engine.L)
+                elif self.source_state is not None:
+                    self.source_state, block = self._siggen(self.source_state)
+                else:
+                    raise RuntimeError("no front end configured and no block given")
+            self.state, out = self.step(self.state, self.params, block)
+            self.blocks += 1
+            beacon = (self.blocks % self.update_every) == 0
             host_out = jax.device_get(out)
+        except RuntimeError:
+            raise
         except Exception:
-            # transient backend/tunnel error: drop this block's output but
-            # keep the stream alive (the reference's analog: USB transfer
-            # loss accounting + carry on, rx888.c:675-688)
+            # transient backend/tunnel error anywhere in the device section:
+            # drop this block but keep the stream alive (the reference's
+            # analog: USB transfer loss accounting, rx888.c:675-688)
+            self.blocks += 1
             self.block_drops += 1
             if self.block_drops > 100 and self.block_drops > self.blocks // 2:
                 raise  # persistently broken — surface it
+            # if the error poisoned the carried state (donated buffers),
+            # reinitialize it — the in-process analog of a systemd restart
+            try:
+                jax.block_until_ready(self.state)
+            except Exception:
+                try:
+                    self.state = jax.jit(self.engine.init_state)()
+                    if self.source_state is not None:
+                        jax.block_until_ready(self.source_state)
+                except Exception:
+                    pass
+            time.sleep(0.05)
             return None
         fe = host_out.pop("_frontend", None)
         if fe is not None:
