@@ -59,6 +59,8 @@ def main(argv=None) -> int:
             print("no response", file=sys.stderr)
             return 1
         bins = np.asarray(f[T.BIN_DATA], np.float64)
+        # BIN_DATA arrives in FFT order (powers.c); rotate to lowest-first
+        bins = np.roll(bins, bins.size // 2)
         rbw = float(f.get(T.RESOLUTION_BW, 0.0))
         freq = float(f.get(T.RADIO_FREQUENCY, 0.0))
         n = bins.size

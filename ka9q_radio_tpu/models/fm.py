@@ -136,7 +136,9 @@ def fm_demod(
     )
     st["squelch_state"] = sq
     fully_open = sq == sq_max
-    emitting = sq >= 5  # 4..1: silent frames; 0: closed (mute)
+    # fm.c:146-187: states >= 5 demodulate real audio (including the tail
+    # after SNR drops); 4..1 send silent frames; 0 is closed
+    emitting = sq >= 5
     closing = (sq >= 1) & (sq <= 4)
 
     # discriminator: phase difference scaled to [-1, 1] half-revs (fm.c:219-243)
@@ -148,7 +150,11 @@ def fm_demod(
         clamped = jnp.clip(phase, -devmax_frac, devmax_frac)
         p = jnp.abs(bb) ** 2
         w = jnp.where(p > 0, p / (p + FM_DEFAULTS["beta"] * noise[:, None]), 0.0)
-        w_prev = jnp.concatenate([w[:, :1], w[:, :-1]], axis=1)  # p0*p1 pairing
+        # first sample pairs with the PREVIOUS block's last sample, whose
+        # weight derives from the carried phase_memory (fm.c:220-226)
+        p_prev0 = jnp.abs(state["phase_memory"]) ** 2
+        w_prev0 = jnp.where(p_prev0 > 0, p_prev0 / (p_prev0 + FM_DEFAULTS["beta"] * noise), 0.0)
+        w_prev = jnp.concatenate([w_prev0[:, None], w[:, :-1]], axis=1)
         ext = clamped * w * w_prev
         phase = jnp.where(params["threshold_ext"][:, None], ext, phase)
     baseband = phase
@@ -210,7 +216,7 @@ def fm_demod(
     gain = 2.0 * params["headroom"] * samprate / jnp.maximum(params["bandwidth"], 1.0)
     audio = gain[:, None] * baseband
 
-    mute = ~fully_open | st["tone_mute"]
+    mute = ~emitting | st["tone_mute"]
     audio = jnp.where(mute[:, None], 0.0, audio)
     info["output_power"] = jnp.where(mute, 0.0, jnp.mean(audio * audio, axis=-1))
     info["send"] = emitting | closing

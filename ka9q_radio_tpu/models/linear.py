@@ -186,11 +186,11 @@ def linear_demod(
         use_dc = (params["dc_tau"] > 0)[:, None]
         mono = jnp.where(use_dc, dc_removed, env)
         audio = (
-            jnp.stack([gain_ramp * bb.real, mono], axis=-1)
+            jnp.stack([gain_ramp * sqrt1_2 * bb.real, mono], axis=-1)
             if stereo
             else mono
         )
-        power_samples = env if not stereo else jnp.stack([gain_ramp * bb.real, env], -1)
+        power_samples = env if not stereo else jnp.stack([gain_ramp * sqrt1_2 * bb.real, env], -1)
     else:
         if stereo:
             audio = jnp.stack([gain_ramp * bb.real, gain_ramp * bb.imag], axis=-1)

@@ -16,10 +16,11 @@ TPU-native differences:
   * Averaging is a per-frame EMA with alpha = 1/fft_avg, the streaming
     equivalent of the reference's boxcar of `fft_avg` FFTs (modes.c:73).
 
-Bin powers are emitted lowest-frequency-first, centered on the channel
-tuning, scaled so a full-scale (amplitude 1.0) carrier centered in a bin
-reads 1.0 (0 dBFS) — the same convention the TLV BIN_DATA consumer
-(powers.c) expects from radiod.
+Bin powers are kept lowest-frequency-first internally, centered on the
+channel tuning, scaled so a full-scale (amplitude 1.0) carrier centered in
+a bin reads 1.0 (0 dBFS). The radiod status layer rotates to FFT order for
+the BIN_DATA wire key (powers.c expects FFT order; the v2 byte format is
+most-negative-first, which matches this internal order directly).
 
 Window menu matches window.h:17-28 via ops/windows.py (default Kaiser
 beta=7, modes.c:71).

@@ -22,8 +22,6 @@ __all__ = ["agc_init", "agc_block"]
 
 
 def agc_init(n: int, gain_db: float = 0.0):
-    import numpy as np
-
     return {
         "gain": jnp.full((n,), float(10.0 ** (gain_db / 20.0)), jnp.float32),
         "hangcount": jnp.zeros((n,), jnp.int32),
@@ -68,8 +66,8 @@ def agc_block(
 
     power = jnp.abs(bb) ** 2  # [C, N]
     # 2 ms sub-block peak RMS amplitude (linear.c:227-245)
-    sps = max(int(round(N * 0.002 / blocktime)), 1)
-    nslices = N // sps
+    sps = min(max(int(round(N * 0.002 / blocktime)), 1), N)
+    nslices = max(N // sps, 1)  # degenerate short blocks: one slice
     sub = power[:, : nslices * sps].reshape(power.shape[0], nslices, sps)
     peak = jnp.sqrt(jnp.max(jnp.mean(sub, axis=-1), axis=-1))  # [C]
 

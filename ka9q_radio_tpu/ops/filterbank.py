@@ -148,9 +148,13 @@ def gather_bins(F, shifts, n_bins: int, real_master: bool, master_N: int):
         vals = jnp.where(inverted, jnp.conj(vals), vals)
         return jnp.where(valid, vals, 0.0)
     else:
+        # wrap through DC only; the slice must not cross the master Nyquist
+        # boundary (filter.c's complex loop stops at (m_bins+1)/2 and zeros
+        # the rest) — g is the true signed master frequency
         m_bins = master_N
+        valid = (g >= -(m_bins // 2)) & (g <= (m_bins - 1) // 2)
         mi = jnp.mod(g, m_bins)
-        return F[mi]
+        return jnp.where(valid, F[mi], 0.0)
 
 
 def channelize(F, responses, shifts, olen: int, real_master: bool, master_N: int, isb: bool = False):
@@ -272,11 +276,13 @@ def channelize_beam(F, responses, shifts, olen: int, master_N: int, alpha, beta)
     """
     nb = responses.shape[-1]
     signed = _signed_bins(nb)[None, :]
-    rp = jnp.mod(shifts[:, None] + signed, master_N)
+    g = shifts[:, None] + signed  # true signed master frequency
+    valid = (g >= -(master_N // 2)) & (g <= (master_N - 1) // 2)
+    rp = jnp.mod(g, master_N)
     mirror = jnp.mod(master_N - rp, master_N)
     vals = alpha[:, None] * F[rp] + beta[:, None] * jnp.conj(F[mirror])
     special = (rp == 0) | (rp == master_N // 2)
     sval = alpha[:, None] * F[rp].real + beta[:, None] * F[rp].imag
-    fd = jnp.where(special, sval, vals) * responses
+    fd = jnp.where(valid, jnp.where(special, sval, vals), 0.0) * responses
     bb = jnp.fft.ifft(fd, axis=-1)
     return bb[:, nb - olen :].astype(jnp.complex64)

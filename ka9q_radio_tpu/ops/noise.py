@@ -47,8 +47,11 @@ def gather_noise_bins(F, shifts, nbins: int, real_master: bool, master_N: int):
         idx = lo + k
         vals = F[jnp.clip(idx, 0, m_bins - 1)]
     else:
+        # keep the window inside the signed band: clamp like the real case
+        # (the reference stops collecting at the Nyquist edge,
+        # radio.c:1869-1875 — zeros in the sort would corrupt the quantile)
         m_bins = master_N
-        lo = shifts[:, None] - nbins // 2
+        lo = jnp.clip(shifts - nbins // 2, -(m_bins // 2), (m_bins - 1) // 2 - (nbins - 1))[:, None]
         idx = jnp.mod(lo + k, m_bins)
         vals = F[idx]
     v = vals.astype(jnp.complex64)

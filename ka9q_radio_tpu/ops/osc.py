@@ -62,13 +62,13 @@ def phase_ramp_q32(acc_q32, inc_q32, n: int):
 
     Returns:
       (ramp, new_acc): ramp complex64 [..., n] with ramp[..., i] =
-      exp(j*2*pi*(acc + (i+1)*inc)); new_acc int32 = acc + n*inc (mod 2^32).
-      The +1 offset matches the reference's step_osc(), which advances the
-      phasor before returning it for each sample.
+      exp(j*2*pi*(acc + i*inc)); new_acc int32 = acc + n*inc (mod 2^32).
+      Matches the reference's step_osc(), which returns the phasor BEFORE
+      advancing it (osc.c:62-71) — sample i carries phase acc + i*inc.
     """
     acc = jnp.asarray(acc_q32, jnp.int32)
     inc = jnp.asarray(inc_q32, jnp.int32)
-    steps = jnp.arange(1, n + 1, dtype=jnp.int32)
+    steps = jnp.arange(0, n, dtype=jnp.int32)
     # int32 multiply/add wrap-around == exact mod-2^32 phase arithmetic
     q = acc[..., None] + inc[..., None] * steps
     new_acc = acc + inc * jnp.int32(n)

@@ -105,6 +105,11 @@ def channelize_pallas(F, responses, shifts, olen: int, master_N: int,
     m_bins = master_N
     h = nb // 2
     nb_ext = (-(-nb // LANE) + 1) * LANE  # one extra tile for the residual
+    if nb_ext > m_bins:
+        # degenerate near-full-band channels: the circular pad can't cover a
+        # contiguous slice; use the XLA gather path
+        from .filterbank import channelize
+        return channelize(F, responses, shifts, olen, False, master_N)
     C_pad = -(-C // ROWS) * ROWS
 
     # circular pad so every channel's slice is one contiguous DMA
@@ -123,6 +128,10 @@ def channelize_pallas(F, responses, shifts, olen: int, master_N: int,
     # residual rotation: take nb bins starting at rem[c] from each row
     idx = rem[:, None] + jnp.arange(nb, dtype=jnp.int32)[None, :]
     fd_shifted = jnp.take_along_axis(rows, idx, axis=1) * jnp.roll(responses, h, axis=-1)
+    # Nyquist-stop semantics (see ops.filterbank.gather_bins): zero bins
+    # whose signed master frequency falls outside the band
+    g = shifts[:, None] + (jnp.arange(nb, dtype=jnp.int32)[None, :] - h)
+    fd_shifted = jnp.where((g >= -(m_bins // 2)) & (g <= (m_bins - 1) // 2), fd_shifted, 0.0)
     fd = jnp.roll(fd_shifted, -h, axis=-1)  # back to FFT bin order
     bb = jnp.fft.ifft(fd, axis=-1)
     return bb[:, nb - olen:].astype(jnp.complex64)

@@ -557,17 +557,19 @@ class Radiod:
             fields[T.SPECTRUM_FFT_N] = geo.fft_n
             fields[T.SPECTRUM_AVG] = geo.fft_avg
             if "bin_data" in info:
-                bins = np.asarray(info["bin_data"][ch.idx], np.float64)
+                bins = np.asarray(info["bin_data"][ch.idx], np.float64)  # lowest-first
                 if self.spectrum_byte:
                     # v2 byte format (encode_byte_data, spectrum.c:536-554):
-                    # (dB - base)/step clipped to 0..255, 1 byte per bin
+                    # most-negative-first — our internal order already
                     db = 10.0 * np.log10(np.maximum(bins, 1e-30))
                     q = np.clip((db - self.spectrum_base) / self.spectrum_step, 0, 255)
                     fields[T.SPECTRUM_BASE] = self.spectrum_base
                     fields[T.SPECTRUM_STEP] = self.spectrum_step
                     fields[T.BIN_BYTE_DATA] = bytes(np.rint(q).astype(np.uint8))
                 else:
-                    fields[T.BIN_DATA] = [float(x) for x in bins]
+                    # BIN_DATA goes out in FFT order like radiod (powers.c:
+                    # "Note these are still in FFT order")
+                    fields[T.BIN_DATA] = [float(x) for x in np.roll(bins, -(bins.size // 2))]
         else:
             if "snr" in info and np.isfinite(g("snr")):
                 fields[T.PLL_SNR] = power_to_dB(max(g("snr"), 1e-30))

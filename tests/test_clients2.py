@@ -199,3 +199,47 @@ def test_stereod_decodes_composite():
     spec_r = np.abs(np.fft.rfft(a[:, 1] * np.hanning(a.shape[0])))
     band = (f > 950) & (f < 1050)
     assert pl_ > 10 * spec_r[band].max()  # >20 dB separation
+
+
+def test_fftgen_warms_cache(tmp_path):
+    conf = tmp_path / "r.conf"
+    conf.write_text("""
+[global]
+hardware = sig_gen
+[sig_gen]
+device = sig_gen
+samprate = 256k
+real = no
+carrier = 10k
+amplitude = -20
+[ch]
+mode = usb
+samprate = 16k
+freq = 50k0
+""")
+    cache = tmp_path / "wisdom"
+    rc = subprocess.run(
+        [sys.executable, "-m", "ka9q_radio_tpu.cli.fftgen", str(conf), "--wisdom", str(cache)],
+        capture_output=True, text=True, timeout=240, env=SUBENV,
+    )
+    assert rc.returncode == 0, rc.stderr
+    assert "compiled master" in rc.stderr
+    assert cache.exists() and any(cache.iterdir())
+
+
+def test_jt_decoded_records_clip(tmp_path):
+    stream = f"jt-{UNIQ}.local"
+    p = subprocess.Popen(
+        [sys.executable, "-m", "ka9q_radio_tpu.cli.jt_decoded", "--data", stream,
+         "--mode", "ft8", "--dir", str(tmp_path), "--duration", "4"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=SUBENV,
+    )
+    time.sleep(1.5)
+    _send_tone(stream, ssrc=77, seconds=1.0, fs=44_100, freq=1500.0)
+    out, err = p.communicate(timeout=20)
+    wavs = list(tmp_path.glob("*_ssrc77.wav"))
+    assert wavs, (out, err)
+    import wave as wavmod
+    with wavmod.open(str(wavs[0])) as w:
+        assert w.getframerate() == 44_100
+        assert w.getnframes() > 20_000

@@ -149,3 +149,24 @@ def test_good_blocksize():
     assert good_blocksize(241) == 243  # 3^5
     assert good_blocksize(1000) == 1000
     assert good_blocksize(1621) == 1625  # 5^3 * 13
+
+
+def test_complex_master_nyquist_stop():
+    """A channel tuned near +fs/2 on a complex master must NOT alias in
+    spectrum from the -fs/2 edge (filter.c's complex loop stops at the
+    Nyquist boundary and zeros the rest)."""
+    from ka9q_radio_tpu.ops.filterbank import gather_bins
+
+    m = 4096
+    F = jnp.zeros((m,), jnp.complex64)
+    # strong "station" at the bottom edge: signed bin -2040 -> index m-2040
+    F = F.at[m - 2040].set(100.0 + 0j)
+    # channel centered at +2040 with 128 bins: its slice [1976, 2104) would
+    # wrap past +2047 into the negative region without the stop
+    got = np.asarray(gather_bins(F, jnp.array([2040], jnp.int32), 128, False, m))
+    assert np.all(got == 0.0), "negative-edge energy aliased through Nyquist"
+
+    # wrap through DC is still allowed: channel at -10 sees a DC carrier
+    F2 = jnp.zeros((m,), jnp.complex64).at[0].set(1.0 + 0j)
+    got2 = np.asarray(gather_bins(F2, jnp.array([-10], jnp.int32), 128, False, m))
+    assert np.count_nonzero(got2) == 1

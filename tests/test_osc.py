@@ -27,7 +27,9 @@ def test_phase_ramp_matches_numpy():
     inc = rev_to_q32(f)
     acc = rev_to_q32(0.1)
     ramp, new_acc = phase_ramp_q32(jnp.int32(acc), jnp.int32(inc), 256)
-    n = np.arange(1, 257)
+    # step_osc returns the phasor BEFORE advancing (osc.c:62-71):
+    # sample n carries phase acc + n*inc
+    n = np.arange(0, 256)
     want = np.exp(2j * np.pi * (0.1 + f * n))
     # Q32 quantization of f: error bounded by 256 * 2^-32 revolutions
     np.testing.assert_allclose(np.asarray(ramp), want, atol=2e-5)
@@ -53,7 +55,7 @@ def test_phase_ramp_batched():
     ramp, new = phase_ramp_q32(accs, incs, 10)
     assert ramp.shape == (2, 10)
     np.testing.assert_allclose(
-        np.asarray(ramp[1]), np.exp(2j * np.pi * (0.5 - 0.2 * np.arange(1, 11))), atol=1e-5
+        np.asarray(ramp[1]), np.exp(2j * np.pi * (0.5 - 0.2 * np.arange(0, 10))), atol=1e-5
     )
 
 
