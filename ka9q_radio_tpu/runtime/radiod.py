@@ -75,6 +75,7 @@ class _Chan:
     dynamic: bool = False
     lifetime: int = 0  # idle countdown in blocks (0 = immortal)
     lifetime_init: int = 0  # value a poll/command refreshes the countdown to
+    options: int = 0  # SETOPTS/CLEAROPTS bitmask (radio.h:338; experimental)
 
 
 class Radiod:
@@ -500,6 +501,10 @@ class Radiod:
         if T.LIFETIME in fields:
             ch.lifetime = ch.lifetime_init = int(fields[T.LIFETIME])
             ch.dynamic = ch.dynamic or ch.lifetime > 0
+        if T.SETOPTS in fields:
+            ch.options |= int(fields[T.SETOPTS])
+        if T.CLEAROPTS in fields:
+            ch.options &= ~int(fields[T.CLEAROPTS])
 
     # -------------------------------------------------------------- status
     def encode_channel_status(self, ch: _Chan, tag: int = 0) -> bytes:
@@ -534,6 +539,7 @@ class Radiod:
             T.OUTPUT_DATA_PACKETS: ch.data_packets,
             T.OUTPUT_METADATA_PACKETS: ch.metadata_packets,
             T.FILTER_DROPS: self.block_drops,
+            T.SETOPTS: ch.options,
             T.TP1: self.t_avg * 1e3,  # test points: block time ms / drops
             T.TP2: float(self.block_drops),
             T.IF_POWER: power_to_dB(max(self.if_power, 1e-30)),
