@@ -76,6 +76,14 @@ class Session:
     def close(self):
         if self.wav:
             self.wav.close()
+            # file metadata as extended attributes (attr.c): lets tools
+            # recover stream identity without parsing filenames
+            try:
+                os.setxattr(self.path, b"user.ka9q.ssrc", str(self.ssrc).encode())
+                os.setxattr(self.path, b"user.ka9q.samprate", str(self.samprate).encode())
+                os.setxattr(self.path, b"user.ka9q.channels", str(self.channels).encode())
+            except OSError:
+                pass  # filesystem without xattr support
 
 
 def main(argv=None) -> int:
