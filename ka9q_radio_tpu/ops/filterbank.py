@@ -41,6 +41,7 @@ __all__ = [
     "master_fft",
     "gather_bins",
     "channelize",
+    "finish_channelize",
     "fine_tune",
     "compute_tuning",
     "block_phase_adjust_q32",
@@ -174,6 +175,14 @@ def channelize(F, responses, shifts, olen: int, real_master: bool, master_N: int
     """
     n_bins = responses.shape[-1]
     fd = gather_bins(F, shifts, n_bins, real_master, master_N) * responses
+    return finish_channelize(fd, olen, isb)
+
+
+def finish_channelize(fd, olen: int, isb: bool = False):
+    """Post-gather tail of the channelizer: optional ISB unpack, batched
+    IFFT, overlap discard. Shared by the dense and distributed
+    (parallel.master.DigitSpectrum) gather paths."""
+    n_bins = fd.shape[-1]
     if isb:
         # pos' = pos + conj(neg); neg' = neg - conj(pos); DC = 0
         rev = jnp.flip(jnp.roll(fd, -1, axis=-1), axis=-1)  # bin -k for each k

@@ -1,0 +1,217 @@
+"""Distributed digit-order master FFT + sharded bin gather.
+
+This is the multi-chip form of the shared forward transform — the
+reference's single most CPU-intensive op (docs/FFTW3.md:4-7,57-61: the
+rof3240000 plan at RX888 full rate) — integrated with the channel gather so
+the master bins NEVER materialize on one device:
+
+  1. `digit_fft`: 2-factor Cooley-Tukey with TWO all-to-all corner turns
+     (the six-step FFT *minus* its final turn). Device d ends owning rows
+     k1 in [d*n1/D, (d+1)*n1/D) of C[k1, k2] where the global FFT bin is
+     k = k1 + n1*k2 — "digit order".
+  2. `digit_take`: arbitrary-bin gather from that distributed layout.
+     Every device reads only the bins it OWNS (a masked local gather) and
+     a single psum_scatter over the channel axis both reduces the partial
+     reads and leaves the result sharded [C/D, nb] — the minimal-traffic
+     combine ((D-1)/D * C * nb values over ICI, far less than
+     all-gathering the master spectrum).
+  3. `digit_notch`: the spur/DC notch (filter.c:443-453) as a masked
+     scatter onto local digit rows.
+
+Real A/D masters run the same complex transform with zero imaginary part:
+the flagship N = 3,240,000 = 2^6*3^4*5^4 splits 1800x1800 for an 8-device
+mesh, while its packed half-length 1,620,000 (2^5*...) cannot satisfy the
+D | n1, D | n2 corner-turn divisibility for D = 8. Gathers then apply the
+exact single-device real-master index math (read |g|, conjugate when the
+spectrum is inverted, filter.c:777-859), so sharded and single-chip
+engines agree to FFT roundoff.
+
+Retunes stay pure data: bin indices are traced arrays, so the control
+plane's no-recompile property (CLAUDE.md invariant) holds under the mesh.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from .fft import plan_split
+
+__all__ = ["DigitMaster"]
+
+
+@dataclasses.dataclass(frozen=True)
+class DigitMaster:
+    """Plan for one distributed master transform over a named mesh axis."""
+
+    mesh: Mesh
+    axis: str
+    N: int
+    n1: int
+    n2: int
+
+    @classmethod
+    def plan(cls, mesh: Mesh, axis: str, N: int) -> "DigitMaster":
+        D = mesh.shape[axis]
+        n1, n2 = plan_split(N, D)  # D | n1 and D | n2 (both axes corner-turn)
+        if N >= 2**24:
+            raise ValueError(
+                f"N={N}: twiddle phase k1*b (up to ~N) exceeds the exact f32 "
+                "integer range 2^24; needs a 3-factor decomposition"
+            )
+        return cls(mesh=mesh, axis=axis, N=N, n1=n1, n2=n2)
+
+    @property
+    def D(self) -> int:
+        return self.mesh.shape[self.axis]
+
+    @property
+    def rows(self) -> int:
+        return self.n1 // self.D
+
+    # -- forward transform ---------------------------------------------------
+    def fft(self, x):
+        """x: [N] complex64 time samples (sharded contiguously over `axis`)
+        -> Zd: [n1, n2] complex64, digit order, sharded P(axis, None):
+        X[k1 + n1*k2] = Zd[k1, k2]."""
+        n1, n2, N, ax = self.n1, self.n2, self.N, self.axis
+        cols = n2 // self.D
+
+        def body(xs):
+            # xs: [n1/D, n2] contiguous time rows of A[a, b] = x[a*n2 + b].
+            # X[k1 + n1*k2] = FFT_{n2,b}( W_N^{b*k1} * FFT_{n1,a}(A)[k1, b] )
+            i = jax.lax.axis_index(ax)
+            At = jax.lax.all_to_all(xs, ax, split_axis=1, concat_axis=0, tiled=True)  # [n1, cols]
+            A1 = jnp.fft.fft(At, axis=0)
+            k1 = jnp.arange(n1)[:, None].astype(jnp.float32)
+            b = (i * cols + jnp.arange(cols))[None, :].astype(jnp.float32)
+            # k1*b < 2^24 (checked in plan): the product is exact in f32,
+            # and mod-N reduction keeps the twiddle argument small
+            phase = jnp.mod(k1 * b, np.float32(N))
+            A1 = A1 * jnp.exp(np.complex64(-2j * np.pi / N) * phase).astype(jnp.complex64)
+            Bt = jax.lax.all_to_all(A1, ax, split_axis=0, concat_axis=1, tiled=True)  # [rows, n2]
+            return jnp.fft.fft(Bt, axis=1)  # C[k1_local, k2]
+
+        fn = shard_map(body, mesh=self.mesh, in_specs=P(ax, None),
+                       out_specs=P(ax, None), check_rep=False)
+        return fn(x.reshape(n1, n2)).astype(jnp.complex64)
+
+    # -- gathers -------------------------------------------------------------
+    def take(self, Zd, idx, scatter: bool = True):
+        """Gather master bins idx (int32, in [0, N)) from the digit-order
+        distributed spectrum.
+
+        idx: [C, nb] (scatter=True: result [C, nb] sharded over C via
+        psum_scatter, C %% D == 0) or any shape (scatter=False: result
+        replicated via psum). Each device contributes only bins it owns.
+        """
+        n1, n2, rows, ax = self.n1, self.n2, self.rows, self.axis
+
+        def body(zl, ix):
+            d = jax.lax.axis_index(ax)
+            k1 = ix % n1
+            k2 = ix // n1
+            lr = k1 - d * rows
+            ok = (lr >= 0) & (lr < rows)
+            flat = jnp.clip(lr, 0, rows - 1) * n2 + k2
+            v = jnp.take(zl.reshape(-1), flat.reshape(-1), mode="clip").reshape(ix.shape)
+            v = jnp.where(ok, v, np.complex64(0))
+            if scatter:
+                return jax.lax.psum_scatter(v, ax, scatter_dimension=0, tiled=True)
+            return jax.lax.psum(v, ax)
+
+        out_spec = P(ax, *([None] * (idx.ndim - 1))) if scatter else P(*([None] * idx.ndim))
+        fn = shard_map(body, mesh=self.mesh,
+                       in_specs=(P(ax, None), P(*([None] * idx.ndim))),
+                       out_specs=out_spec, check_rep=False)
+        return fn(Zd, idx.astype(jnp.int32))
+
+    def notch(self, Zd, bins: np.ndarray, track):
+        """Subtract track[j] from master bin bins[j] (static positions) —
+        the spur notch applied to distributed digit rows."""
+        n1, n2, rows, ax = self.n1, self.n2, self.rows, self.axis
+        coords = [(int(b) % n1, int(b) // n1) for b in bins]
+
+        def body(zl, tr):
+            d = jax.lax.axis_index(ax)
+            for j, (k1, k2) in enumerate(coords):
+                lr = k1 - d * rows
+                ok = (lr >= 0) & (lr < rows)
+                upd = jnp.where(ok, -tr[j], np.complex64(0))
+                zl = zl.at[jnp.clip(lr, 0, rows - 1), k2].add(upd)
+            return zl
+
+        fn = shard_map(body, mesh=self.mesh, in_specs=(P(ax, None), P()),
+                       out_specs=P(ax, None), check_rep=False)
+        return fn(Zd, track)
+
+
+def _signed_bins(n_bins: int) -> jnp.ndarray:
+    k = jnp.arange(n_bins, dtype=jnp.int32)
+    return jnp.where(k < (n_bins + 1) // 2, k, k - n_bins)
+
+
+class DigitSpectrum:
+    """One block's distributed master spectrum + the gather semantics of
+    ops.filterbank (gather_bins / gather_noise_bins / channelize_beam) on
+    the digit-order layout. Handed to channel groups in place of the dense
+    [m_bins] array F."""
+
+    def __init__(self, dm: DigitMaster, Zd, real_master: bool):
+        self.dm = dm
+        self.Zd = Zd
+        self.real = real_master
+
+    def gather(self, shifts, n_bins: int):
+        """gather_bins equivalent: [C, n_bins] channel slices, sharded over
+        the channel axis. Index math mirrors filter.c:695-860 exactly."""
+        dm = self.dm
+        g = shifts[:, None] + _signed_bins(n_bins)[None, :]
+        if self.real:
+            m_bins = dm.N // 2 + 1
+            inverted = (shifts < 0)[:, None]
+            mi = jnp.where(inverted, -g, g)
+            valid = (mi >= 0) & (mi < m_bins)
+            vals = dm.take(self.Zd, jnp.clip(mi, 0, m_bins - 1))
+            vals = jnp.where(inverted, jnp.conj(vals), vals)
+            return jnp.where(valid, vals, np.complex64(0))
+        valid = (g >= -(dm.N // 2)) & (g <= (dm.N - 1) // 2)
+        vals = dm.take(self.Zd, jnp.mod(g, dm.N))
+        return jnp.where(valid, vals, np.complex64(0))
+
+    def gather_beam(self, shifts, n_bins: int, alpha, beta):
+        """channelize_beam's antenna combine on distributed bins
+        (filter.c:723-742): alpha*F[rp] + beta*conj(F[-rp]), DC/Nyquist
+        carrying the antennas as real/imag parts."""
+        dm = self.dm
+        g = shifts[:, None] + _signed_bins(n_bins)[None, :]
+        valid = (g >= -(dm.N // 2)) & (g <= (dm.N - 1) // 2)
+        rp = jnp.mod(g, dm.N)
+        mirror = jnp.mod(dm.N - rp, dm.N)
+        both = dm.take(self.Zd, jnp.concatenate([rp, mirror], axis=-1))
+        f_rp, f_mir = both[:, :n_bins], both[:, n_bins:]
+        vals = alpha[:, None] * f_rp + beta[:, None] * jnp.conj(f_mir)
+        special = (rp == 0) | (rp == dm.N // 2)
+        sval = alpha[:, None] * f_rp.real + beta[:, None] * f_rp.imag
+        return jnp.where(valid, jnp.where(special, sval, vals), np.complex64(0))
+
+    def gather_noise(self, shifts, nbins: int):
+        """gather_noise_bins equivalent: [C, nbins] bin energies around each
+        channel (window clamping per radio.c:1845-1875)."""
+        dm = self.dm
+        k = jnp.arange(nbins, dtype=jnp.int32)[None, :]
+        if self.real:
+            m_bins = dm.N // 2 + 1
+            lo = jnp.clip(jnp.abs(shifts) - nbins // 2, 0, max(m_bins - nbins, 0))[:, None]
+            idx = jnp.clip(lo + k, 0, m_bins - 1)
+        else:
+            m_bins = dm.N
+            lo = jnp.clip(shifts - nbins // 2, -(m_bins // 2), (m_bins - 1) // 2 - (nbins - 1))[:, None]
+            idx = jnp.mod(lo + k, m_bins)
+        v = dm.take(self.Zd, idx)
+        return (v.real * v.real + v.imag * v.imag).astype(jnp.float32)

@@ -30,25 +30,30 @@ def make_mesh(devices=None, axis: str = CHANNEL_AXIS) -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
-def _group_sizes(engine) -> set[int]:
-    return {g.C for g in engine.groups.values()}
-
-
 def shard_engine_tree(engine, mesh: Mesh, tree, replicate_rest: bool = True):
     """Apply channel-axis sharding to an engine state or params pytree.
 
-    Any array leaf whose leading dimension equals some group's channel count
-    C (and C divides the mesh size evenly) is sharded P('c'); everything
-    else (master tail, PRNG keys, scalars) is replicated.
+    Explicit pytree-path policy (not a shape heuristic): a leaf shards
+    P('c') iff its key path passes through a group-name dict key (engine
+    params are {group: ...}; engine state is {"groups": {group: ...}}) AND
+    its leading dimension equals THAT group's channel count — so a master
+    leaf or a [C, ...]-shaped non-channel leaf can never shard by
+    coincidence. Everything else (master tail, spur trackers, scalars)
+    replicates.
     """
-    sizes = {c for c in _group_sizes(engine) if c % mesh.devices.size == 0}
+    import jax.tree_util as jtu
+
+    group_C = {name: g.C for name, g in engine.groups.items()
+               if g.C % mesh.devices.size == 0}
     chan = NamedSharding(mesh, P(CHANNEL_AXIS))
     repl = NamedSharding(mesh, P())
 
-    def place(leaf):
+    def place(path, leaf):
         arr = jax.numpy.asarray(leaf)
-        if arr.ndim >= 1 and arr.shape[0] in sizes:
+        gname = next((k.key for k in path
+                      if isinstance(k, jtu.DictKey) and k.key in group_C), None)
+        if gname is not None and arr.ndim >= 1 and arr.shape[0] == group_C[gname]:
             return jax.device_put(arr, chan)
         return jax.device_put(arr, repl) if replicate_rest else arr
 
-    return jax.tree.map(place, tree)
+    return jtu.tree_map_with_path(place, tree)

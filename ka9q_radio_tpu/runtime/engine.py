@@ -43,6 +43,7 @@ from ..ops.filterbank import (
     master_fft,
     channelize,
     channelize_beam,
+    finish_channelize,
     fine_tune,
     compute_tuning,
     block_phase_adjust_q32,
@@ -192,6 +193,10 @@ class _Group:
 
     def __init__(self, spec: GroupSpec, master: MasterConfig, samprate: float, blocktime: float,
                  use_pallas: bool = False):
+        # host->device placement for params leaves; sharded engines override
+        # this (Engine.__init__) so retune/set_edges surgery preserves the
+        # channel-axis sharding and stays recompile-free under a mesh
+        self.put = jnp.asarray
         self.spec = spec
         self.master = master
         self.use_pallas = use_pallas and not master.real
@@ -344,7 +349,7 @@ class _Group:
             p["demod"] = {}
             self.host = p
             self.pristine_demod = {}
-            return jax.tree.map(jnp.asarray, p)
+            return jax.tree.map(self.put, p)
         if spec.demod == "wfm":
             # de-emphasis runs at the audio rate (modes.c:408-412)
             tc = (spec.deemph_tc_us if spec.deemph_tc_us is not None else DEFAULTS["wfm_deemph_tc_us"]) * 1e-6
@@ -385,7 +390,7 @@ class _Group:
         # pristine copy of build-time demod defaults (tombstoned dynamic
         # slots are restored from this on reuse)
         self.pristine_demod = {k: np.copy(v) for k, v in d.items()}
-        return jax.tree.map(jnp.asarray, p)
+        return jax.tree.map(self.put, p)
 
     def retune(self, params: dict[str, Any], idx: int, freq: float) -> dict[str, Any]:
         """New params pytree with channel idx retuned to freq (set_freq,
@@ -400,7 +405,7 @@ class _Group:
         self.host["adj_q32"][idx] = block_phase_adjust_q32(shift, L, N)
         p = dict(params)
         for k in ("shifts", "inc_q32", "adj_q32"):
-            p[k] = jnp.asarray(self.host[k])
+            p[k] = self.put(self.host[k])
         return p
 
     def set_edges(self, params: dict[str, Any], idx: int, low: float, high: float,
@@ -409,14 +414,14 @@ class _Group:
         filter.c:934-1007). Same no-recompile hot-swap property."""
         self.host["responses"][idx] = self._design_main(low, high, kaiser_beta)
         p = dict(params)
-        p["responses"] = jnp.asarray(self.host["responses"])
+        p["responses"] = self.put(self.host["responses"])
         if self.f2_N:
             self.host["responses2"][idx] = self._design_f2(low, high)
-            p["responses2"] = jnp.asarray(self.host["responses2"])
+            p["responses2"] = self.put(self.host["responses2"])
         d = dict(params["demod"])
         if "bandwidth" in self.host["demod"]:
             self.host["demod"]["bandwidth"][idx] = np.float32(abs(high - low))
-            d["bandwidth"] = jnp.asarray(self.host["demod"]["bandwidth"])
+            d["bandwidth"] = self.put(self.host["demod"]["bandwidth"])
         p["demod"] = d
         return p
 
@@ -443,9 +448,11 @@ class _Group:
 
     # -- per-block device program --------------------------------------------
     def step(self, state, params, F, block=None):
-        """Downconvert + demod one block. F: [m_bins] master spectrum;
+        """Downconvert + demod one block. F: [m_bins] master spectrum OR a
+        parallel.master.DigitSpectrum handle onto the distributed bins;
         block: the raw input block (wideband spectrum reads it directly)."""
         m = self.master
+        sharded = not hasattr(F, "shape")  # DigitSpectrum handle
         if self.spec.demod == "spectrum" and self.spectrum_wide:
             demod_state, pwr = wide_accumulate(state["demod"], block, self.wide_geo)
             bins = wide_extract(pwr, params["shifts"], m.N, self.wide_geo, self.spec.bin_count)
@@ -455,15 +462,24 @@ class _Group:
                     "n0": jnp.zeros((self.C,), jnp.float32)}
             return {"dc": state["dc"], "demod": demod_state}, audio, info
         if self.spec.beam:
-            bb = channelize_beam(F, params["responses"], params["shifts"], self.olen, m.N,
-                                 params["beam_alpha"], params["beam_beta"])
+            if sharded:
+                fd = F.gather_beam(params["shifts"], params["responses"].shape[-1],
+                                   params["beam_alpha"], params["beam_beta"])
+                bb = finish_channelize(fd * params["responses"], self.olen)
+            else:
+                bb = channelize_beam(F, params["responses"], params["shifts"], self.olen, m.N,
+                                     params["beam_alpha"], params["beam_beta"])
+        elif sharded:
+            fd = F.gather(params["shifts"], params["responses"].shape[-1])
+            bb = finish_channelize(fd * params["responses"], self.olen)
         elif self.use_pallas:
             from ..ops.pallas_kernels import channelize_pallas
             bb = channelize_pallas(F, params["responses"], params["shifts"], self.olen, m.N)
         else:
             bb = channelize(F, params["responses"], params["shifts"], self.olen, m.real, m.N)
 
-        energies = gather_noise_bins(F, params["shifts"], self.noise_bins, m.real, m.N)
+        energies = (F.gather_noise(params["shifts"], self.noise_bins) if sharded
+                    else gather_noise_bins(F, params["shifts"], self.noise_bins, m.real, m.N))
         n0_est = estimate_noise(energies, m.bins, self.fs_in)
         warm = state["dc"]["warmup"] > 0
         n0 = jnp.where(
@@ -548,16 +564,55 @@ class Engine:
         overlap: int = 5,
         use_pallas: bool = False,
         spurs: "Sequence[float] | None" = None,
+        mesh=None,
+        shard_axis: str = "c",
     ):
+        """mesh: a jax.sharding.Mesh to run multi-chip. The master FFT runs
+        as the distributed digit-order transform (parallel.master, two
+        all-to-all corner turns), master bins stay distributed, and each
+        group's bin gather reads only local shards + one psum_scatter over
+        the channel axis. Every group's channel count must divide the mesh
+        size. The single-device path is unchanged when mesh is None."""
         self.master = MasterConfig.from_rate(samprate, blocktime, overlap, real)
         self.samprate = float(samprate)
         self.blocktime = blocktime
+        self.mesh = mesh
+        self.shard_axis = shard_axis
+        self.digit = None
+        if mesh is not None:
+            from ..parallel.master import DigitMaster
+
+            self.digit = DigitMaster.plan(mesh, shard_axis, self.master.N)
+            use_pallas = False  # dense-F kernel; N/A on distributed bins
         self.use_pallas = use_pallas
         names = [g.name for g in groups]
         if len(set(names)) != len(names):
             raise ValueError("duplicate group names")
         self.groups = {g.name: _Group(g, self.master, self.samprate, blocktime, use_pallas)
                        for g in groups}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            D = mesh.shape[shard_axis]
+            chan = NamedSharding(mesh, P(shard_axis))
+            repl = NamedSharding(mesh, P())
+            for name, g in self.groups.items():
+                if g.C % D:
+                    raise ValueError(
+                        f"group {name}: C={g.C} not divisible by mesh size {D} "
+                        "(pad the channel list for even sharding)")
+
+                def _mk_put(C):
+                    def put(a):
+                        a = np.asarray(a)
+                        return jax.device_put(
+                            a, chan if (a.ndim >= 1 and a.shape[0] == C) else repl)
+                    return put
+
+                g.put = _mk_put(g.C)
+                # re-place the initial params with mesh shardings so retune
+                # surgery (which reuses g.put) never changes input shardings
+                g.params = jax.tree.map(g.put, g.host)
         # adaptive spur notches on master bins (radio.c:662-683,
         # filter.c:441-453): per spur, a slow complex one-pole tracks the
         # coherent bin value and subtracts it; DC always included
@@ -616,21 +671,42 @@ class Engine:
                 o = og.host["demod"].get(key)
                 if o is not None and arr.shape[1:] == o.shape[1:]:
                     arr[:n] = o[:n]
-        return {name: jax.tree.map(jnp.asarray, g.host) for name, g in self.groups.items()}
+        return {name: jax.tree.map(g.put, g.host) for name, g in self.groups.items()}
 
     def step(self, state, params, block):
         """One block: [L] input samples -> per-group audio + status info.
 
         Pure; jit with donate_argnums=0 to reuse the state buffers.
         """
-        mstate, F = master_fft(self.master, state["master"], block)
-        new_state = {"master": mstate}
-        if self.spur_bins is not None:
-            alpha = np.float32(0.01)  # ~10 s tracker (filter.c:447)
-            vals = F[self.spur_bins]
-            track = state["spurs"] + alpha * (vals - state["spurs"])
-            F = F.at[self.spur_bins].add(-track)
-            new_state["spurs"] = track
+        alpha = np.float32(0.01)  # spur tracker ~10 s (filter.c:447)
+        if self.digit is not None:
+            # distributed master: complex digit-order FFT over the mesh
+            # (zero imaginary part for real A/D); bins never densify
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.master import DigitSpectrum
+
+            m = self.master
+            x = jnp.concatenate([state["master"]["tail"], block])
+            mstate = {"tail": x[m.L:], "jobnum": state["master"]["jobnum"] + 1}
+            xc = jax.lax.with_sharding_constraint(
+                x.astype(jnp.complex64),
+                NamedSharding(self.mesh, P(self.shard_axis)))
+            Zd = self.digit.fft(xc)
+            new_state = {"master": mstate}
+            if self.spur_bins is not None:
+                vals = self.digit.take(Zd, jnp.asarray(self.spur_bins), scatter=False)
+                track = state["spurs"] + alpha * (vals - state["spurs"])
+                Zd = self.digit.notch(Zd, self.spur_bins, track)
+                new_state["spurs"] = track
+            F = DigitSpectrum(self.digit, Zd, m.real)
+        else:
+            mstate, F = master_fft(self.master, state["master"], block)
+            new_state = {"master": mstate}
+            if self.spur_bins is not None:
+                vals = F[self.spur_bins]
+                track = state["spurs"] + alpha * (vals - state["spurs"])
+                F = F.at[self.spur_bins].add(-track)
+                new_state["spurs"] = track
         new_groups, outputs = {}, {}
         for name, g in self.groups.items():
             gs, audio, info = g.step(state["groups"][name], params[name], F, block)

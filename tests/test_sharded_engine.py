@@ -1,0 +1,130 @@
+"""Sharded Engine (mesh=...) == single-device Engine.
+
+The distributed digit-order master FFT + sharded bin gather
+(parallel/master.py) must produce the same audio as the dense single-chip
+path — the multi-chip analog of the reference's guarantee that every
+channel reads the same master bins (filter.c:654-695). Runs on the 8-way
+virtual CPU mesh from conftest.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ka9q_radio_tpu.runtime import ChannelSpec, GroupSpec, Engine
+from ka9q_radio_tpu.parallel import make_mesh, shard_engine_tree
+
+FS = 128_000  # L=2560, M=641, N=3200=2^7*5^2 -> 8-way split 40x80
+
+
+def _groups(real: bool):
+    span = FS / 2 * 0.8 if not real else FS / 2 * 0.8
+    fm_lo = 1000.0 if real else -span
+    fm_freqs = np.linspace(fm_lo, span, 8)
+    lin_freqs = np.linspace(2000.0 if real else -span * 0.9, span * 0.9, 8)
+    return [
+        GroupSpec(name="nbfm", demod="fm", samprate=8000,
+                  channels=tuple(ChannelSpec(freq=float(f), low=-3000, high=3000)
+                                 for f in fm_freqs)),
+        GroupSpec(name="usb", demod="linear", samprate=8000, filter2=1,
+                  channels=tuple(ChannelSpec(freq=float(f), low=50, high=2700)
+                                 for f in lin_freqs)),
+    ]
+
+
+def _blocks(eng, real: bool, n=4, seed=0):
+    rng = np.random.default_rng(seed)
+    t = (np.arange(n * eng.L) / FS)
+    if real:
+        x = (0.05 * rng.standard_normal(n * eng.L)
+             + 0.5 * np.cos(2 * np.pi * 20_000 * t)).astype(np.float32)
+    else:
+        x = (0.05 * (rng.standard_normal(n * eng.L) + 1j * rng.standard_normal(n * eng.L))
+             + 0.5 * np.exp(2j * np.pi * 20_000 * t)).astype(np.complex64)
+    return x.reshape(n, eng.L)
+
+
+@pytest.mark.parametrize("real", [True, False])
+def test_sharded_equals_single(real):
+    groups = _groups(real)
+    spurs = [20_000.0]
+    ref = Engine(samprate=FS, groups=groups, real=real, spurs=spurs)
+    mesh = make_mesh()
+    sh = Engine(samprate=FS, groups=groups, real=real, spurs=spurs, mesh=mesh)
+
+    blocks = _blocks(ref, real)
+    # single-device run
+    st_r, p_r = jax.jit(ref.init_state)(), ref.init_params()
+    step_r = jax.jit(ref.step)
+    # sharded run
+    st_s = shard_engine_tree(sh, mesh, jax.jit(sh.init_state)())
+    p_s = shard_engine_tree(sh, mesh, sh.init_params())
+    step_s = jax.jit(sh.step, donate_argnums=0)
+
+    for k in range(blocks.shape[0]):
+        b = jnp.asarray(blocks[k])
+        st_r, out_r = step_r(st_r, p_r, b)
+        st_s, out_s = step_s(st_s, p_s, b)
+    for g in ("nbfm", "usb"):
+        a_r = np.asarray(out_r[g]["audio"])
+        a_s = np.asarray(out_s[g]["audio"])
+        # identical math up to FFT-algorithm roundoff (six-step vs dense)
+        assert np.max(np.abs(a_r - a_s)) < 2e-3, g
+        n0_r = np.asarray(out_r[g]["info"]["n0"])
+        n0_s = np.asarray(out_s[g]["info"]["n0"])
+        np.testing.assert_allclose(n0_s, n0_r, rtol=1e-3)
+        bb_r = np.asarray(out_r[g]["info"]["baseband_power"])
+        bb_s = np.asarray(out_s[g]["info"]["baseband_power"])
+        np.testing.assert_allclose(bb_s, bb_r, rtol=1e-3, atol=1e-12)
+
+
+def test_sharded_retune_no_recompile():
+    groups = _groups(False)
+    mesh = make_mesh()
+    sh = Engine(samprate=FS, groups=groups, real=False, mesh=mesh)
+    st = shard_engine_tree(sh, mesh, jax.jit(sh.init_state)())
+    p = shard_engine_tree(sh, mesh, sh.init_params())
+    step = jax.jit(sh.step)
+    b = jnp.asarray(_blocks(sh, False, n=1)[0])
+    # two warmup steps: the first step's output state shardings (e.g. the
+    # master tail, now time-sharded) differ from the initial host placement,
+    # costing one extra compile before the steady state
+    st, _ = step(st, p, b)
+    st, _ = step(st, p, b)
+    n_compiles = step._cache_size()
+    p = sh.retune(p, "nbfm", 3, 12_345.0)
+    p = sh.set_edges(p, "usb", 2, 100.0, 2400.0)
+    st, out = step(st, p, b)
+    assert step._cache_size() == n_compiles  # retune is pure data
+    assert np.isfinite(np.asarray(out["nbfm"]["audio"])).all()
+
+
+def test_sharded_beam():
+    span = FS / 2 * 0.8
+    freqs = np.linspace(-span, span, 8)
+    groups = [GroupSpec(name="beam", demod="linear", samprate=8000, beam=True,
+                        a_weight=0.8 + 0.1j, b_weight=0.2 - 0.3j,
+                        channels=tuple(ChannelSpec(freq=float(f), low=-3000, high=3000)
+                                       for f in freqs))]
+    ref = Engine(samprate=FS, groups=groups, real=False)
+    mesh = make_mesh()
+    sh = Engine(samprate=FS, groups=groups, real=False, mesh=mesh)
+    blocks = _blocks(ref, False, n=2)
+    st_r, p_r = jax.jit(ref.init_state)(), ref.init_params()
+    st_s = shard_engine_tree(sh, mesh, jax.jit(sh.init_state)())
+    p_s = shard_engine_tree(sh, mesh, sh.init_params())
+    step_r, step_s = jax.jit(ref.step), jax.jit(sh.step)
+    for k in range(blocks.shape[0]):
+        b = jnp.asarray(blocks[k])
+        st_r, out_r = step_r(st_r, p_r, b)
+        st_s, out_s = step_s(st_s, p_s, b)
+    a_r = np.asarray(out_r["beam"]["audio"])
+    a_s = np.asarray(out_s["beam"]["audio"])
+    assert np.max(np.abs(a_r - a_s)) < 2e-3
+
+
+def test_sharded_rejects_odd_channel_count():
+    groups = [GroupSpec(name="g", demod="fm", samprate=8000,
+                        channels=tuple(ChannelSpec(freq=1000.0 * i) for i in range(1, 4)))]
+    with pytest.raises(ValueError, match="not divisible"):
+        Engine(samprate=FS, groups=groups, real=False, mesh=make_mesh())
