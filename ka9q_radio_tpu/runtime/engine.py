@@ -281,12 +281,12 @@ class _Group:
             )
         )
 
-    def _design_f2(self, low: float, high: float) -> np.ndarray:
+    def _design_f2(self, low: float, high: float, kaiser_beta: float | None = None) -> np.ndarray:
         """filter2 response at exact edges (set_filter on filter2.out)."""
         r = self.spec.samprate
         lo = max(min(low, high), -r / 2)
         hi = min(max(low, high), r / 2)
-        beta = self.spec.filter2_kaiser_beta
+        beta = kaiser_beta if kaiser_beta is not None else self.spec.filter2_kaiser_beta
         return response_to_device_order(
             design_bandpass_response(
                 self.f2_N, self.f2_L, lo / r, hi / r,
@@ -409,14 +409,15 @@ class _Group:
         return p
 
     def set_edges(self, params: dict[str, Any], idx: int, low: float, high: float,
-                  kaiser_beta: float | None = None) -> dict[str, Any]:
+                  kaiser_beta: float | None = None,
+                  filter2_kaiser_beta: float | None = None) -> dict[str, Any]:
         """New params with channel idx's filter redesigned (set_filter,
         filter.c:934-1007). Same no-recompile hot-swap property."""
         self.host["responses"][idx] = self._design_main(low, high, kaiser_beta)
         p = dict(params)
         p["responses"] = self.put(self.host["responses"])
         if self.f2_N:
-            self.host["responses2"][idx] = self._design_f2(low, high)
+            self.host["responses2"][idx] = self._design_f2(low, high, filter2_kaiser_beta)
             p["responses2"] = self.put(self.host["responses2"])
         d = dict(params["demod"])
         if "bandwidth" in self.host["demod"]:
@@ -645,10 +646,12 @@ class Engine:
         p[group] = self.groups[group].retune(params[group], idx, freq)
         return p
 
-    def set_edges(self, params, group: str, idx: int, low: float, high: float, kaiser_beta=None):
+    def set_edges(self, params, group: str, idx: int, low: float, high: float,
+                  kaiser_beta=None, filter2_kaiser_beta=None):
         """Hot-swap one channel's filter response; returns new params."""
         p = dict(params)
-        p[group] = self.groups[group].set_edges(params[group], idx, low, high, kaiser_beta)
+        p[group] = self.groups[group].set_edges(params[group], idx, low, high,
+                                                kaiser_beta, filter2_kaiser_beta)
         return p
 
     @property
