@@ -240,13 +240,28 @@ def _build_source(sec: dict[str, str]) -> SigGenConfig:
 
     real = parse_bool(sec.get("real", "y")) and not parse_bool(sec.get("complex", "n"))
     amp_db = float(sec.get("amplitude", -20.0))
-    noise_db = sec.get("noise")
+    fs = parse_frequency(sec.get("samprate", "30m0"))
+    # noise keys, reference-exact (sig_gen.c:149-156):
+    #   "noise" = per-sample Gaussian amplitude in dBFS (each of I/Q unit
+    #   variance scaled by it) -> true density N0 = 2*sigma^2/fs for both
+    #   real and complex streams;
+    #   "n0"    = noise density in dBFS/Hz directly (true density; the
+    #   reference's 0.5*sqrt(fs) scaling lands its actual density 3 dB
+    #   below the config value — we generate the stated density).
+    noise_db, n0_db = sec.get("noise"), sec.get("n0")
+    if noise_db is not None:
+        sigma = 10.0 ** (float(noise_db) / 20.0)
+        n0 = 2.0 * sigma * sigma / fs
+    elif n0_db is not None:
+        n0 = float(dB_to_power(float(n0_db)))
+    else:
+        n0 = 0.0
     return SigGenConfig(
-        samprate=parse_frequency(sec.get("samprate", "30m0")),
+        samprate=fs,
         real=real,
         carrier_hz=parse_frequency(sec.get("carrier", "10m0")),
         amplitude=float(10.0 ** (amp_db / 20.0)),
-        noise_n0=float(dB_to_power(float(noise_db))) if noise_db is not None else 0.0,
+        noise_n0=n0,
         am_depth=0.3 if str(sec.get("modulation", "")).lower() == "am" else 0.0,
         fm_deviation_hz=3000.0 if str(sec.get("modulation", "")).lower() == "fm" else 0.0,
     )

@@ -92,11 +92,25 @@ class PayloadRegistry:
     """(samprate, channels, encoding) <-> payload type (rtp.c:15-40,272-301)."""
 
     def __init__(self):
+        # static entries + the reference's pre-registered dynamic PTs
+        # (rtp.c:15-143) so both sides hand out identical numbers for the
+        # common formats — stock clients see familiar payload types
         self.table: dict[int, tuple[int, int, Encoding]] = {
             0: (8000, 1, Encoding.MULAW),
             8: (8000, 1, Encoding.ALAW),
             10: (44100, 2, Encoding.S16BE),
             11: (44100, 1, Encoding.S16BE),
+            111: (48000, 2, Encoding.OPUS),
+            112: (48000, 1, Encoding.S16BE),
+            113: (48000, 2, Encoding.S16BE),
+            116: (24000, 1, Encoding.S16BE),
+            117: (24000, 2, Encoding.S16BE),
+            119: (16000, 1, Encoding.S16BE),
+            120: (16000, 2, Encoding.S16BE),
+            122: (12000, 1, Encoding.S16BE),
+            123: (12000, 2, Encoding.S16BE),
+            125: (8000, 1, Encoding.S16BE),
+            126: (8000, 2, Encoding.S16BE),
         }
 
     def pt_from_info(self, samprate: int, channels: int, encoding: Encoding) -> int:

@@ -1,0 +1,74 @@
+/* Minimal libopus header shim — declarations only, matching the public
+ * Opus ABI (request codes and the varargs encoder_ctl convention), so
+ * ka9q-radio's audio.c links against the system libopus.so.0 in an image
+ * without libopus-dev.  Covers only the encoder surface audio.c touches.
+ */
+#ifndef OPUS_SHIM_H
+#define OPUS_SHIM_H 1
+
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+typedef int32_t opus_int32;
+typedef int16_t opus_int16;
+typedef uint32_t opus_uint32;
+typedef struct OpusEncoder OpusEncoder;
+typedef struct OpusDecoder OpusDecoder;
+
+#define OPUS_OK 0
+#define OPUS_BAD_ARG (-1)
+#define OPUS_AUTO (-1000)
+#define OPUS_BITRATE_MAX (-1)
+
+#define OPUS_APPLICATION_VOIP 2048
+#define OPUS_APPLICATION_AUDIO 2049
+#define OPUS_APPLICATION_RESTRICTED_LOWDELAY 2051
+
+#define OPUS_SIGNAL_VOICE 3001
+#define OPUS_SIGNAL_MUSIC 3002
+
+#define OPUS_BANDWIDTH_NARROWBAND 1101
+#define OPUS_BANDWIDTH_MEDIUMBAND 1102
+#define OPUS_BANDWIDTH_WIDEBAND 1103
+#define OPUS_BANDWIDTH_SUPERWIDEBAND 1104
+#define OPUS_BANDWIDTH_FULLBAND 1105
+
+/* ctl request codes (public ABI values) + vararg-style helper macros */
+#define OPUS_SET_APPLICATION(x) 4000, (opus_int32)(x)
+#define OPUS_GET_APPLICATION(x) 4001, (opus_int32 *)(x)
+#define OPUS_SET_BITRATE(x) 4002, (opus_int32)(x)
+#define OPUS_GET_BITRATE(x) 4003, (opus_int32 *)(x)
+#define OPUS_SET_MAX_BANDWIDTH(x) 4004, (opus_int32)(x)
+#define OPUS_GET_MAX_BANDWIDTH(x) 4005, (opus_int32 *)(x)
+#define OPUS_SET_VBR(x) 4006, (opus_int32)(x)
+#define OPUS_GET_VBR(x) 4007, (opus_int32 *)(x)
+#define OPUS_SET_BANDWIDTH(x) 4008, (opus_int32)(x)
+#define OPUS_GET_BANDWIDTH(x) 4009, (opus_int32 *)(x)
+#define OPUS_SET_COMPLEXITY(x) 4010, (opus_int32)(x)
+#define OPUS_SET_INBAND_FEC(x) 4012, (opus_int32)(x)
+#define OPUS_SET_PACKET_LOSS_PERC(x) 4014, (opus_int32)(x)
+#define OPUS_SET_DTX(x) 4016, (opus_int32)(x)
+#define OPUS_GET_DTX(x) 4017, (opus_int32 *)(x)
+#define OPUS_SET_VBR_CONSTRAINT(x) 4020, (opus_int32)(x)
+#define OPUS_SET_SIGNAL(x) 4024, (opus_int32)(x)
+#define OPUS_GET_SIGNAL(x) 4025, (opus_int32 *)(x)
+#define OPUS_GET_LOOKAHEAD(x) 4027, (opus_int32 *)(x)
+#define OPUS_RESET_STATE 4028
+#define OPUS_GET_SAMPLE_RATE(x) 4029, (opus_int32 *)(x)
+#define OPUS_SET_LSB_DEPTH(x) 4036, (opus_int32)(x)
+
+OpusEncoder *opus_encoder_create(opus_int32 fs, int channels, int application, int *error);
+void opus_encoder_destroy(OpusEncoder *st);
+int opus_encoder_ctl(OpusEncoder *st, int request, ...);
+opus_int32 opus_encode_float(OpusEncoder *st, const float *pcm, int frame_size,
+                             unsigned char *data, opus_int32 max_data_bytes);
+const char *opus_strerror(int error);
+const char *opus_get_version_string(void);
+
+#ifdef __cplusplus
+}
+#endif
+#endif

@@ -78,7 +78,7 @@ def test_aprsfeed_dry_run_gates_frames():
          "--callsign", "N0CALL", "--dry-run", "--duration", "6"],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=SUBENV,
     )
-    time.sleep(1.5)
+    time.sleep(3.0)  # interpreter + multicast join can race under load
     tx = output_socket(resolve_dest(stream, 5004))
     seq = ts = 0
     padded = np.concatenate([np.zeros(2000, np.float32), audio, np.zeros(2000, np.float32)])
@@ -106,7 +106,7 @@ def test_pcmspawn_pipes_audio(tmp_path):
          f"{tmp_path}/out-{{ssrc}}.raw"],
         stderr=subprocess.PIPE, text=True, env=SUBENV,
     )
-    time.sleep(1.5)
+    time.sleep(3.0)  # interpreter + multicast join can race under load
     _send_tone(stream, ssrc=42, seconds=0.5, fs=44_100)
     p.wait(timeout=10)
     # the {ssrc} substitution happens in pcmspawn's command tokens
@@ -234,7 +234,7 @@ def test_jt_decoded_records_clip(tmp_path):
          "--mode", "ft8", "--dir", str(tmp_path), "--duration", "4"],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=SUBENV,
     )
-    time.sleep(1.5)
+    time.sleep(3.0)  # interpreter + multicast join can race under load
     _send_tone(stream, ssrc=77, seconds=1.0, fs=44_100, freq=1500.0)
     out, err = p.communicate(timeout=20)
     wavs = list(tmp_path.glob("*_ssrc77.wav"))

@@ -63,9 +63,12 @@ def test_payload_registry_matches_reference_policy():
     reg = PayloadRegistry()
     assert reg.pt_from_info(8000, 1, Encoding.MULAW) == 0
     assert reg.pt_from_info(44100, 2, Encoding.S16BE) == 10
-    pt1 = reg.pt_from_info(24000, 1, Encoding.S16BE)
+    # pre-registered well-known dynamic PTs match rtp.c:15-143
+    assert reg.pt_from_info(24000, 1, Encoding.S16BE) == 116
+    assert reg.pt_from_info(12000, 1, Encoding.S16BE) == 122
+    pt1 = reg.pt_from_info(24000, 1, Encoding.F16LE)
     assert pt1 == 77  # dynamic pool starts at 77 (rtp.c:287-291)
-    assert reg.pt_from_info(24000, 1, Encoding.S16BE) == pt1  # stable
+    assert reg.pt_from_info(24000, 1, Encoding.F16LE) == pt1  # stable
     # 100 is skipped
     pts = {reg.pt_from_info(1000 * k, 1, Encoding.F32LE) for k in range(1, 30)}
     assert 100 not in pts

@@ -62,7 +62,9 @@ def test_status_beacons(radiod):
     assert fields[T.DEMOD_TYPE] == 0
     assert fields[T.OUTPUT_SAMPRATE] == 16_000
     assert fields[T.LOW_EDGE] == 50.0 and fields[T.HIGH_EDGE] == 3000.0
-    assert abs(fields[T.NOISE_DENSITY] - (-130.0)) < 2.0
+    # "noise" key is the reference's per-sample amplitude (sig_gen.c:149):
+    # sigma = -130 dBFS -> N0 = 2*sigma^2/fs = -187.1 dB/Hz at 1.024 Msps
+    assert abs(fields[T.NOISE_DENSITY] - (-187.1)) < 2.0
     assert fields[T.INPUT_SAMPRATE] == 1_024_000
 
 
