@@ -1,13 +1,17 @@
-"""monitor-tpu — multicast audio monitor (reference monitor.c).
+"""monitor-tpu — real-time multicast audio monitor (reference monitor.c).
 
-Without portaudio in this environment, the monitor mixes every session into
-one output stream (WAV file or raw s16le stdout) and reports per-session
-statistics (packets, drops, dupes, level) — the observability core of the
-reference's ncurses monitor. Per-session gain and an SSRC whitelist mirror
-the reference's per-session controls.
+The data engine (net/playout.py) is the reference's per-session pipeline:
+a 2.73 s playout ring written at RTP-timestamp positions (out-of-order
+packets land in place), Opus packet-loss concealment, per-session clock
+tracking via a slewed resampling ratio, and a mixer "callback" that pulls
+every session's ring at a common playout clock (monitor-data.c:525-758,
+monitor.c:642). Without portaudio in this environment the mixed stereo
+stream goes to raw s16le stdout (pipe into aplay/ffplay) and/or a WAV
+file, paced by wall clock in --live mode.
 
-    monitor-tpu --data test-pcm.local [--wav out.wav] [--duration 5]
-                [--samprate 48000] [--gain ssrc=dB ...] [--quiet]
+    monitor-tpu --data test-pcm.local [--wav out.wav] [--raw] [--live]
+                [--duration 5] [--samprate 48000] [--gain ssrc=dB ...]
+                [--vote] [--notch] [--quiet]
 """
 from __future__ import annotations
 
@@ -15,84 +19,57 @@ import argparse
 import select
 import sys
 import time
-import wave
 
 import numpy as np
 
-from ..net.rtp import RtpHeader, RtpState, Encoding, PayloadRegistry, decode_samples
+from ..net.rtp import RtpHeader, Encoding, PayloadRegistry
 from ..net.status import StatusType as T, PacketType, decode_status
 from ..net.multicast import resolve_dest, listen_socket, DEFAULT_RTP_PORT, DEFAULT_STAT_PORT
+from ..net.playout import Mixer
 from ..daemons.ctcss import GoertzelBank
 
 
 class _PlNotch:
     """Streaming 2-pole notch (iir.c:54-77, r=0.997) retuned to whatever
-    PL tone the Goertzel bank finds — the monitor's notch (monitor.h:101)."""
+    PL tone the Goertzel bank finds (monitor.h:101). Vectorized via
+    scipy.signal.lfilter with carried state."""
 
     def __init__(self, fs: float):
         self.fs = fs
         self.bank = GoertzelBank(fs)
-        self.coeffs = None
-        self.x1 = self.x2 = self.y1 = self.y2 = 0.0
+        self.ba = None
+        self.zi = None
 
-    def process(self, x: np.ndarray) -> np.ndarray:
-        r = self.bank.feed(x)
+    def __call__(self, frames: np.ndarray) -> np.ndarray:
+        from scipy.signal import lfilter
+
+        mono = frames.mean(axis=1).astype(np.float64)
+        r = self.bank.feed(mono)
         if r is not None and r[1] >= 12.0:
-            w = 2.0 * np.pi * r[0] / self.fs
-            self.coeffs = (2.0 * np.cos(w), 0.997)
-        if self.coeffs is None:
-            return x
-        c, rr = self.coeffs
-        y = np.empty_like(x)
-        x1, x2, y1, y2 = self.x1, self.x2, self.y1, self.y2
-        for i, v in enumerate(x):
-            out = v - c * x1 + x2 + rr * c * y1 - rr * rr * y2
-            x2, x1 = x1, v
-            y2, y1 = y1, out
-            y[i] = out
-        self.x1, self.x2, self.y1, self.y2 = x1, x2, y1, y2
-        return y
-
-
-class Session:
-    def __init__(self, ssrc: int, samprate: int, channels: int, encoding: Encoding):
-        self.ssrc, self.samprate, self.channels, self.encoding = ssrc, samprate, channels, encoding
-        self.rtp = RtpState()
-        self.level = 0.0
-        self.samples = 0
-        self.opus = None
-        if encoding in (Encoding.OPUS, Encoding.OPUS_VOIP):
-            from ..net.opus import OpusDecoder
-            self.opus = OpusDecoder(samprate, channels)
-
-    def ingest(self, hdr: RtpHeader, payload: bytes) -> np.ndarray | None:
-        if self.opus is not None:
-            audio = self.opus.decode(payload).reshape(-1)
-        else:
-            audio = decode_samples(payload, self.encoding)
-        nframes = audio.size // self.channels
-        gap = self.rtp.process(hdr, nframes)
-        if gap is not None and gap < 0:
-            return None
-        if self.opus is not None and gap:
-            # packet-loss concealment for the gap (monitor-data.c:525-633)
-            plc = self.opus.decode(None, min(int(gap), 5760)).reshape(-1)
-            audio = np.concatenate([plc, audio])
-            nframes = audio.size // self.channels
-        self.samples += nframes
-        if audio.size:
-            self.level = 0.9 * self.level + 0.1 * float(np.sqrt(np.mean(audio**2)))
-        return audio.reshape(nframes, self.channels)
+            c = 2.0 * np.cos(2.0 * np.pi * r[0] / self.fs)
+            rr = 0.997
+            # y[n] = x[n] - c x[n-1] + x[n-2] + rr c y[n-1] - rr^2 y[n-2]
+            self.ba = (np.array([1.0, -c, 1.0]), np.array([1.0, -rr * c, rr * rr]))
+            self.zi = np.zeros(2)
+        if self.ba is None:
+            return frames
+        y, self.zi = lfilter(self.ba[0], self.ba[1], mono, zi=self.zi)
+        return np.repeat(y.astype(np.float32)[:, None], 2, axis=1)
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="monitor-tpu")
     ap.add_argument("--data", required=True)
     ap.add_argument("--status", default=None)
-    ap.add_argument("--wav", default=None, help="mixdown output file")
+    ap.add_argument("--wav", default=None, help="stream the mix to a WAV file")
+    ap.add_argument("--raw", action="store_true", help="s16le stereo mix on stdout")
+    ap.add_argument("--live", action="store_true",
+                    help="pace output to wall clock (real-time playout)")
     ap.add_argument("--duration", type=float, default=None)
     ap.add_argument("--samprate", type=int, default=48_000, help="mix output rate")
+    ap.add_argument("--latency", type=float, default=0.1, help="playout target, s")
     ap.add_argument("--gain", action="append", default=[], help="ssrc=dB per-session gain")
+    ap.add_argument("--pan", action="append", default=[], help="ssrc=pos (-1..1)")
     ap.add_argument("--ssrc", type=int, action="append", default=None, help="only these SSRCs")
     ap.add_argument("--vote", action="store_true",
                     help="mix only the best-SNR session (monitor.h:185 voting)")
@@ -104,34 +81,63 @@ def main(argv=None) -> int:
     for g in args.gain:
         k, _, v = g.partition("=")
         gains[int(k)] = 10.0 ** (float(v) / 20.0)
+    pans = {}
+    for g in args.pan:
+        k, _, v = g.partition("=")
+        pans[int(k)] = float(v)
 
     rx = listen_socket(resolve_dest(args.data, DEFAULT_RTP_PORT))
+    # per-channel beacons ride the data group's status port; a separate
+    # control group can be given too
+    brx = listen_socket(resolve_dest(args.data, DEFAULT_STAT_PORT))
     srx = listen_socket(resolve_dest(args.status, DEFAULT_STAT_PORT)) if args.status else None
     registry = PayloadRegistry()
     fmt_by_ssrc: dict[int, tuple] = {}
-    sessions: dict[int, Session] = {}
     snr_by_ssrc: dict[int, float] = {}
     notches: dict[int, _PlNotch] = {}
 
+    block = max(1, int(args.samprate * 0.02))
+    mixer = Mixer(out_rate=args.samprate, block_frames=block)
+
     wav = None
     if args.wav:
+        import wave
+
         wav = wave.open(args.wav, "wb")
         wav.setnchannels(2)
         wav.setsampwidth(2)
         wav.setframerate(args.samprate)
 
-    # mix buffer indexed by output frame; grown as needed
-    mix: dict[int, np.ndarray] = {}
+    def emit(chunk: np.ndarray):
+        pcm = np.clip(chunk * 32767.0, -32768, 32767).astype("<i2")
+        if wav is not None:
+            wav.writeframes(pcm.tobytes())
+        if args.raw:
+            sys.stdout.buffer.write(pcm.tobytes())
+            sys.stdout.buffer.flush()
+
     t0 = time.monotonic()
     t_end = t0 + args.duration if args.duration else None
-    socks = [rx] + ([srx] if srx else [])
+    blocks_out = 0
+    socks = [rx, brx] + ([srx] if srx else [])
     try:
         while t_end is None or time.monotonic() < t_end:
-            left = 0.25 if t_end is None else max(min(t_end - time.monotonic(), 0.25), 0)
-            r, _, _ = select.select(socks, [], [], left)
+            # pull due mixer blocks (live: wall-clock paced; offline: as
+            # data arrives, clocked by packet flow)
+            if args.live:
+                due = int((time.monotonic() - t0) * args.samprate / block)
+            else:
+                have = max((s._max_written for s in mixer.sessions.values()
+                            if s.active), default=0)
+                due = max(blocks_out, (have - int(args.latency * args.samprate)) // block)
+            while blocks_out < due:
+                emit(mixer.next_block())
+                blocks_out += 1
+            timeout = 0.005 if args.live else 0.1
+            r, _, _ = select.select(socks, [], [], timeout)
             for s in r:
                 pkt, _ = s.recvfrom(65536)
-                if s is srx:
+                if s is not rx:
                     try:
                         ptype, f, _ = decode_status(pkt)
                     except Exception:
@@ -152,65 +158,42 @@ def main(argv=None) -> int:
                     continue
                 if args.ssrc and hdr.ssrc not in args.ssrc:
                     continue
-                sess = sessions.get(hdr.ssrc)
-                if sess is None:
-                    fmt = fmt_by_ssrc.get(hdr.ssrc) or registry.info_from_pt(hdr.type)
-                    if fmt is None:
-                        continue
-                    sess = sessions[hdr.ssrc] = Session(hdr.ssrc, *fmt)
-                    if not args.quiet:
-                        print(f"new session ssrc {hdr.ssrc}: {fmt[0]} Hz x{fmt[1]}", file=sys.stderr)
-                audio = sess.ingest(hdr, payload)
-                if audio is None or wav is None:
+                fmt = fmt_by_ssrc.get(hdr.ssrc) or registry.info_from_pt(hdr.type)
+                if fmt is None:
                     continue
+                new = hdr.ssrc not in mixer.sessions
+                sess = mixer.session(hdr.ssrc, *fmt)
+                if new:
+                    sess.gain = gains.get(hdr.ssrc, 1.0)
+                    sess.pan = pans.get(hdr.ssrc, 0.0)
+                    if args.notch:
+                        sess.filter = notches.setdefault(hdr.ssrc, _PlNotch(args.samprate))
+                    if not args.quiet:
+                        print(f"new session ssrc {hdr.ssrc}: {fmt[0]} Hz x{fmt[1]}",
+                              file=sys.stderr)
                 if args.vote and snr_by_ssrc:
                     # SNR voting across receivers (monitor.h:185-186)
                     best = max(snr_by_ssrc, key=snr_by_ssrc.get)
-                    if hdr.ssrc != best:
-                        continue
-                if args.notch:
-                    nf = notches.get(hdr.ssrc)
-                    if nf is None:
-                        nf = notches[hdr.ssrc] = _PlNotch(sess.samprate)
-                    mono = audio.mean(axis=1)
-                    filtered = nf.process(mono.astype(np.float64)).astype(np.float32)
-                    audio = np.repeat(filtered[:, None], audio.shape[1], axis=1)
-                g = gains.get(hdr.ssrc, 1.0)
-                # resample by sample-and-hold to the mix rate; pan mono to center
-                step = sess.samprate / args.samprate
-                n_out = int(audio.shape[0] / step)
-                idx = np.minimum((np.arange(n_out) * step).astype(int), audio.shape[0] - 1)
-                frames = audio[idx]
-                if sess.channels == 1:
-                    frames = np.repeat(frames, 2, axis=1)
-                # place at the session's stream position (RTP-derived) so
-                # gaps and late joins stay time-aligned in the mix
-                base = int(round((sess.samples - audio.shape[0]) / step))
-                buf = mix.get(sess.ssrc)
-                need = base + frames.shape[0]
-                if buf is None or buf.shape[0] < need:
-                    grown = np.zeros((need, 2), np.float32)
-                    if buf is not None:
-                        grown[: buf.shape[0]] = buf
-                    buf = grown
-                buf[base:need] += (frames * g).astype(np.float32)
-                mix[sess.ssrc] = buf
+                    sess.gain = (gains.get(hdr.ssrc, 1.0)
+                                 if hdr.ssrc == best else 0.0)
+                sess.ingest(hdr, payload, mixer.play_head)
     except KeyboardInterrupt:
         pass
 
+    # drain whatever is still buffered
+    while any(s.active and s._max_written > mixer.play_head
+              for s in mixer.sessions.values()):
+        emit(mixer.next_block())
+        blocks_out += 1
     if wav is not None:
-        if mix:
-            n = max(v.shape[0] for v in mix.values())
-            out = np.zeros((n, 2), np.float32)
-            for v in mix.values():
-                out[: v.shape[0]] += v
-            wav.writeframes(np.clip(out * 32767, -32768, 32767).astype("<i2").tobytes())
         wav.close()
 
-    for ssrc, s in sorted(sessions.items()):
+    for ssrc, s in sorted(mixer.sessions.items()):
         lvl = 20 * np.log10(max(s.level, 1e-9))
-        print(f"ssrc {ssrc}: {s.rtp.packets} pkts, {s.rtp.drops} drops, "
-              f"{s.rtp.dupes} dupes, {s.samples} samples, level {lvl:.1f} dBFS")
+        print(f"ssrc {ssrc}: {s.packets} pkts, {s.drops} drops, {s.late} late, "
+              f"{s.resets} resets, level {lvl:.1f} dBFS")
+    if not args.quiet:
+        print(f"{blocks_out} blocks, {mixer.underruns} underruns", file=sys.stderr)
     return 0
 
 

@@ -53,6 +53,7 @@ class PlayoutSession:
         self.ring = np.zeros((self.ring_frames, 2), np.float32)
         self.gain = 1.0
         self.pan = 0.0  # -1 full left .. +1 full right
+        self.filter = None  # optional frames->frames hook (PL notch etc.)
         # mapping sender RTP timestamps -> receiver playout frames:
         # out_frame = (rtp_ts - ts0) * ratio + base; established on the
         # first packet, then `ratio` slewed by the clock tracker
@@ -82,7 +83,11 @@ class PlayoutSession:
         if self.opus is not None:
             out = []
             if gap_frames > 0:  # Opus PLC fills the hole (monitor-data.c:560)
-                out.append(self.opus.decode(None, min(gap_frames, 5760)))
+                # PLC length is in DECODER samples (48k) and must be a
+                # multiple of 2.5 ms (120 frames)
+                n48 = int(gap_frames / self.ratio) // 120 * 120
+                if n48 > 0:
+                    out.append(self.opus.decode(None, min(n48, 5760)))
             out.append(self.opus.decode(payload))
             a = np.concatenate([o.reshape(-1, 2) for o in out], axis=0)
             return a
@@ -144,6 +149,8 @@ class PlayoutSession:
         i1 = np.minimum(i0 + 1, n_in - 1)
         fr = (pos - i0).astype(np.float32)[:, None]
         frames = audio[i0] * (1.0 - fr) + audio[i1] * fr
+        if self.filter is not None:
+            frames = np.asarray(self.filter(frames), np.float32)
 
         start = int(np.round(want))
         if start + n_out <= play_head:

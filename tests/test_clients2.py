@@ -75,14 +75,17 @@ def test_aprsfeed_dry_run_gates_frames():
     audio = afsk_modulate(frame, 44_100.0)
     p = subprocess.Popen(
         [sys.executable, "-m", "ka9q_radio_tpu.cli.aprsfeed", "--data", stream,
-         "--callsign", "N0CALL", "--dry-run", "--duration", "6"],
+         "--callsign", "N0CALL", "--dry-run", "--duration", "14"],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=SUBENV,
     )
-    time.sleep(3.0)  # interpreter + multicast join can race under load
     tx = output_socket(resolve_dest(stream, 5004))
     seq = ts = 0
     padded = np.concatenate([np.zeros(2000, np.float32), audio, np.zeros(2000, np.float32)])
-    for _attempt in range(2):  # resend once in case the join raced startup
+    # resend until the subprocess has surely joined (interpreter start +
+    # multicast join can take seconds under load; sends before the join
+    # are silently lost)
+    deadline = time.monotonic() + 12
+    while time.monotonic() < deadline and p.poll() is None:
         for off in range(0, padded.size, 480):
             chunk = padded[off : off + 480]
             tx.send(RtpHeader(type=11, seq=seq, timestamp=ts, ssrc=9).pack()
@@ -91,7 +94,7 @@ def test_aprsfeed_dry_run_gates_frames():
             ts += chunk.size
             time.sleep(0.0005)
         time.sleep(1.0)
-    out, err = p.communicate(timeout=15)
+    out, err = p.communicate(timeout=20)
     assert "KA9Q-1>APRS" in out, (out, err)
     assert ">gateway test" in out
 
@@ -100,15 +103,20 @@ def test_pcmspawn_pipes_audio(tmp_path):
     stream = f"spawn-{UNIQ}.local"
     p = subprocess.Popen(
         [sys.executable, "-m", "ka9q_radio_tpu.cli.pcmspawn", "--data", stream,
-         "--duration", "4", "--",
+         "--duration", "14", "--",
          sys.executable, "-c",
          "import sys,shutil; shutil.copyfileobj(sys.stdin.buffer, open(sys.argv[1],'wb'))",
          f"{tmp_path}/out-{{ssrc}}.raw"],
         stderr=subprocess.PIPE, text=True, env=SUBENV,
     )
-    time.sleep(3.0)  # interpreter + multicast join can race under load
+    # probe until pcmspawn's session exists (slow interpreter start +
+    # multicast join lose early packets), then send the real tone
+    deadline = time.monotonic() + 12
+    while time.monotonic() < deadline and not list(tmp_path.glob("out-*.raw")):
+        _send_tone(stream, ssrc=42, seconds=0.2, fs=44_100)
+        time.sleep(0.3)
     _send_tone(stream, ssrc=42, seconds=0.5, fs=44_100)
-    p.wait(timeout=10)
+    p.wait(timeout=20)
     # the {ssrc} substitution happens in pcmspawn's command tokens
     candidates = list(tmp_path.glob("out-*.raw"))
     assert candidates, p.stderr.read() if p.stderr else "no output file"
