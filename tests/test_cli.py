@@ -109,8 +109,9 @@ def test_pcmrecord_cli(daemon, tmp_path, capsys):
     assert rc == 0
     import wave
 
-    path = tmp_path / "ssrc200.wav"
-    assert path.exists()
+    paths = sorted(tmp_path.glob("*_ssrc200.wav"))  # timestamped names
+    assert paths, list(tmp_path.iterdir())
+    path = paths[0]
     with wave.open(str(path)) as w:
         assert w.getframerate() == 16_000
         assert w.getnchannels() == 1
