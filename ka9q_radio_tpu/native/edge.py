@@ -8,7 +8,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["RtpEdge", "native_available", "build"]
+__all__ = ["RtpEdge", "native_available", "native_has_opus", "build"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "rtp_edge.cpp")
@@ -23,7 +23,7 @@ def build() -> str:
     if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return _LIB
     subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
+        ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC, "-ldl"],
         check=True, capture_output=True,
     )
     return _LIB
@@ -49,9 +49,11 @@ def _load():
             ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint32),
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint32),
             ctypes.c_char_p,
         ]
+        lib.rtp_edge_has_opus.restype = ctypes.c_int
         _lib = lib
         return lib
 
@@ -60,6 +62,14 @@ def native_available() -> bool:
     try:
         _load()
         return True
+    except Exception:
+        return False
+
+
+def native_has_opus() -> bool:
+    """True when the edge can encode Opus (libopus.so.0 dlopens)."""
+    try:
+        return bool(_load().rtp_edge_has_opus())
     except Exception:
         return False
 
@@ -83,6 +93,7 @@ class RtpEdge:
         self.ssrc = np.zeros(C, np.uint32)
         self.pt = np.zeros(C, np.uint8)
         self.encoding = np.full(C, 2, np.int32)  # S16BE
+        self.samprate = np.zeros(C, np.int32)  # needed for Opus channels
         self.seq = np.zeros(C, np.uint16)
         self.ts = np.zeros(C, np.uint32)
         self.packets = 0
@@ -101,6 +112,7 @@ class RtpEdge:
             self.ssrc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
             self.pt.tobytes(),
             self.encoding.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self.samprate.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             self.seq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
             self.ts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
             marks.tobytes(),

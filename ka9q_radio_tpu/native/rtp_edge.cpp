@@ -15,6 +15,9 @@
 #include <cmath>
 #include <vector>
 
+#include <dlfcn.h>
+#include <unordered_map>
+
 #include <sys/socket.h>
 #include <netinet/in.h>
 #include <netinet/ip.h>
@@ -72,8 +75,50 @@ inline uint8_t alaw(float x) {
 }
 
 // encoding codes match net/rtp.py Encoding
-enum { E_S16LE = 1, E_S16BE = 2, E_F32LE = 4, E_F16LE = 6, E_F32BE = 8,
-       E_F16BE = 9, E_MULAW = 10, E_ALAW = 11 };
+enum { E_S16LE = 1, E_S16BE = 2, E_OPUS = 3, E_F32LE = 4, E_F16LE = 6,
+       E_OPUS_VOIP = 7, E_F32BE = 8, E_F16BE = 9, E_MULAW = 10, E_ALAW = 11 };
+
+// ---- Opus via dlopen("libopus.so.0") — headers absent in this image, the
+// runtime library is not; the ABI is stable public API ----
+struct OpusEncoderS;  // opaque
+typedef OpusEncoderS *(*opus_create_t)(int32_t, int, int, int *);
+typedef int32_t (*opus_encode_float_t)(OpusEncoderS *, const float *, int,
+                                       unsigned char *, int32_t);
+typedef void (*opus_destroy_t)(OpusEncoderS *);
+
+struct OpusApi {
+  void *dl = nullptr;
+  opus_create_t create = nullptr;
+  opus_encode_float_t encode = nullptr;
+  opus_destroy_t destroy = nullptr;
+  bool ok() const { return create && encode && destroy; }
+};
+
+OpusApi &opus_api() {
+  static OpusApi api = [] {
+    OpusApi a;
+    a.dl = dlopen("libopus.so.0", RTLD_NOW | RTLD_GLOBAL);
+    if (a.dl) {
+      a.create = (opus_create_t)dlsym(a.dl, "opus_encoder_create");
+      a.encode = (opus_encode_float_t)dlsym(a.dl, "opus_encode_float");
+      a.destroy = (opus_destroy_t)dlsym(a.dl, "opus_encoder_destroy");
+    }
+    return a;
+  }();
+  return api;
+}
+
+struct OpusSlot {
+  OpusEncoderS *enc = nullptr;
+  int samprate = 0;
+  int nch = 0;
+};
+// per-(socket, channel) encoder states; freed by rtp_edge_close
+std::unordered_map<uint64_t, OpusSlot> Opus_slots;
+
+inline uint64_t slot_key(int fd, int chan) {
+  return ((uint64_t)(uint32_t)fd << 32) | (uint32_t)chan;
+}
 
 size_t sample_bytes(int enc) {
   switch (enc) {
@@ -154,22 +199,64 @@ int rtp_edge_open(const char *ip, int port, int ttl, int tos) {
   return fd;
 }
 
-void rtp_edge_close(int fd) { close(fd); }
+void rtp_edge_close(int fd) {
+  for (auto it = Opus_slots.begin(); it != Opus_slots.end();) {
+    if ((int)(it->first >> 32) == fd) {
+      if (it->second.enc) opus_api().destroy(it->second.enc);
+      it = Opus_slots.erase(it);
+    } else {
+      ++it;
+    }
+  }
+  close(fd);
+}
+
+int rtp_edge_has_opus(void) { return opus_api().ok() ? 1 : 0; }
 
 // Packetize + send one block of audio for C channels.
 //   audio: [C, nframes * nch] float32 (interleaved if nch=2)
-//   send/marker flags, ssrc/pt/encoding per channel; seq/ts updated in place.
-//   ts advances by nframes even for muted channels (audio.c semantics).
+//   send/marker flags, ssrc/pt/encoding/samprate per channel; seq/ts updated
+//   in place. ts advances by nframes even for muted channels (audio.c
+//   semantics); Opus timestamps tick at 48 kHz regardless of samprate.
 // Returns packets sent, or -errno on socket failure.
 int rtp_edge_send_block(int fd, const float *audio, int nchan, int nframes,
                         int nch, const uint8_t *send_flag, const uint32_t *ssrc,
                         const uint8_t *pt, const int32_t *encoding,
+                        const int32_t *samprate,
                         uint16_t *seq, uint32_t *ts, const uint8_t *marker) {
   std::vector<Packet> pkts;
   pkts.reserve((size_t)nchan * 2);
   for (int c = 0; c < nchan; c++) {
+    bool is_opus = encoding[c] == E_OPUS || encoding[c] == E_OPUS_VOIP;
+    uint32_t ts_inc = is_opus && samprate[c] > 0
+                          ? (uint32_t)((int64_t)nframes * 48000 / samprate[c])
+                          : (uint32_t)nframes;
     if (!send_flag[c]) {
-      ts[c] += (uint32_t)nframes;
+      ts[c] += ts_inc;
+      continue;
+    }
+    if (is_opus) {
+      OpusApi &api = opus_api();
+      if (!api.ok()) { ts[c] += ts_inc; continue; }
+      OpusSlot &slot = Opus_slots[slot_key(fd, c)];
+      if (slot.enc == nullptr || slot.samprate != samprate[c] || slot.nch != nch) {
+        if (slot.enc) api.destroy(slot.enc);
+        int err = 0;
+        slot.enc = api.create(samprate[c], nch,
+                              encoding[c] == E_OPUS_VOIP ? 2048 : 2049, &err);
+        slot.samprate = samprate[c];
+        slot.nch = nch;
+        if (err != 0 || slot.enc == nullptr) { slot.enc = nullptr; ts[c] += ts_inc; continue; }
+      }
+      pkts.emplace_back();
+      Packet &p = pkts.back();
+      const float *src = audio + (size_t)c * nframes * nch;
+      int32_t r = api.encode(slot.enc, src, nframes, p.buf + 12, MAX_PAYLOAD);
+      if (r <= 0) { pkts.pop_back(); ts[c] += ts_inc; continue; }
+      put_rtp_header(p.buf, pt[c], marker[c], seq[c], ts[c], ssrc[c]);
+      p.len = 12 + (size_t)r;
+      seq[c] = (uint16_t)(seq[c] + 1);
+      ts[c] += ts_inc;
       continue;
     }
     size_t bytes_per_frame = sample_bytes(encoding[c]) * (size_t)nch;

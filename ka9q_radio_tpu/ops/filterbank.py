@@ -198,6 +198,20 @@ def finish_channelize(fd, olen: int, isb: bool = False):
     return bb[:, n_bins - olen :].astype(jnp.complex64)
 
 
+def idft_matrix(n_bins: int, olen: int) -> np.ndarray:
+    """[n_bins, olen] complex64 IDFT matrix producing the LAST olen time
+    samples (the overlap-save keep region, filter.c:345,370).
+
+    Turns the per-channel slave IFFT into one [C, n_bins] x [n_bins, olen]
+    complex matmul — MXU-friendly: XLA fuses the bin gather + response
+    multiply into the matmul operands, and at typical slave sizes
+    (150-1920 bins) the systolic array beats the vector-unit FFT.
+    """
+    k = np.arange(n_bins)[:, None]
+    t = np.arange(n_bins - olen, n_bins)[None, :]
+    return (np.exp(2j * np.pi * k * t / n_bins) / n_bins).astype(np.complex64)
+
+
 def fine_tune(bb, acc_q32, inc_q32, adj_q32):
     """Apply per-channel fine-tuning NCO + block phase adjustment.
 

@@ -47,6 +47,8 @@ from ..ops.filterbank import (
     fine_tune,
     compute_tuning,
     block_phase_adjust_q32,
+    gather_bins,
+    idft_matrix,
 )
 from ..ops.filter_design import design_bandpass_response, response_to_device_order
 from ..ops.noise import gather_noise_bins, estimate_noise, POWER_ALPHA, MIN_NOISE_BINS
@@ -192,7 +194,7 @@ class _Group:
     """Host-side compiled geometry + initial params for one GroupSpec."""
 
     def __init__(self, spec: GroupSpec, master: MasterConfig, samprate: float, blocktime: float,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, use_matmul: bool = False):
         # host->device placement for params leaves; sharded engines override
         # this (Engine.__init__) so retune/set_edges surgery preserves the
         # channel-axis sharding and stays recompile-free under a mesh
@@ -200,6 +202,7 @@ class _Group:
         self.spec = spec
         self.master = master
         self.use_pallas = use_pallas and not master.real
+        self.use_matmul = use_matmul
         self.fs_in = samprate
         self.blocktime = blocktime
         r = int(spec.samprate)
@@ -217,6 +220,9 @@ class _Group:
         if self.C == 0:
             raise ValueError(f"group {spec.name}: no channels")
         self.noise_bins = int(min(master.bins, max(self.n_bins, MIN_NOISE_BINS)))
+        # matmul channelizer: slave IFFT as one MXU matmul (numpy constant
+        # so it embeds at trace time, no device closure capture)
+        self.idft = idft_matrix(self.n_bins, self.olen) if use_matmul else None
         if spec.demod == "wfm":
             self.wfm_geo = wfm_geometry(blocktime)
             # keep as NUMPY: device arrays closure-captured into the jitted
@@ -472,7 +478,13 @@ class _Group:
                                      params["beam_alpha"], params["beam_beta"])
         elif sharded:
             fd = F.gather(params["shifts"], params["responses"].shape[-1])
-            bb = finish_channelize(fd * params["responses"], self.olen)
+            if self.use_matmul and not self.spec.isb:
+                bb = ((fd * params["responses"]) @ self.idft).astype(jnp.complex64)
+            else:
+                bb = finish_channelize(fd * params["responses"], self.olen)
+        elif self.use_matmul and not self.spec.isb:
+            fd = gather_bins(F, params["shifts"], self.n_bins, m.real, m.N) * params["responses"]
+            bb = (fd @ self.idft).astype(jnp.complex64)
         elif self.use_pallas:
             from ..ops.pallas_kernels import channelize_pallas
             bb = channelize_pallas(F, params["responses"], params["shifts"], self.olen, m.N)
@@ -564,6 +576,7 @@ class Engine:
         blocktime: float = 0.02,
         overlap: int = 5,
         use_pallas: bool = False,
+        use_matmul: bool = False,
         spurs: "Sequence[float] | None" = None,
         mesh=None,
         shard_axis: str = "c",
@@ -586,10 +599,12 @@ class Engine:
             self.digit = DigitMaster.plan(mesh, shard_axis, self.master.N)
             use_pallas = False  # dense-F kernel; N/A on distributed bins
         self.use_pallas = use_pallas
+        self.use_matmul = use_matmul
         names = [g.name for g in groups]
         if len(set(names)) != len(names):
             raise ValueError("duplicate group names")
-        self.groups = {g.name: _Group(g, self.master, self.samprate, blocktime, use_pallas)
+        self.groups = {g.name: _Group(g, self.master, self.samprate, blocktime, use_pallas,
+                                      use_matmul)
                        for g in groups}
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

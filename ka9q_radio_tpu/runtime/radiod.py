@@ -112,13 +112,25 @@ class Radiod:
             except Exception:
                 pass
         use_pallas = str(cfg.options.get("pallas", "n")).lower() in ("y", "yes", "true", "1", "on")
+        use_matmul = str(cfg.options.get("matmul", "n")).lower() in ("y", "yes", "true", "1", "on")
         from ..utils.parse import parse_frequency
         spurs = [parse_frequency(t, True) for t in str(cfg.options.get("spurs", "")).split()] or None
         self._spurs = spurs
+        # [global] mesh = yes: run the sharded engine over every local
+        # device (distributed master FFT + channel-axis sharding). Needs
+        # every group's channel count divisible by the device count.
+        self._mesh = None
+        if str(cfg.options.get("mesh", "n")).lower() in ("y", "yes", "true", "1", "on", "auto"):
+            if len(jax.devices()) > 1:
+                from ..parallel import make_mesh
+
+                self._mesh = make_mesh()
+        self._use_pallas = use_pallas
+        self._use_matmul = use_matmul
         self.engine = Engine(
             samprate=cfg.samprate, real=cfg.real, groups=cfg.groups,
             blocktime=cfg.blocktime, overlap=cfg.overlap, use_pallas=use_pallas,
-            spurs=spurs,
+            use_matmul=use_matmul, spurs=spurs, mesh=self._mesh,
         )
         # initial state built INSIDE jit: remote-TPU tunnels (axon) are
         # unreliable for eager device ops; compiled programs are the solid path
@@ -269,18 +281,19 @@ class Radiod:
         group per block instead of per-channel Python sendto loops. PCM
         encodings only; Opus and RDS companions stay on the Python path."""
         try:
-            from ..native import RtpEdge, native_available
+            from ..native import RtpEdge, native_available, native_has_opus
             if not native_available():
                 return
         except Exception:
             return
+        edge_opus = native_has_opus()
         for gname, g in self.engine.groups.items():
             spec = g.spec
             if spec.demod == "spectrum":
                 continue
             group_chans = [c for c in self.chans.values()
                            if c.group == gname and not c.rds
-                           and c.encoding not in (Encoding.OPUS, Encoding.OPUS_VOIP)
+                           and (edge_opus or c.encoding not in (Encoding.OPUS, Encoding.OPUS_VOIP))
                            and c.dest_sock is None and not (c.maxdelay or 0)]
             if len(group_chans) != g.C:
                 continue
@@ -293,6 +306,7 @@ class Radiod:
             edge.ssrc[:] = [c.ssrc for c in group_chans]
             edge.pt[:] = [c.pt for c in group_chans]
             edge.encoding[:] = [int(c.encoding) for c in group_chans]
+            edge.samprate[:] = [c.samprate for c in group_chans]
             self.edges[gname] = (edge, group_chans)
 
     def _refresh_edges(self):
@@ -418,19 +432,24 @@ class Radiod:
             self._restore_slot(gname, slot)
             return slot
         spare = self.dyn_spare
+        # under a mesh, group channel counts must stay divisible by the
+        # device count — round the added slots up (the extras become spares)
+        mult = self._mesh.devices.size if self._mesh is not None else 1
         if gname not in self.engine.groups:
+            count = -((1 + spare) // -mult) * mult
             ch0 = template.channels[0]
             spec = dataclasses.replace(template, name=gname,
-                                       channels=(ch0,) * (1 + spare))
+                                       channels=(ch0,) * count)
             self._rebuild(list(self.engine.specs) + [spec])
-            slot, extra = 0, range(1, 1 + spare)
+            slot, extra = 0, range(1, count)
         else:
             g = self.engine.groups[gname]
             spec = g.spec
+            count = -((g.C + 1 + spare) // -mult) * mult - g.C
             new_spec = dataclasses.replace(
-                spec, channels=spec.channels + (spec.channels[-1],) * (1 + spare))
+                spec, channels=spec.channels + (spec.channels[-1],) * count)
             self._rebuild([new_spec if s.name == gname else s for s in self.engine.specs])
-            slot, extra = g.C, range(g.C + 1, g.C + 1 + spare)
+            slot, extra = g.C, range(g.C + 1, g.C + count)
         for s in extra:
             self._mute_slot(gname, s)
         self.free_slots.setdefault(gname, []).extend(extra)
@@ -582,7 +601,8 @@ class Radiod:
         new_eng = Engine(samprate=self.cfg.samprate, real=self.cfg.real,
                          groups=specs, blocktime=self.cfg.blocktime,
                          overlap=self.cfg.overlap, use_pallas=self.engine.use_pallas,
-                         spurs=self._spurs)
+                         use_matmul=self.engine.use_matmul,
+                         spurs=self._spurs, mesh=self._mesh)
         new_init = jax.jit(new_eng.init_state)()
         self.state = jax.jit(migrate_state)(self.state, new_init)
         self.params = new_eng.adopt_host_params(old)

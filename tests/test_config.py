@@ -50,7 +50,10 @@ def test_load_config_full():
     assert cfg.source.samprate == 1_024_000
     assert not cfg.source.real
     assert abs(cfg.source.amplitude - 0.1) < 1e-9
-    assert abs(10 * np.log10(cfg.source.noise_n0) + 120) < 1e-6
+    # "noise" is the reference's per-sample amplitude key (sig_gen.c:149):
+    # sigma = -120 dBFS -> N0 = 2*sigma^2/fs
+    want_n0 = 2.0 * (10 ** (-120 / 20.0)) ** 2 / 1_024_000
+    assert abs(10 * np.log10(cfg.source.noise_n0) - 10 * np.log10(want_n0)) < 1e-6
     assert cfg.blocktime == 0.02 and cfg.overlap == 5
     assert cfg.options["status"] == "test.local"
 

@@ -170,3 +170,46 @@ def test_complex_master_nyquist_stop():
     F2 = jnp.zeros((m,), jnp.complex64).at[0].set(1.0 + 0j)
     got2 = np.asarray(gather_bins(F2, jnp.array([-10], jnp.int32), 128, False, m))
     assert np.count_nonzero(got2) == 1
+
+
+def test_matmul_channelizer_matches_ifft():
+    """idft_matrix matmul == batched IFFT channelizer (MXU path)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ka9q_radio_tpu.ops.filterbank import channelize, gather_bins, idft_matrix
+
+    rng = np.random.default_rng(3)
+    N, NB, OLEN, C = 3200, 200, 160, 6
+    F = (rng.standard_normal(N // 2 + 1) + 1j * rng.standard_normal(N // 2 + 1)).astype(np.complex64)
+    resp = (rng.standard_normal((C, NB)) + 1j * rng.standard_normal((C, NB))).astype(np.complex64)
+    shifts = rng.integers(NB, N // 2 - NB, C).astype(np.int32)
+    want = np.asarray(channelize(jnp.asarray(F), jnp.asarray(resp), jnp.asarray(shifts), OLEN, True, N))
+    fd = gather_bins(jnp.asarray(F), jnp.asarray(shifts), NB, True, N) * jnp.asarray(resp)
+    got = np.asarray(fd @ jnp.asarray(idft_matrix(NB, OLEN)))
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-4 * np.max(np.abs(want)))
+
+
+def test_engine_matmul_option():
+    """Engine(use_matmul=True) produces the same audio as the FFT path."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from ka9q_radio_tpu.runtime import ChannelSpec, GroupSpec, Engine
+
+    groups = [GroupSpec(name="usb", demod="linear", samprate=8000,
+                        channels=tuple(ChannelSpec(freq=20_000.0 + 3000 * i, low=50, high=2700)
+                                       for i in range(4)))]
+    e1 = Engine(samprate=128_000, groups=groups, real=True)
+    e2 = Engine(samprate=128_000, groups=groups, real=True, use_matmul=True)
+    rng = np.random.default_rng(0)
+    x = (0.3 * np.cos(2 * np.pi * 21_000.0 * np.arange(4 * e1.L) / 128_000)
+         + 0.01 * rng.standard_normal(4 * e1.L)).astype(np.float32)
+    s1, p1 = jax.jit(e1.init_state)(), e1.init_params()
+    s2, p2 = jax.jit(e2.init_state)(), e2.init_params()
+    st1, st2 = jax.jit(e1.step), jax.jit(e2.step)
+    for k in range(4):
+        b = jnp.asarray(x[k * e1.L : (k + 1) * e1.L])
+        s1, o1 = st1(s1, p1, b)
+        s2, o2 = st2(s2, p2, b)
+    a1, a2 = np.asarray(o1["usb"]["audio"]), np.asarray(o2["usb"]["audio"])
+    assert np.max(np.abs(a1 - a2)) < 2e-3

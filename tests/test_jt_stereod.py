@@ -1,0 +1,126 @@
+"""Loopback tests for the previously drive-verified-only clients:
+jt-decoded (UTC cycle clips + decoder spawn), show-pkt, show-sig
+(VERDICT round-1 test holes)."""
+import os
+import select
+import subprocess
+import sys
+import threading
+import time
+
+import numpy as np
+
+from ka9q_radio_tpu.net.rtp import RtpHeader, Encoding, encode_samples
+from ka9q_radio_tpu.net.multicast import resolve_dest, listen_socket, output_socket
+from ka9q_radio_tpu.net.status import StatusType as T, PacketType, encode_status, decode_status
+
+UNIQ = os.getpid()
+
+
+def _stream_tone(dest, seconds, fs=12_000, ssrc=4, freq=700.0, realtime=False):
+    tx = output_socket(resolve_dest(dest, 5004))
+    n = int(seconds * fs)
+    t = np.arange(n) / fs
+    audio = (0.4 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+    seq = ts = 0
+    for off in range(0, n, 240):
+        chunk = audio[off : off + 240]
+        tx.send(RtpHeader(type=122, seq=seq, timestamp=ts, ssrc=ssrc).pack()
+                + encode_samples(chunk, Encoding.S16BE))
+        seq += 1
+        ts += chunk.size
+        time.sleep(0.02 if realtime else 0.001)
+    tx.close()
+
+
+def test_jt_decoded_cycle_clips(tmp_path):
+    """Clips are UTC-cycle aligned and the decoder hook fires per clip."""
+    from ka9q_radio_tpu.cli.jt_decoded import main
+
+    stream = f"jt-{UNIQ}.local"
+    marker = tmp_path / "decoded.txt"
+    th = threading.Thread(
+        target=main,
+        args=([ "--data", stream, "--mode", "ft4", "--dir", str(tmp_path),
+                "--duration", "10",
+                "--exec", f"{sys.executable} -c \"import sys,pathlib;"
+                          f"pathlib.Path('{marker}').write_text(sys.argv[1])\" {{file}}"],),
+        daemon=True)
+    th.start()
+    time.sleep(0.5)
+    _stream_tone(stream, seconds=9.0, realtime=True)
+    th.join(timeout=15)
+    clips = sorted(tmp_path.glob("*.wav"))
+    assert clips, "no clips written"
+    # a completed 7.5 s FT4 cycle spawned the decoder with the clip path
+    deadline = time.monotonic() + 5
+    while time.monotonic() < deadline and not marker.exists():
+        time.sleep(0.2)
+    assert marker.exists()
+    assert marker.read_text().endswith(".wav")
+    import wave
+
+    with wave.open(str(clips[0])) as w:
+        assert w.getframerate() == 12_000
+        data = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+    spec = np.abs(np.fft.rfft(data * np.hanning(data.size)))
+    f = np.fft.rfftfreq(data.size, 1 / 12_000)
+    assert abs(f[np.argmax(spec)] - 700.0) < 10
+
+
+def test_showpkt_reports_streams(capsys):
+    from ka9q_radio_tpu.cli.showpkt import main
+
+    stream = f"showpkt-{UNIQ}.local"
+    th = threading.Thread(target=main,
+                          args=([ "--data", stream, "--interval", "0.5",
+                                  "--duration", "4"],), daemon=True)
+    th.start()
+    time.sleep(0.4)
+    _stream_tone(stream, seconds=1.5, ssrc=77)
+    th.join(timeout=8)
+    out = capsys.readouterr().out
+    assert "77" in out  # ssrc appears with counters
+    assert any(k in out.lower() for k in ("pkt", "ssrc"))
+
+
+def test_showsig_polls_channel(capsys):
+    """show-sig polls a fake radiod responder and prints levels."""
+    from ka9q_radio_tpu.cli.showsig import main
+
+    radio = f"showsig-{UNIQ}.local"
+    dest = resolve_dest(radio, 5006)
+    stop = threading.Event()
+
+    def responder():
+        rx = listen_socket(dest)
+        tx = output_socket(dest)
+        while not stop.is_set():
+            r, _, _ = select.select([rx], [], [], 0.2)
+            if not r:
+                continue
+            pkt, _ = rx.recvfrom(65536)
+            try:
+                ptype, fields, _ = decode_status(pkt)
+            except Exception:
+                continue
+            if ptype != PacketType.CMD:
+                continue
+            tx.send(encode_status({
+                T.OUTPUT_SSRC: fields.get(T.OUTPUT_SSRC, 0),
+                T.COMMAND_TAG: fields.get(T.COMMAND_TAG, 0),
+                T.RADIO_FREQUENCY: 7_074_000.0,
+                T.BASEBAND_POWER: -21.5,
+                T.NOISE_DENSITY: -141.0,
+                T.OUTPUT_LEVEL: -15.0,
+            }))
+
+    th = threading.Thread(target=responder, daemon=True)
+    th.start()
+    time.sleep(0.3)
+    rc = main(["--radio", radio, "--ssrc", "42", "--interval", "0.2",
+               "--count", "2", "--timeout", "3"])
+    stop.set()
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "7074000" in out.replace(",", "").replace("_", "") or "7.074" in out or "-21.5" in out

@@ -109,3 +109,47 @@ def test_native_packet_splitting(edge_and_rx):
     assert len(pkts) == 8
     sizes = sorted({len(p) - 12 for p in pkts})
     assert sizes == [512, 1408]
+
+
+def test_native_opus_encode(edge_and_rx):
+    """Opus channels ride the native edge: in-edge libopus encode, 48 kHz
+    timestamp ticks, decodable payloads (VERDICT: the host edge must
+    survive 1000-channel Opus output)."""
+    from ka9q_radio_tpu.net import opus as opuslib
+
+    if not native.native_has_opus() or not opuslib.available():
+        pytest.skip("no libopus")
+    edge, rx = edge_and_rx
+    _drain(rx, 0.1)
+    edge.encoding[:] = int(Encoding.OPUS)
+    edge.samprate[:] = 12_000
+    edge.ts[:] = 0
+    fs, nframes = 12_000, 240  # one 20 ms block
+    t0 = np.arange(nframes) / fs
+    tone = (0.4 * np.sin(2 * np.pi * 1000.0 * t0)).astype(np.float32)
+    audio = np.tile(tone, (4, 1))
+    dec = opuslib.OpusDecoder(48_000, 1)
+    total = {s: [] for s in (100, 200, 300, 400)}
+    for blk in range(25):  # half a second
+        ph = 2 * np.pi * 1000.0 * (np.arange(nframes) + blk * nframes) / fs
+        audio = np.tile((0.4 * np.sin(ph)).astype(np.float32), (4, 1))
+        n = edge.send_block(audio, np.ones(4, bool), np.zeros(4, bool))
+        assert n == 4
+    pkts = _drain(rx)
+    assert len(pkts) == 100
+    last_ts = {}
+    for p in pkts:
+        h, payload = RtpHeader.unpack(p)
+        total[h.ssrc].append((h.seq, h.timestamp, payload))
+        last_ts[h.ssrc] = h.timestamp
+    # Opus timestamps tick at 48 kHz: 240 frames at 12 kHz -> 960/packet
+    for ssrc, frames in total.items():
+        frames.sort()
+        assert frames[1][1] - frames[0][1] == 960
+        audio_out = np.concatenate([dec.decode(pl).reshape(-1) for _, _, pl in frames])
+        a = audio_out[audio_out.size // 2:]
+        A = np.abs(np.fft.rfft(a * np.hanning(a.size)))
+        f = np.fft.rfftfreq(a.size, 1 / 48_000)
+        assert abs(f[np.argmax(A)] - 1000.0) < 10
+        break  # one stream is enough (same encoder path)
+    edge.encoding[:] = int(Encoding.S16BE)

@@ -215,3 +215,39 @@ def test_checkpoint_resume(tmp_path):
     rd3 = Radiod(load_config(CONF.replace("mode = usb\nsamprate = 16k", "mode = nfm\nsamprate = 16k")),
                  use_network=False)
     assert not rd3.load_checkpoint(path)
+
+
+def test_radiod_mesh_mode():
+    """[global] mesh = yes runs the daemon on the sharded engine (the
+    distributed master FFT + channel-axis sharding) over every local
+    device; audio and control must keep working."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("single device")
+    conf = CONF.replace("samprate = 1m024", "samprate = 128k")
+    conf = conf.replace("freq = 200k0", "freq = 30k0 32k0 34k0 36k0 38k0 40k0 42k0 44k0")
+    conf = conf.replace("carrier = 201k0", "carrier = 31k0")
+    conf = conf.replace("[global]", "[global]\nmesh = yes\ndyn-slots = 7")
+    rd = Radiod(load_config(conf), use_network=False)
+    assert rd.engine.mesh is not None
+    for _ in range(10):
+        rd.step_block()
+    ch = rd.chans[30]
+    assert np.isfinite(np.asarray(ch.last_info["baseband_power"])).all()
+    # the 31 kHz carrier lands +1 kHz into the 30 kHz channel's passband
+    data = [p for kind, p in rd._sent if kind == "data"]
+    assert data
+    # control plane still retunes with the same engine (no recompiles)
+    eng = rd.engine
+    rd.handle_packet(encode_status({T.OUTPUT_SSRC: 32, T.RADIO_FREQUENCY: 33_000.0}, cmd=True))
+    assert rd.engine is eng
+    rd.step_block()
+    # dynamic create rounds the new group to the mesh size
+    rd.handle_packet(encode_status({
+        T.OUTPUT_SSRC: 7777, T.PRESET: "usb", T.RADIO_FREQUENCY: 50_000.0}, cmd=True))
+    assert 7777 in rd.chans
+    g = rd.chans[7777].group
+    assert rd.engine.groups[g].C % len(jax.devices()) == 0
+    rd.step_block()
+    assert np.isfinite(np.asarray(rd.chans[7777].last_info["baseband_power"])).all()
