@@ -63,16 +63,14 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    args = [a for a in sys.argv[1:] if a not in ("--pallas", "--matmul")]
-    use_pallas = "--pallas" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--matmul"]
     use_matmul = "--matmul" in sys.argv
     config = args[0] if args else "rx888"
     eng, FS, baseline = build_engine(config)
-    if use_pallas or use_matmul:
+    if use_matmul:
         from ka9q_radio_tpu.runtime.engine import Engine as _E
         eng = _E(samprate=eng.samprate, real=eng.master.real,
-                 groups=eng.specs, blocktime=eng.blocktime,
-                 use_pallas=use_pallas, use_matmul=use_matmul)
+                 groups=eng.specs, blocktime=eng.blocktime, use_matmul=True)
 
     def _init_state():
         # the tunnel can flake on any first dispatch — retry with backoff
@@ -143,7 +141,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"{config}{'_matmul' if use_matmul else ''}{'_pallas' if use_pallas else ''}_input_rate",
+                "metric": f"{config}{'_matmul' if use_matmul else ''}_input_rate",
                 "value": round(msps, 3),
                 "unit": "Msps",
                 "vs_baseline": round(msps / baseline, 3),

@@ -138,7 +138,7 @@ _GLOBAL_KEYS = {
     "hardware", "status", "data", "mode", "preset", "ttl", "blocktime",
     "overlap", "update", "encoding", "block", "lifetime", "wisdom",
     "advertise", "rds", "native-edge", "description", "rtcp-interval",
-    "spectrum-format", "spectrum-base", "spectrum-step", "iface", "pallas", "sap",
+    "spectrum-format", "spectrum-base", "spectrum-step", "iface", "matmul", "sap",
     "fft-threads", "fft-plan-level", "dns", "tos", "spurs",
 }
 

@@ -194,14 +194,13 @@ class _Group:
     """Host-side compiled geometry + initial params for one GroupSpec."""
 
     def __init__(self, spec: GroupSpec, master: MasterConfig, samprate: float, blocktime: float,
-                 use_pallas: bool = False, use_matmul: bool = False):
+                 use_matmul: bool = False):
         # host->device placement for params leaves; sharded engines override
         # this (Engine.__init__) so retune/set_edges surgery preserves the
         # channel-axis sharding and stays recompile-free under a mesh
         self.put = jnp.asarray
         self.spec = spec
         self.master = master
-        self.use_pallas = use_pallas and not master.real
         self.use_matmul = use_matmul
         self.fs_in = samprate
         self.blocktime = blocktime
@@ -485,9 +484,6 @@ class _Group:
         elif self.use_matmul and not self.spec.isb:
             fd = gather_bins(F, params["shifts"], self.n_bins, m.real, m.N) * params["responses"]
             bb = (fd @ self.idft).astype(jnp.complex64)
-        elif self.use_pallas:
-            from ..ops.pallas_kernels import channelize_pallas
-            bb = channelize_pallas(F, params["responses"], params["shifts"], self.olen, m.N)
         else:
             bb = channelize(F, params["responses"], params["shifts"], self.olen, m.real, m.N)
 
@@ -575,7 +571,6 @@ class Engine:
         real: bool = True,
         blocktime: float = 0.02,
         overlap: int = 5,
-        use_pallas: bool = False,
         use_matmul: bool = False,
         spurs: "Sequence[float] | None" = None,
         mesh=None,
@@ -597,14 +592,11 @@ class Engine:
             from ..parallel.master import DigitMaster
 
             self.digit = DigitMaster.plan(mesh, shard_axis, self.master.N)
-            use_pallas = False  # dense-F kernel; N/A on distributed bins
-        self.use_pallas = use_pallas
         self.use_matmul = use_matmul
         names = [g.name for g in groups]
         if len(set(names)) != len(names):
             raise ValueError("duplicate group names")
-        self.groups = {g.name: _Group(g, self.master, self.samprate, blocktime, use_pallas,
-                                      use_matmul)
+        self.groups = {g.name: _Group(g, self.master, self.samprate, blocktime, use_matmul)
                        for g in groups}
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

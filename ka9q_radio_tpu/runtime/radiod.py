@@ -111,7 +111,6 @@ class Radiod:
                 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
             except Exception:
                 pass
-        use_pallas = str(cfg.options.get("pallas", "n")).lower() in ("y", "yes", "true", "1", "on")
         use_matmul = str(cfg.options.get("matmul", "n")).lower() in ("y", "yes", "true", "1", "on")
         from ..utils.parse import parse_frequency
         spurs = [parse_frequency(t, True) for t in str(cfg.options.get("spurs", "")).split()] or None
@@ -125,11 +124,10 @@ class Radiod:
                 from ..parallel import make_mesh
 
                 self._mesh = make_mesh()
-        self._use_pallas = use_pallas
         self._use_matmul = use_matmul
         self.engine = Engine(
             samprate=cfg.samprate, real=cfg.real, groups=cfg.groups,
-            blocktime=cfg.blocktime, overlap=cfg.overlap, use_pallas=use_pallas,
+            blocktime=cfg.blocktime, overlap=cfg.overlap,
             use_matmul=use_matmul, spurs=spurs, mesh=self._mesh,
         )
         # initial state built INSIDE jit: remote-TPU tunnels (axon) are
@@ -600,7 +598,7 @@ class Radiod:
         old = self.engine
         new_eng = Engine(samprate=self.cfg.samprate, real=self.cfg.real,
                          groups=specs, blocktime=self.cfg.blocktime,
-                         overlap=self.cfg.overlap, use_pallas=self.engine.use_pallas,
+                         overlap=self.cfg.overlap,
                          use_matmul=self.engine.use_matmul,
                          spurs=self._spurs, mesh=self._mesh)
         new_init = jax.jit(new_eng.init_state)()
