@@ -1,14 +1,28 @@
 """control-tpu — interactive channel control (reference control.c).
 
-A line-oriented counterpart of the reference's ncurses panel: poll any
-channel, watch its status keys, and set parameters. Commands:
+Two frontends over the same TLV transactions:
 
-    ssrc <n>            select channel
-    poll                poll and display status
-    f <freq>            set frequency (k/m/g accepted)
-    low <f> / high <f>  filter edges
-    gain/headroom/sqopen/sqclose <dB>
-    watch [sec]         stream beacons for a while
+  * line mode (default): scriptable commands covering every settable key
+    the daemon accepts (the full decode_radio_commands surface);
+  * --tui: a curses panel like the reference's ncurses control —
+    grouped windows (Tuning / Signal / Filtering / Demodulator / Output /
+    RTP), live 10x/s polling, keyboard tuning with a movable digit cursor
+    (arrows), preset hotkeys, and direct command entry (control.c:92-101,
+    keyboard loop).
+
+    ssrc <n>              select channel          mode <preset>   switch preset
+    poll / watch [sec]    status                  demod <type>    linear/fm/wfm/spectrum
+    f <freq>              tune (k/m/g ok)         samprate <r>    output rate
+    low/high/shift <f>    filter edges, shift     encoding <name> s16be/opus/...
+    gain/headroom <dB>    levels (gain sets AGC off)
+    sqopen/sqclose <dB>   squelch                 agc on|off      linear AGC
+    hang/recovery/thresh  AGC knobs               beta <b>        Kaiser beta
+    pll on|off|bw <hz>|square on|off              envelope on|off
+    isb on|off            independent sideband    channels 1|2    mono/stereo
+    opus-bitrate/dtx/app  Opus knobs              maxdelay <n>    output agg
+    rbw/bins/avg/crossover/window <v>             spectrum keys
+    doppler <hz> [rate]   doppler steering        lifetime <s>    self-destruct
+    create <ssrc> <preset> <freq>                 new dynamic channel
     quit
 """
 from __future__ import annotations
@@ -21,7 +35,240 @@ import time
 
 from ..net.status import StatusType as T, PacketType, encode_status, decode_status, dump_text
 from ..net.multicast import resolve_dest, output_socket, listen_socket, DEFAULT_STAT_PORT
+from ..net.rtp import Encoding
 from ..utils.parse import parse_frequency
+
+_ONOFF = {"on": True, "yes": True, "1": True, "off": False, "no": False, "0": False}
+_DEMODS = {"linear": 0, "fm": 1, "wfm": 2, "spectrum": 3}
+_WINDOWS = ("kaiser", "rect", "blackman", "exact_blackman", "gaussian",
+            "hann", "hamming", "blackman_harris", "hp5ft")
+
+
+class Controller:
+    """Socket transactions shared by the line and curses frontends."""
+
+    def __init__(self, radio: str, ssrc: int | None = None):
+        self.dest = resolve_dest(radio, DEFAULT_STAT_PORT)
+        self.rx = listen_socket(self.dest)
+        self.tx = output_socket(self.dest)
+        self.ssrc = ssrc
+
+    def transact(self, fields: dict, ssrc: int | None = None, timeout=2.0):
+        """Send a command, return the tagged response field dict (or None)."""
+        tag = random.getrandbits(31)
+        fields = {T.OUTPUT_SSRC: ssrc if ssrc is not None else self.ssrc,
+                  T.COMMAND_TAG: tag, **fields}
+        self.tx.send(encode_status(fields, cmd=True))
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            r, _, _ = select.select([self.rx], [], [], deadline - time.monotonic())
+            if not r:
+                break
+            pkt, _ = self.rx.recvfrom(65536)
+            try:
+                ptype, f, _ = decode_status(pkt)
+            except Exception:
+                continue
+            if ptype == PacketType.STATUS and f.get(T.COMMAND_TAG) == tag:
+                return f, pkt
+        return None, None
+
+    # one table drives the line commands AND documents the settable surface
+    def command_fields(self, op: str, toks: list[str]) -> dict | None:
+        def onoff(i=1):
+            return _ONOFF[toks[i].lower()]
+
+        if op in ("f", "freq"):
+            return {T.RADIO_FREQUENCY: parse_frequency(toks[1], True)}
+        if op == "low":
+            return {T.LOW_EDGE: parse_frequency(toks[1])}
+        if op == "high":
+            return {T.HIGH_EDGE: parse_frequency(toks[1])}
+        if op == "shift":
+            return {T.SHIFT_FREQUENCY: parse_frequency(toks[1])}
+        if op in ("mode", "preset"):
+            return {T.PRESET: toks[1]}
+        if op == "demod":
+            return {T.DEMOD_TYPE: _DEMODS[toks[1].lower()]}
+        if op == "samprate":
+            return {T.OUTPUT_SAMPRATE: int(parse_frequency(toks[1]))}
+        if op == "gain":
+            return {T.GAIN: float(toks[1])}
+        if op == "headroom":
+            return {T.HEADROOM: float(toks[1])}
+        if op == "sqopen":
+            return {T.SQUELCH_OPEN: float(toks[1])}
+        if op == "sqclose":
+            return {T.SQUELCH_CLOSE: float(toks[1])}
+        if op == "agc":
+            return {T.AGC_ENABLE: onoff()}
+        if op == "hang":
+            return {T.AGC_HANGTIME: float(toks[1])}
+        if op == "recovery":
+            return {T.AGC_RECOVERY_RATE: float(toks[1])}
+        if op == "thresh":
+            return {T.AGC_THRESHOLD: float(toks[1])}
+        if op == "beta":
+            return {T.KAISER_BETA: float(toks[1])}
+        if op == "pll":
+            if toks[1].lower() == "bw":
+                return {T.PLL_BW: float(toks[2])}
+            if toks[1].lower() == "square":
+                return {T.PLL_SQUARE: _ONOFF[toks[2].lower()]}
+            return {T.PLL_ENABLE: onoff()}
+        if op == "envelope":
+            return {T.ENVELOPE: onoff()}
+        if op == "isb":
+            return {T.INDEPENDENT_SIDEBAND: onoff()}
+        if op == "snr-squelch":
+            return {T.SNR_SQUELCH: onoff()}
+        if op == "channels":
+            return {T.OUTPUT_CHANNELS: int(toks[1])}
+        if op == "encoding":
+            return {T.OUTPUT_ENCODING: int(Encoding[toks[1].upper()])}
+        if op == "opus-bitrate":
+            return {T.OPUS_BIT_RATE: int(parse_frequency(toks[1]))}
+        if op == "opus-dtx":
+            return {T.OPUS_DTX: onoff()}
+        if op == "opus-app":
+            return {T.OPUS_APPLICATION: {"voip": 2048, "audio": 2049}[toks[1].lower()]}
+        if op == "maxdelay":
+            return {T.MAXDELAY: int(toks[1])}
+        if op == "filter2":
+            return {T.FILTER2: int(toks[1])}
+        if op == "rbw":
+            return {T.RESOLUTION_BW: float(parse_frequency(toks[1]))}
+        if op == "bins":
+            return {T.BIN_COUNT: int(toks[1])}
+        if op == "avg":
+            return {T.SPECTRUM_AVG: int(toks[1])}
+        if op == "crossover":
+            return {T.CROSSOVER: float(parse_frequency(toks[1]))}
+        if op == "window":
+            return {T.WINDOW_TYPE: _WINDOWS.index(toks[1].lower())}
+        if op == "tone":
+            return {T.PL_TONE: float(toks[1])}
+        if op == "doppler":
+            f = {T.DOPPLER_FREQUENCY: float(toks[1])}
+            if len(toks) > 2:
+                f[T.DOPPLER_FREQUENCY_RATE] = float(toks[2])
+            return f
+        if op == "lifetime":
+            return {T.LIFETIME: int(float(toks[1]) * 50)}
+        if op == "interval":
+            return {T.STATUS_INTERVAL: int(toks[1])}
+        return None
+
+
+def render_panel(f: dict, width: int = 78) -> list[str]:
+    """Build the TUI screen (pure: status fields -> lines) — the testable
+    core of the curses panel, mirroring control.c's windows."""
+    from ..config.bandplan import band_name
+    from ..utils.units import power_to_dB  # noqa: F401  (units doc'd)
+
+    def g(key, fmt="{}", default="—"):
+        v = f.get(key)
+        return fmt.format(v) if v is not None else default
+
+    freq = f.get(T.RADIO_FREQUENCY, 0.0) or 0.0
+    band = band_name(float(freq)) or ""
+    demod = {0: "linear", 1: "fm", 2: "wfm", 3: "spectrum"}.get(f.get(T.DEMOD_TYPE), "?")
+    enc = Encoding(f[T.OUTPUT_ENCODING]).name.lower() if T.OUTPUT_ENCODING in f else "—"
+    lines = [
+        f"ssrc {g(T.OUTPUT_SSRC)}  {g(T.DESCRIPTION)}",
+        "== Tuning " + "=" * (width - 10),
+        f"  freq {freq:,.3f} Hz  {band}   shift {g(T.SHIFT_FREQUENCY)}  preset {g(T.PRESET)}",
+        "== Signal " + "=" * (width - 10),
+        f"  if {g(T.IF_POWER, '{:.1f}')} dBFS   baseband {g(T.BASEBAND_POWER, '{:.1f}')} dB   "
+        f"N0 {g(T.NOISE_DENSITY, '{:.1f}')} dB/Hz",
+        f"  snr {g(T.FM_SNR, '{:.1f}', g(T.PLL_SNR, '{:.1f}'))} dB   out {g(T.OUTPUT_LEVEL, '{:.1f}')} dB   "
+        f"gain {g(T.GAIN, '{:.1f}')} dB",
+        "== Filtering " + "=" * (width - 13),
+        f"  edges [{g(T.LOW_EDGE, '{:+.0f}')}, {g(T.HIGH_EDGE, '{:+.0f}')}] Hz   beta {g(T.KAISER_BETA)}   "
+        f"fft {g(T.FILTER_BLOCKSIZE)}/{g(T.FILTER_FIR_LENGTH)}   drops {g(T.FILTER_DROPS)}",
+        "== Demodulator " + "=" * (width - 15),
+        f"  {demod}   pll {g(T.PLL_ENABLE)}/{g(T.PLL_SQUARE)} bw {g(T.PLL_BW)}   agc {g(T.AGC_ENABLE)}   "
+        f"sq [{g(T.SQUELCH_OPEN, '{:.1f}')}/{g(T.SQUELCH_CLOSE, '{:.1f}')}] dB",
+        "== Output " + "=" * (width - 10),
+        f"  {g(T.OUTPUT_SAMPRATE)} Hz x{g(T.OUTPUT_CHANNELS)} {enc}   pt {g(T.RTP_PT)}   "
+        f"pkts {g(T.OUTPUT_DATA_PACKETS)}   ssrc {g(T.OUTPUT_SSRC)}",
+        "== RTP/Status " + "=" * (width - 14),
+        f"  beacons {g(T.OUTPUT_METADATA_PACKETS)}   cmds {g(T.CMD_CNT)}   "
+        f"interval {g(T.STATUS_INTERVAL)}   input {g(T.INPUT_SAMPRATE)} sps",
+    ]
+    return [ln[:width] for ln in lines]
+
+
+# tuning cursor steps, Hz (reference: digit-position tuning)
+_STEPS = (1, 10, 100, 1_000, 10_000, 100_000, 1_000_000, 10_000_000)
+
+
+def tui(ctl: Controller) -> int:
+    import curses
+
+    def loop(scr):
+        curses.curs_set(0)
+        scr.timeout(100)  # 10 Hz refresh
+        step_i = 3  # 1 kHz
+        fields = {}
+        last_poll = 0.0
+        msg = "arrows: tune/step  p: preset prompt  c: command  q: quit"
+        while True:
+            now = time.monotonic()
+            if now - last_poll > 0.1:
+                f, _ = ctl.transact({}, timeout=0.3)
+                if f:
+                    fields = f
+                last_poll = now
+            scr.erase()
+            for i, ln in enumerate(render_panel(fields, width=scr.getmaxyx()[1] - 1)):
+                try:
+                    scr.addstr(i, 0, ln)
+                except curses.error:
+                    pass
+            h = scr.getmaxyx()[0]
+            try:
+                scr.addstr(h - 2, 0, f"step {_STEPS[step_i]:,} Hz   {msg}"[: scr.getmaxyx()[1] - 1])
+            except curses.error:
+                pass
+            scr.refresh()
+            ch = scr.getch()
+            if ch == -1:
+                continue
+            if ch in (ord("q"), 27):
+                return 0
+            freq = float(fields.get(T.RADIO_FREQUENCY, 0.0) or 0.0)
+            if ch == curses.KEY_UP:
+                ctl.transact({T.RADIO_FREQUENCY: freq + _STEPS[step_i]}, timeout=0.5)
+            elif ch == curses.KEY_DOWN:
+                ctl.transact({T.RADIO_FREQUENCY: max(freq - _STEPS[step_i], 0.0)}, timeout=0.5)
+            elif ch == curses.KEY_LEFT:
+                step_i = min(step_i + 1, len(_STEPS) - 1)
+            elif ch == curses.KEY_RIGHT:
+                step_i = max(step_i - 1, 0)
+            elif ch in (ord("p"), ord("c")):
+                curses.echo()
+                scr.addstr(h - 1, 0, "preset: " if ch == ord("p") else "cmd: ")
+                scr.refresh()
+                line = scr.getstr(h - 1, 8 if ch == ord("p") else 5).decode()
+                curses.noecho()
+                if ch == ord("p") and line.strip():
+                    ctl.transact({T.PRESET: line.strip()})
+                elif line.strip():
+                    toks = line.split()
+                    try:
+                        cf = ctl.command_fields(toks[0].lower(), toks)
+                        if cf:
+                            ctl.transact(cf)
+                            msg = f"sent {toks[0]}"
+                        else:
+                            msg = f"unknown: {toks[0]}"
+                    except (KeyError, ValueError, IndexError) as e:
+                        msg = f"bad command: {e}"
+
+    import curses
+
+    return curses.wrapper(loop)
 
 
 def main(argv=None) -> int:
@@ -29,6 +276,7 @@ def main(argv=None) -> int:
     ap.add_argument("--radio", default=None)
     ap.add_argument("--browse", action="store_true", help="discover radiods via mDNS")
     ap.add_argument("--ssrc", type=int, default=None)
+    ap.add_argument("--tui", action="store_true", help="full-screen curses panel")
     ap.add_argument("-c", "--command", action="append", default=None,
                     help="run commands non-interactively")
     args = ap.parse_args(argv)
@@ -42,39 +290,13 @@ def main(argv=None) -> int:
     if not args.radio:
         ap.error("--radio required (or use --browse)")
 
-    dest = resolve_dest(args.radio, DEFAULT_STAT_PORT)
-    rx = listen_socket(dest)
-    tx = output_socket(dest)
-    ssrc = args.ssrc
-
-    def transact(fields: dict, timeout=2.0) -> bool:
-        tag = random.getrandbits(31)
-        fields = {T.OUTPUT_SSRC: ssrc, T.COMMAND_TAG: tag, **fields}
-        tx.send(encode_status(fields, cmd=True))
-        deadline = time.monotonic() + timeout
-        while time.monotonic() < deadline:
-            r, _, _ = select.select([rx], [], [], deadline - time.monotonic())
-            if not r:
-                break
-            pkt, _ = rx.recvfrom(65536)
-            try:
-                ptype, f, _ = decode_status(pkt)
-            except Exception:
-                continue
-            if ptype == PacketType.STATUS and f.get(T.COMMAND_TAG) == tag:
-                freq = f.get(T.RADIO_FREQUENCY)
-                if freq:
-                    from ..config.bandplan import band_name
-                    b = band_name(float(freq))
-                    if b:
-                        print(f"[{b}]")
-                print(dump_text(pkt))
-                return True
-        print("(no response)", file=sys.stderr)
-        return False
+    ctl = Controller(args.radio, args.ssrc)
+    if args.tui:
+        if ctl.ssrc is None:
+            ap.error("--tui needs --ssrc")
+        return tui(ctl)
 
     def run_cmd(line: str) -> bool:
-        nonlocal ssrc
         toks = line.split()
         if not toks:
             return True
@@ -82,41 +304,65 @@ def main(argv=None) -> int:
         if op in ("quit", "exit", "q"):
             return False
         if op == "ssrc" and len(toks) > 1:
-            ssrc = int(toks[1])
+            ctl.ssrc = int(toks[1])
             return True
-        if ssrc is None:
+        if op == "create" and len(toks) > 3:
+            # dynamic channel: command an unknown ssrc w/ preset+freq
+            f, pkt = ctl.transact({T.PRESET: toks[2],
+                                   T.RADIO_FREQUENCY: parse_frequency(toks[3], True)},
+                                  ssrc=int(toks[1]), timeout=30.0)
+            if pkt:
+                print(dump_text(pkt))
+            else:
+                print("(no response)", file=sys.stderr)
+            return True
+        if ctl.ssrc is None:
             print("select a channel first: ssrc <n>", file=sys.stderr)
             return True
         if op == "poll":
-            transact({})
-        elif op in ("f", "freq") and len(toks) > 1:
-            transact({T.RADIO_FREQUENCY: parse_frequency(toks[1], True)})
-        elif op == "low" and len(toks) > 1:
-            transact({T.LOW_EDGE: parse_frequency(toks[1])})
-        elif op == "high" and len(toks) > 1:
-            transact({T.HIGH_EDGE: parse_frequency(toks[1])})
-        elif op == "gain" and len(toks) > 1:
-            transact({T.GAIN: float(toks[1])})
-        elif op == "headroom" and len(toks) > 1:
-            transact({T.HEADROOM: float(toks[1])})
-        elif op == "sqopen" and len(toks) > 1:
-            transact({T.SQUELCH_OPEN: float(toks[1])})
-        elif op == "sqclose" and len(toks) > 1:
-            transact({T.SQUELCH_CLOSE: float(toks[1])})
-        elif op == "watch":
+            f, pkt = ctl.transact({})
+            if pkt:
+                freq = f.get(T.RADIO_FREQUENCY)
+                if freq:
+                    from ..config.bandplan import band_name
+                    b = band_name(float(freq))
+                    if b:
+                        print(f"[{b}]")
+                print(dump_text(pkt))
+            else:
+                print("(no response)", file=sys.stderr)
+            return True
+        if op == "panel":
+            f, _ = ctl.transact({})
+            if f:
+                print("\n".join(render_panel(f)))
+            return True
+        if op == "watch":
             until = time.monotonic() + (float(toks[1]) if len(toks) > 1 else 5.0)
             while time.monotonic() < until:
-                r, _, _ = select.select([rx], [], [], 0.25)
+                r, _, _ = select.select([ctl.rx], [], [], 0.25)
                 if r:
-                    pkt, _ = rx.recvfrom(65536)
+                    pkt, _ = ctl.rx.recvfrom(65536)
                     try:
                         _, f, _ = decode_status(pkt)
-                        if f.get(T.OUTPUT_SSRC) == ssrc:
+                        if f.get(T.OUTPUT_SSRC) == ctl.ssrc:
                             print(dump_text(pkt))
                     except Exception:
                         pass
-        else:
+            return True
+        try:
+            fields = ctl.command_fields(op, toks)
+        except (KeyError, ValueError, IndexError) as e:
+            print(f"bad command: {e}", file=sys.stderr)
+            return True
+        if fields is None:
             print(f"unknown command {op!r}", file=sys.stderr)
+            return True
+        _, pkt = ctl.transact(fields, timeout=15.0)
+        if pkt:
+            print(dump_text(pkt))
+        else:
+            print("(no response)", file=sys.stderr)
         return True
 
     if args.command:
@@ -126,7 +372,7 @@ def main(argv=None) -> int:
         return 0
     while True:
         try:
-            line = input(f"control[{ssrc}]> ")
+            line = input(f"control[{ctl.ssrc}]> ")
         except EOFError:
             break
         if not run_cmd(line):

@@ -131,3 +131,39 @@ def test_monitor_cli(daemon, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "ssrc 200" in out and "drops" in out
+
+
+def test_control_full_surface(daemon, capsys):
+    """The control client reaches the full settable-key surface: preset
+    switch, PLL, AGC knobs, squelch, and the panel renderer."""
+    from ka9q_radio_tpu.cli.control import main, render_panel, Controller
+    from ka9q_radio_tpu.net.status import StatusType as T
+
+    radio = f"test-{_UNIQ}.local"
+    rc = main(["--radio", radio, "--ssrc", "200",
+               "-c", "mode pm", "-c", "poll"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "pm" in out.lower()
+    assert daemon.engine.groups[daemon.chans[200].group].spec.demod == "fm"
+
+    rc = main(["--radio", radio, "--ssrc", "200",
+               "-c", "mode usb", "-c", "agc off", "-c", "gain 12",
+               "-c", "sqopen 9", "-c", "beta 6.5", "-c", "panel"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "== Tuning" in out and "== Demodulator" in out
+    ch = daemon.chans[200]
+    assert daemon.engine.groups[ch.group].spec.demod == "linear"
+    assert ch.kaiser_beta == 6.5
+
+    # render_panel is pure: build a screen from a field dict
+    ctl = Controller(radio, 200)
+    f, _ = ctl.transact({})
+    lines = render_panel(f)
+    assert any("freq 200,000" in ln for ln in lines)
+    assert any("edges" in ln for ln in lines)
+
+    # restore for other fixture users
+    main(["--radio", radio, "--ssrc", "200", "-c", "agc on", "-c", "f 200k0"])
+    capsys.readouterr()
