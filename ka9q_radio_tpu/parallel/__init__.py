@@ -5,6 +5,6 @@ The reference parallelizes with one pthread per channel on one host
 `jax.sharding.Mesh` and the master spectrum is replicated (or, for the giant
 front FFTs, computed distributed — parallel/fft.py, later).
 """
-from .sharding import make_mesh, shard_engine_tree, CHANNEL_AXIS
+from .sharding import make_mesh, shard_engine_tree, engine_sharding_tree, CHANNEL_AXIS
 
-__all__ = ["make_mesh", "shard_engine_tree", "CHANNEL_AXIS"]
+__all__ = ["make_mesh", "shard_engine_tree", "engine_sharding_tree", "CHANNEL_AXIS"]

@@ -30,8 +30,8 @@ def make_mesh(devices=None, axis: str = CHANNEL_AXIS) -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
-def shard_engine_tree(engine, mesh: Mesh, tree, replicate_rest: bool = True):
-    """Apply channel-axis sharding to an engine state or params pytree.
+def engine_sharding_tree(engine, mesh: Mesh, tree):
+    """NamedSharding pytree for an engine state/params(-shaped) tree.
 
     Explicit pytree-path policy (not a shape heuristic): a leaf shards
     P('c') iff its key path passes through a group-name dict key (engine
@@ -39,21 +39,48 @@ def shard_engine_tree(engine, mesh: Mesh, tree, replicate_rest: bool = True):
     its leading dimension equals THAT group's channel count — so a master
     leaf or a [C, ...]-shaped non-channel leaf can never shard by
     coincidence. Everything else (master tail, spur trackers, scalars)
-    replicates.
+    replicates. `tree` may hold arrays or ShapeDtypeStructs (eval_shape),
+    so this doubles as a jit out_shardings builder.
     """
     import jax.tree_util as jtu
 
+    axis = mesh.axis_names[0]
     group_C = {name: g.C for name, g in engine.groups.items()
                if g.C % mesh.devices.size == 0}
-    chan = NamedSharding(mesh, P(CHANNEL_AXIS))
+    chan = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
-    def place(path, leaf):
-        arr = jax.numpy.asarray(leaf)
+    def pick(path, leaf):
         gname = next((k.key for k in path
                       if isinstance(k, jtu.DictKey) and k.key in group_C), None)
-        if gname is not None and arr.ndim >= 1 and arr.shape[0] == group_C[gname]:
-            return jax.device_put(arr, chan)
-        return jax.device_put(arr, repl) if replicate_rest else arr
+        shape = getattr(leaf, "shape", ())
+        if gname is not None and len(shape) >= 1 and shape[0] == group_C[gname]:
+            return chan
+        return repl
 
-    return jtu.tree_map_with_path(place, tree)
+    return jtu.tree_map_with_path(pick, tree)
+
+
+def shard_engine_tree(engine, mesh: Mesh, tree, replicate_rest: bool = True):
+    """Place an engine state or params pytree per engine_sharding_tree.
+
+    Works across processes too (multi-host meshes): leaves are built with
+    make_array_from_callback, each process contributing its addressable
+    shards of the (identical) host value.
+    """
+    import jax.tree_util as jtu
+
+    shardings = engine_sharding_tree(engine, mesh, tree)
+    multiproc = any(d.process_index != jax.process_index()
+                    for d in mesh.devices.flat)
+    repl = NamedSharding(mesh, P())
+
+    def place(leaf, sh):
+        if sh.spec == P() and not replicate_rest and not multiproc:
+            return leaf
+        arr = np.asarray(leaf)
+        if multiproc:
+            return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
+        return jax.device_put(arr, sh)
+
+    return jax.tree.map(place, tree, shardings)

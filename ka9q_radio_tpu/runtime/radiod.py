@@ -86,6 +86,7 @@ class _Chan:
     spectrum_base: float | None = None  # SPECTRUM_BASE/STEP byte-format scale
     spectrum_step: float | None = None
     dest_sock: Any = None  # OUTPUT_DATA_DEST_SOCKET per-channel redirect
+    parked: bool = False  # tuned outside front-end coverage (radio.c:1472)
     opus_bitrate: int = 0  # OPUS_BIT_RATE (0 = auto)
     opus_dtx: bool = False
     opus_app: int | None = None  # OPUS_APPLICATION
@@ -518,10 +519,8 @@ class Radiod:
         ch.opus_encoder = None
         lo = max(lo, -out_rate / 2)
         hi = min(hi, out_rate / 2)
-        try:
-            self.params = self.engine.retune(self.params, gname, slot, ch.freq)
-        except ValueError:
-            pass
+        ch.parked = False  # fresh slot: _retune re-parks if still uncovered
+        self._retune(ch, ch.freq)
         self.params = self.engine.set_edges(
             self.params, gname, slot, lo, hi, ch.kaiser_beta, ch.filter2_beta)
         ch.low, ch.high = min(lo, hi), max(lo, hi)
@@ -572,10 +571,7 @@ class Radiod:
                    dynamic=True, lifetime=self.lifetime_blocks,
                    lifetime_init=self.lifetime_blocks, preset=preset)
         self.chans[ssrc] = ch
-        try:
-            self.params = self.engine.retune(self.params, gname, slot, freq)
-        except ValueError:
-            pass
+        self._retune(ch, freq)
         self.params = self.engine.set_edges(self.params, gname, slot, ch.low, ch.high)
         return ch
 
@@ -608,6 +604,25 @@ class Radiod:
         self.step = jax.jit(new_eng.step, donate_argnums=0)
         if self.edges:
             self._refresh_edges()
+
+    def _retune(self, ch: _Chan, freq: float):
+        """Tune a channel, parking it when the frequency is outside
+        front-end coverage (radio.c:1472-1498: the reference blocks the
+        demod muted until coverage returns; here the slot mutes and the
+        requested frequency is remembered — a later in-coverage retune
+        unparks it)."""
+        try:
+            self.params = self.engine.retune(self.params, ch.group, ch.idx, freq)
+        except ValueError:
+            ch.freq = freq
+            if not ch.parked:
+                ch.parked = True
+                self._mute_slot(ch.group, ch.idx)
+            return
+        ch.freq = freq
+        if ch.parked:
+            ch.parked = False
+            self._restore_slot(ch.group, ch.idx)
 
     def _set_encoding(self, ch: _Chan, code: int):
         """OUTPUT_ENCODING (radio_status.c:572-597): switch the wire
@@ -752,12 +767,7 @@ class Radiod:
 
         g, i = ch.group, ch.idx
         if T.RADIO_FREQUENCY in fields:
-            f = abs(float(fields[T.RADIO_FREQUENCY]))
-            try:
-                self.params = eng.retune(self.params, g, i, f)
-                ch.freq = f
-            except ValueError:
-                pass  # out of coverage: ignored like the reference
+            self._retune(ch, abs(float(fields[T.RADIO_FREQUENCY])))
         new_low, new_high = fields.get(T.LOW_EDGE), fields.get(T.HIGH_EDGE)
         if new_low is not None or new_high is not None or refilter:
             lo = float(new_low) if new_low is not None else ch.low
@@ -1040,10 +1050,9 @@ class Radiod:
                 del self.doppler[ssrc]
                 continue
             dop[0] += dop[1] * self.cfg.blocktime
-            try:
-                self.params = self.engine.retune(self.params, ch.group, ch.idx, ch.freq + dop[0])
-            except ValueError:
-                pass
+            base = ch.freq
+            self._retune(ch, ch.freq + dop[0])
+            ch.freq = base  # doppler offsets don't move the dial frequency
 
     def _send_sap(self):
         if getattr(self, "sap", None) is None:

@@ -283,3 +283,22 @@ def test_move_carries_runtime_params(rd):
     ch = cmd(rd, 200, OUTPUT_SAMPRATE=24_000)
     np.testing.assert_allclose(host_val(rd, ch, "manual_gain"), 10 ** (14 / 20), rtol=1e-5)
     assert not bool(host_val(rd, ch, "agc_enable"))
+
+
+def test_out_of_coverage_parks_channel(rd):
+    """A tune outside front-end coverage parks the channel muted with the
+    requested frequency remembered (radio.c:1472-1498); tuning back in
+    coverage unparks it with its settings restored."""
+    eng = rd.engine
+    ch = cmd(rd, 200, RADIO_FREQUENCY=900_000_000.0)  # way outside 1.024M complex span
+    assert rd.engine is eng  # no rebuild either way
+    assert ch.parked and ch.freq == 900_000_000.0
+    assert last_status(rd, 200)[T.RADIO_FREQUENCY] == 900_000_000.0
+    # the slot is muted: squelch sentinel applied
+    assert host_val(rd, ch, "squelch_open") > 1e20
+    rd.step_block()
+    ch = cmd(rd, 200, RADIO_FREQUENCY=200_000.0)
+    assert not ch.parked
+    assert host_val(rd, ch, "squelch_open") < 1e6
+    rd.step_block()
+    assert np.isfinite(np.asarray(rd.chans[200].last_info["baseband_power"])).all()
