@@ -1,0 +1,95 @@
+// edge_selftest — sanitizer harness for the native RTP edge.
+//
+// The reference ships `make SANITIZE=1` (ASan+UBSan, src/Makefile:50-54)
+// as its memory/race story for the C side. This is the analog for our one
+// native component: a standalone binary compiled with
+// -fsanitize=address,undefined that drives every encode path, the packet
+// splitter, and the Opus slot lifecycle against a loopback socket.
+// tests/test_native.py builds and runs it; a sanitizer report is a
+// non-zero exit.
+//
+// Build: g++ -std=c++17 -O1 -g -fsanitize=address,undefined \
+//            edge_selftest.cpp rtp_edge.cpp -o edge_selftest -ldl
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cmath>
+#include <vector>
+
+#include <sys/socket.h>
+#include <netinet/in.h>
+#include <arpa/inet.h>
+#include <unistd.h>
+
+extern "C" {
+int rtp_edge_open(const char *ip, int port, int ttl, int tos);
+void rtp_edge_close(int fd);
+int rtp_edge_has_opus(void);
+int rtp_edge_send_block(int fd, const float *audio, int nchan, int nframes,
+                        int nch, const uint8_t *send_flag, const uint32_t *ssrc,
+                        const uint8_t *pt, const int32_t *encoding,
+                        const int32_t *samprate,
+                        uint16_t *seq, uint32_t *ts, const uint8_t *marker);
+}
+
+int main() {
+  // loopback receiver so the sends complete
+  int rx = socket(AF_INET, SOCK_DGRAM, 0);
+  sockaddr_in sa{};
+  sa.sin_family = AF_INET;
+  sa.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+  sa.sin_port = 0;
+  if (bind(rx, (sockaddr *)&sa, sizeof sa) < 0) { perror("bind"); return 2; }
+  socklen_t sl = sizeof sa;
+  getsockname(rx, (sockaddr *)&sa, &sl);
+  int port = ntohs(sa.sin_port);
+
+  int fd = rtp_edge_open("127.0.0.1", port, 1, 0);
+  if (fd < 0) { fprintf(stderr, "open fail %d\n", fd); return 2; }
+
+  const int C = 8, NFRAMES = 960, NCH = 2;
+  std::vector<float> audio((size_t)C * NFRAMES * NCH);
+  for (size_t i = 0; i < audio.size(); i++)
+    audio[i] = sinf(0.02f * (float)i) * ((i % 7) ? 1.0f : 37.0f);  // incl. clipping
+  std::vector<uint8_t> send(C, 1), marker(C, 1), pt(C, 122);
+  std::vector<uint32_t> ssrc(C), ts(C, 0xFFFFFF00u);  // near ts wrap
+  std::vector<uint16_t> seq(C, 0xFFFE);               // near seq wrap
+  std::vector<int32_t> enc(C), rate(C, 12000);
+  for (int c = 0; c < C; c++) ssrc[c] = 100 + c;
+
+  // every PCM encoding incl. odd ones, plus muted channels
+  const int encs[] = {1, 2, 4, 6, 8, 9, 10, 11};
+  for (int round = 0; round < 4; round++) {
+    for (int c = 0; c < C; c++) {
+      enc[c] = encs[(c + round) % 8];
+      send[c] = (uint8_t)((c + round) % 3 != 0);
+    }
+    int n = rtp_edge_send_block(fd, audio.data(), C, NFRAMES, NCH, send.data(),
+                                ssrc.data(), pt.data(), enc.data(), rate.data(),
+                                seq.data(), ts.data(), marker.data());
+    if (n < 0) { fprintf(stderr, "send fail %d\n", n); return 2; }
+  }
+  // single-frame edge case and 1-channel layout
+  rtp_edge_send_block(fd, audio.data(), C, 1, 1, send.data(), ssrc.data(),
+                      pt.data(), enc.data(), rate.data(), seq.data(), ts.data(),
+                      marker.data());
+
+  if (rtp_edge_has_opus()) {
+    for (int c = 0; c < C; c++) { enc[c] = (c % 2) ? 3 : 7; send[c] = 1; rate[c] = 48000; }
+    for (int round = 0; round < 3; round++)
+      rtp_edge_send_block(fd, audio.data(), C, NFRAMES, NCH, send.data(),
+                          ssrc.data(), pt.data(), enc.data(), rate.data(),
+                          seq.data(), ts.data(), marker.data());
+    // rate change forces encoder recreation in the slot map
+    for (int c = 0; c < C; c++) rate[c] = 24000;
+    rtp_edge_send_block(fd, audio.data(), C, 480, NCH, send.data(), ssrc.data(),
+                        pt.data(), enc.data(), rate.data(), seq.data(), ts.data(),
+                        marker.data());
+  }
+
+  rtp_edge_close(fd);  // frees the Opus slots
+  close(rx);
+  printf("edge_selftest OK\n");
+  return 0;
+}

@@ -153,3 +153,25 @@ def test_native_opus_encode(edge_and_rx):
         assert abs(f[np.argmax(A)] - 1000.0) < 10
         break  # one stream is enough (same encoder path)
     edge.encoding[:] = int(Encoding.S16BE)
+
+
+def test_native_sanitizers(tmp_path):
+    """ASan+UBSan pass over the whole edge surface — the analog of the
+    reference's `make SANITIZE=1` builds (src/Makefile:50-54)."""
+    import subprocess
+
+    d = os.path.dirname(os.path.abspath(native.__file__))
+    exe = tmp_path / "edge_selftest"
+    try:
+        subprocess.run(
+            ["g++", "-std=c++17", "-O1", "-g", "-fsanitize=address,undefined",
+             os.path.join(d, "edge_selftest.cpp"), os.path.join(d, "rtp_edge.cpp"),
+             "-o", str(exe), "-ldl"],
+            check=True, capture_output=True, timeout=120)
+    except (OSError, subprocess.CalledProcessError) as e:
+        pytest.skip(f"sanitizer toolchain unavailable: {e}")
+    r = subprocess.run([str(exe)], capture_output=True, text=True, timeout=60,
+                       env={**os.environ, "UBSAN_OPTIONS": "halt_on_error=1",
+                            "ASAN_OPTIONS": "detect_leaks=1"})
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "edge_selftest OK" in r.stdout
