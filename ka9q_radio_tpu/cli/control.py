@@ -21,7 +21,7 @@ Two frontends over the same TLV transactions:
     isb on|off            independent sideband    channels 1|2    mono/stereo
     opus-bitrate/dtx/app  Opus knobs              maxdelay <n>    output agg
     rbw/bins/avg/crossover/window <v>             spectrum keys
-    doppler <hz> [rate]   doppler steering        lifetime <s>    self-destruct
+    doppler <hz> [rate]   doppler steering        lifetime <blk>  self-destruct
     create <ssrc> <preset> <freq>                 new dynamic channel
     quit
 """
@@ -154,7 +154,9 @@ class Controller:
                 f[T.DOPPLER_FREQUENCY_RATE] = float(toks[2])
             return f
         if op == "lifetime":
-            return {T.LIFETIME: int(float(toks[1]) * 50)}
+            # wire unit is BLOCKS (radio_status.c:678 stores it verbatim,
+            # radio.c:1465 decrements per block)
+            return {T.LIFETIME: int(toks[1])}
         if op == "interval":
             return {T.STATUS_INTERVAL: int(toks[1])}
         return None

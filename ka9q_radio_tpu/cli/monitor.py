@@ -39,13 +39,17 @@ class _PlNotch:
         self.bank = GoertzelBank(fs)
         self.ba = None
         self.zi = None
+        self.tone = None
 
     def __call__(self, frames: np.ndarray) -> np.ndarray:
         from scipy.signal import lfilter
 
         mono = frames.mean(axis=1).astype(np.float64)
         r = self.bank.feed(mono)
-        if r is not None and r[1] >= 12.0:
+        if r is not None and r[1] >= 12.0 and r[0] != self.tone:
+            # retune only when the detected tone CHANGES — resetting the
+            # filter state on every report would thump the audio
+            self.tone = r[0]
             c = 2.0 * np.cos(2.0 * np.pi * r[0] / self.fs)
             rr = 0.997
             # y[n] = x[n] - c x[n-1] + x[n-2] + rr c y[n-1] - rr^2 y[n-2]

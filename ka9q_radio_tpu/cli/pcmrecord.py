@@ -186,6 +186,7 @@ class Session:
         if self.opus_raw:
             self.rtp.process(hdr, 0)
             self.ogg.write(payload, flush=self.args.flush)
+            self.frames_written += 1  # packet count: gates marker splits
             return
         audio = decode_samples(payload, self.encoding)
         nframes = audio.size // self.channels

@@ -50,6 +50,8 @@ def _load():
             ctypes.c_int, ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint32),
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint32),
             ctypes.c_char_p,
         ]
@@ -94,6 +96,9 @@ class RtpEdge:
         self.pt = np.zeros(C, np.uint8)
         self.encoding = np.full(C, 2, np.int32)  # S16BE
         self.samprate = np.zeros(C, np.int32)  # needed for Opus channels
+        self.opus_bitrate = np.zeros(C, np.int32)  # 0 = auto
+        self.opus_dtx = np.zeros(C, np.uint8)
+        self.opus_app = np.zeros(C, np.int32)  # 0 = derive from encoding
         self.seq = np.zeros(C, np.uint16)
         self.ts = np.zeros(C, np.uint32)
         self.packets = 0
@@ -113,6 +118,9 @@ class RtpEdge:
             self.pt.tobytes(),
             self.encoding.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             self.samprate.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self.opus_bitrate.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self.opus_dtx.tobytes(),
+            self.opus_app.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             self.seq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
             self.ts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
             marks.tobytes(),

@@ -30,6 +30,8 @@ int rtp_edge_send_block(int fd, const float *audio, int nchan, int nframes,
                         int nch, const uint8_t *send_flag, const uint32_t *ssrc,
                         const uint8_t *pt, const int32_t *encoding,
                         const int32_t *samprate,
+                        const int32_t *opus_bitrate, const uint8_t *opus_dtx,
+                        const int32_t *opus_app,
                         uint16_t *seq, uint32_t *ts, const uint8_t *marker);
 }
 
@@ -56,6 +58,8 @@ int main() {
   std::vector<uint32_t> ssrc(C), ts(C, 0xFFFFFF00u);  // near ts wrap
   std::vector<uint16_t> seq(C, 0xFFFE);               // near seq wrap
   std::vector<int32_t> enc(C), rate(C, 12000);
+  std::vector<int32_t> obr(C, 0), oapp(C, 0);
+  std::vector<uint8_t> odtx(C, 0);
   for (int c = 0; c < C; c++) ssrc[c] = 100 + c;
 
   // every PCM encoding incl. odd ones, plus muted channels
@@ -67,25 +71,29 @@ int main() {
     }
     int n = rtp_edge_send_block(fd, audio.data(), C, NFRAMES, NCH, send.data(),
                                 ssrc.data(), pt.data(), enc.data(), rate.data(),
+                                obr.data(), odtx.data(), oapp.data(),
                                 seq.data(), ts.data(), marker.data());
     if (n < 0) { fprintf(stderr, "send fail %d\n", n); return 2; }
   }
   // single-frame edge case and 1-channel layout
   rtp_edge_send_block(fd, audio.data(), C, 1, 1, send.data(), ssrc.data(),
-                      pt.data(), enc.data(), rate.data(), seq.data(), ts.data(),
-                      marker.data());
+                      pt.data(), enc.data(), rate.data(),
+                      obr.data(), odtx.data(), oapp.data(),
+                      seq.data(), ts.data(), marker.data());
 
   if (rtp_edge_has_opus()) {
     for (int c = 0; c < C; c++) { enc[c] = (c % 2) ? 3 : 7; send[c] = 1; rate[c] = 48000; }
     for (int round = 0; round < 3; round++)
       rtp_edge_send_block(fd, audio.data(), C, NFRAMES, NCH, send.data(),
                           ssrc.data(), pt.data(), enc.data(), rate.data(),
+                          obr.data(), odtx.data(), oapp.data(),
                           seq.data(), ts.data(), marker.data());
-    // rate change forces encoder recreation in the slot map
-    for (int c = 0; c < C; c++) rate[c] = 24000;
+    // knob changes exercise the ctl path and encoder recreation
+    for (int c = 0; c < C; c++) { rate[c] = 24000; obr[c] = 32000; odtx[c] = 1; oapp[c] = 2048; }
     rtp_edge_send_block(fd, audio.data(), C, 480, NCH, send.data(), ssrc.data(),
-                        pt.data(), enc.data(), rate.data(), seq.data(), ts.data(),
-                        marker.data());
+                        pt.data(), enc.data(), rate.data(),
+                        obr.data(), odtx.data(), oapp.data(),
+                        seq.data(), ts.data(), marker.data());
   }
 
   rtp_edge_close(fd);  // frees the Opus slots

@@ -85,13 +85,15 @@ typedef OpusEncoderS *(*opus_create_t)(int32_t, int, int, int *);
 typedef int32_t (*opus_encode_float_t)(OpusEncoderS *, const float *, int,
                                        unsigned char *, int32_t);
 typedef void (*opus_destroy_t)(OpusEncoderS *);
+typedef int (*opus_ctl_t)(OpusEncoderS *, int, ...);
 
 struct OpusApi {
   void *dl = nullptr;
   opus_create_t create = nullptr;
   opus_encode_float_t encode = nullptr;
   opus_destroy_t destroy = nullptr;
-  bool ok() const { return create && encode && destroy; }
+  opus_ctl_t ctl = nullptr;
+  bool ok() const { return create && encode && destroy && ctl; }
 };
 
 OpusApi &opus_api() {
@@ -102,6 +104,7 @@ OpusApi &opus_api() {
       a.create = (opus_create_t)dlsym(a.dl, "opus_encoder_create");
       a.encode = (opus_encode_float_t)dlsym(a.dl, "opus_encode_float");
       a.destroy = (opus_destroy_t)dlsym(a.dl, "opus_encoder_destroy");
+      a.ctl = (opus_ctl_t)dlsym(a.dl, "opus_encoder_ctl");
     }
     return a;
   }();
@@ -112,6 +115,9 @@ struct OpusSlot {
   OpusEncoderS *enc = nullptr;
   int samprate = 0;
   int nch = 0;
+  int app = 0;      // OPUS_APPLICATION value (0 = derive from encoding)
+  int bitrate = -1; // applied OPUS_SET_BITRATE (-1 = untouched)
+  int dtx = -1;     // applied OPUS_SET_DTX
 };
 // per-(socket, channel) encoder states; freed by rtp_edge_close
 std::unordered_map<uint64_t, OpusSlot> Opus_slots;
@@ -223,6 +229,8 @@ int rtp_edge_send_block(int fd, const float *audio, int nchan, int nframes,
                         int nch, const uint8_t *send_flag, const uint32_t *ssrc,
                         const uint8_t *pt, const int32_t *encoding,
                         const int32_t *samprate,
+                        const int32_t *opus_bitrate, const uint8_t *opus_dtx,
+                        const int32_t *opus_app,
                         uint16_t *seq, uint32_t *ts, const uint8_t *marker) {
   std::vector<Packet> pkts;
   pkts.reserve((size_t)nchan * 2);
@@ -239,14 +247,26 @@ int rtp_edge_send_block(int fd, const float *audio, int nchan, int nframes,
       OpusApi &api = opus_api();
       if (!api.ok()) { ts[c] += ts_inc; continue; }
       OpusSlot &slot = Opus_slots[slot_key(fd, c)];
-      if (slot.enc == nullptr || slot.samprate != samprate[c] || slot.nch != nch) {
+      int want_app = opus_app[c] ? opus_app[c]
+                                 : (encoding[c] == E_OPUS_VOIP ? 2048 : 2049);
+      if (slot.enc == nullptr || slot.samprate != samprate[c] ||
+          slot.nch != nch || slot.app != want_app) {
         if (slot.enc) api.destroy(slot.enc);
         int err = 0;
-        slot.enc = api.create(samprate[c], nch,
-                              encoding[c] == E_OPUS_VOIP ? 2048 : 2049, &err);
+        slot.enc = api.create(samprate[c], nch, want_app, &err);
         slot.samprate = samprate[c];
         slot.nch = nch;
+        slot.app = want_app;
+        slot.bitrate = slot.dtx = -1;
         if (err != 0 || slot.enc == nullptr) { slot.enc = nullptr; ts[c] += ts_inc; continue; }
+      }
+      if (slot.bitrate != opus_bitrate[c]) {  // OPUS_SET_BITRATE=4002; 0 -> AUTO
+        api.ctl(slot.enc, 4002, (int32_t)(opus_bitrate[c] > 0 ? opus_bitrate[c] : -1000));
+        slot.bitrate = opus_bitrate[c];
+      }
+      if (slot.dtx != (int)opus_dtx[c]) {  // OPUS_SET_DTX=4016
+        api.ctl(slot.enc, 4016, (int32_t)opus_dtx[c]);
+        slot.dtx = (int)opus_dtx[c];
       }
       pkts.emplace_back();
       Packet &p = pkts.back();

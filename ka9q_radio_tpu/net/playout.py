@@ -166,10 +166,13 @@ class PlayoutSession:
         self.ring[idx] = frames
         self._max_written = max(self._max_written, start + frames.shape[0])
 
-        # clock tracking: hold queue depth at target by slewing the ratio
+        # clock tracking: hold queue depth at target by slewing the ratio.
+        # Too deep (err > 0) -> place/stretch future packets onto FEWER
+        # output frames (ratio below nominal) so the play head eats into
+        # the backlog; too shallow -> stretch onto more.
         depth = (self._max_written - play_head) / self.out_rate
         err = depth - self.target
-        slew = np.clip(SLEW_GAIN * err, -MAX_SLEW, MAX_SLEW)
+        slew = np.clip(-SLEW_GAIN * err, -MAX_SLEW, MAX_SLEW)
         self.ratio = self.nominal * (1.0 + slew)
 
     # -- playout -------------------------------------------------------------

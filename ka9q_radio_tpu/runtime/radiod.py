@@ -169,6 +169,8 @@ class Radiod:
         self.description = str(cfg.options.get("description", "ka9q-radio-tpu"))
         # DOPPLER_FREQUENCY/RATE steering (radio_status.c): ssrc -> [offset Hz, Hz/s]
         self.doppler: dict[int, list[float]] = {}
+        # runtime params saved when a channel parks (restored on unpark)
+        self._park_saves: dict[tuple[str, int], dict] = {}
         self.if_power = 0.0  # smoothed front-end input power
         # per-block wall-time stats (the reference's FFT timing EMA,
         # filter.c:479-530 / main.c:151-188 verbose loop)
@@ -306,6 +308,9 @@ class Radiod:
             edge.pt[:] = [c.pt for c in group_chans]
             edge.encoding[:] = [int(c.encoding) for c in group_chans]
             edge.samprate[:] = [c.samprate for c in group_chans]
+            edge.opus_bitrate[:] = [c.opus_bitrate for c in group_chans]
+            edge.opus_dtx[:] = [1 if c.opus_dtx else 0 for c in group_chans]
+            edge.opus_app[:] = [c.opus_app or 0 for c in group_chans]
             self.edges[gname] = (edge, group_chans)
 
     def _refresh_edges(self):
@@ -505,6 +510,11 @@ class Radiod:
         if carry:
             host = self.engine.groups[old_g].host["demod"]
             carried = {k: np.copy(host[k][old_i]) for k in self._CARRY_KEYS if k in host}
+            # a parked channel's pre-mute values are the real ones to carry
+            for k, v in self._park_saves.get((old_g, old_i), {}).items():
+                if k in carried:
+                    carried[k] = np.copy(v)
+        self._park_saves.pop((old_g, old_i), None)
         self._mute_slot(old_g, old_i)
         self.free_slots.setdefault(old_g, []).append(old_i)
         slot = self._acquire_slot(gname, dataclasses.replace(template, name=gname))
@@ -581,6 +591,7 @@ class Radiod:
         ch = self.chans.pop(ssrc, None)
         if ch is None:
             return
+        self._park_saves.pop((ch.group, ch.idx), None)
         if ch.dest_sock is not None:
             try:
                 ch.dest_sock.close()
@@ -617,12 +628,24 @@ class Radiod:
             ch.freq = freq
             if not ch.parked:
                 ch.parked = True
+                # snapshot what muting overwrites so unparking restores the
+                # USER's settings, not the preset defaults
+                host = self.engine.groups[ch.group].host["demod"]
+                keys = ("squelch_open", "squelch_close", "snr_squelch_enable",
+                        "manual_gain")
+                self._park_saves[(ch.group, ch.idx)] = {
+                    k: np.copy(host[k][ch.idx]) for k in keys if k in host}
                 self._mute_slot(ch.group, ch.idx)
             return
         ch.freq = freq
         if ch.parked:
             ch.parked = False
-            self._restore_slot(ch.group, ch.idx)
+            saved = self._park_saves.pop((ch.group, ch.idx), None)
+            if saved:
+                for k, v in saved.items():
+                    self._setp(ch.group, ch.idx, k, v)
+            else:
+                self._restore_slot(ch.group, ch.idx)
 
     def _set_encoding(self, ch: _Chan, code: int):
         """OUTPUT_ENCODING (radio_status.c:572-597): switch the wire
@@ -699,13 +722,14 @@ class Radiod:
             name = {v: k for k, v in DEMOD_TYPE_CODES.items()}.get(int(fields[T.DEMOD_TYPE]))
             if name and name != template.demod:
                 repl["demod"] = name
-        if T.OUTPUT_SAMPRATE in fields and repl.get("demod", template.demod) != "wfm":
+        if (T.OUTPUT_SAMPRATE in fields and repl.get("demod", template.demod) != "wfm"
+                and int(fields[T.OUTPUT_SAMPRATE]) > 0):
             r = self.round_samprate(abs(int(fields[T.OUTPUT_SAMPRATE])))
             if ch.encoding in (Encoding.OPUS, Encoding.OPUS_VOIP) and r not in _OPUS_RATES:
                 r = 0  # ignore illegal Opus rates (radio_status.c:249)
             if r and r != template.samprate:
                 repl["samprate"] = r
-        if T.INDEPENDENT_SIDEBAND in fields and template.demod == "linear":
+        if T.INDEPENDENT_SIDEBAND in fields and repl.get("demod", template.demod) == "linear":
             isb = bool(fields[T.INDEPENDENT_SIDEBAND])
             if isb != template.isb:
                 repl["isb"] = isb
@@ -713,15 +737,16 @@ class Radiod:
                     repl["stereo"] = True
                     if template.filter2 == 0:
                         repl["filter2"] = 1
-        if T.PLL_ENABLE in fields and template.demod == "linear":
+        if T.PLL_ENABLE in fields and repl.get("demod", template.demod) == "linear":
             if bool(fields[T.PLL_ENABLE]) != template.enable_pll:
                 repl["enable_pll"] = bool(fields[T.PLL_ENABLE])
-        if T.ENVELOPE in fields and template.demod == "linear":
+        if T.ENVELOPE in fields and repl.get("demod", template.demod) == "linear":
             if bool(fields[T.ENVELOPE]) != template.envelope:
                 repl["envelope"] = bool(fields[T.ENVELOPE])
         if T.OUTPUT_CHANNELS in fields:
             nch = int(fields[T.OUTPUT_CHANNELS])
-            if nch in (1, 2) and template.demod == "linear" and (nch == 2) != template.stereo:
+            if (nch in (1, 2) and repl.get("demod", template.demod) == "linear"
+                    and (nch == 2) != template.stereo):
                 repl["stereo"] = nch == 2  # wfm handled as runtime stereo_enable below
         if T.FILTER2 in fields:
             f2 = abs(int(fields[T.FILTER2]))
@@ -828,20 +853,26 @@ class Radiod:
             ch.spectrum_step = float(fields[T.SPECTRUM_STEP])
         if T.OUTPUT_ENCODING in fields:
             self._set_encoding(ch, int(fields[T.OUTPUT_ENCODING]))
+        opus_knobs = False
         if T.OPUS_BIT_RATE in fields:
             ch.opus_bitrate = abs(int(fields[T.OPUS_BIT_RATE]))
             ch.opus_encoder = None
+            opus_knobs = True
         if T.OPUS_DTX in fields:
             ch.opus_dtx = bool(fields[T.OPUS_DTX])
             ch.opus_encoder = None
+            opus_knobs = True
         if T.OPUS_APPLICATION in fields:
             app = int(fields[T.OPUS_APPLICATION])
             if app in (2048, 2049, 2051):  # VOIP/AUDIO/LOWDELAY
                 ch.opus_app = app
                 ch.opus_encoder = None  # requires an encoder restart
+                opus_knobs = True
+        if opus_knobs and ch.group in self.edges:
+            self._refresh_edges()  # push the new knobs into the C++ encoder
         if T.MAXDELAY in fields:
             d = abs(int(fields[T.MAXDELAY]))
-            if d <= 5 and d != (ch.maxdelay or 0):
+            if d <= 5 and d != ch.maxdelay:  # 0 overrides a [global] block=
                 ch.maxdelay = d
                 self._refresh_edges()  # aggregated channels leave the edge
         if T.OUTPUT_DATA_DEST_SOCKET in fields:

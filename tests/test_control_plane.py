@@ -302,3 +302,44 @@ def test_out_of_coverage_parks_channel(rd):
     assert host_val(rd, ch, "squelch_open") < 1e6
     rd.step_block()
     assert np.isfinite(np.asarray(rd.chans[200].last_info["baseband_power"])).all()
+
+
+def test_unpark_restores_user_params(rd):
+    """Parking must not lose user-set runtime params (review finding)."""
+    ch = cmd(rd, 200, GAIN=14.0, SQUELCH_OPEN=11.0)
+    g14 = float(host_val(rd, ch, "manual_gain"))
+    cmd(rd, 200, RADIO_FREQUENCY=900_000_000.0)  # park
+    assert ch.parked
+    ch = cmd(rd, 200, RADIO_FREQUENCY=200_000.0)  # unpark
+    assert not ch.parked
+    np.testing.assert_allclose(host_val(rd, ch, "manual_gain"), g14, rtol=1e-6)
+    np.testing.assert_allclose(host_val(rd, ch, "squelch_open"), 10 ** 1.1, rtol=1e-5)
+
+
+def test_combined_demod_switch_applies_linear_keys(rd):
+    """DEMOD_TYPE=linear + PLL_ENABLE in ONE packet both apply (the guard
+    must look at the post-switch type; review finding)."""
+    ch = cmd(rd, 300, DEMOD_TYPE=DEMOD_TYPE_CODES["linear"], PLL_ENABLE=True)
+    spec = rd.engine.groups[ch.group].spec
+    assert spec.demod == "linear" and spec.enable_pll
+
+
+def test_samprate_zero_ignored(rd):
+    ch = rd.chans[200]
+    g0, r0 = ch.group, ch.samprate
+    cmd(rd, 200, OUTPUT_SAMPRATE=0)
+    assert rd.chans[200].group == g0 and rd.chans[200].samprate == r0
+
+
+def test_maxdelay_zero_overrides_global():
+    cfg = load_config(CONF.replace("update = 5", "update = 5\nblock = 3"))
+    r = Radiod(cfg, use_network=False)
+    r.step_block()
+    fields = {T.OUTPUT_SSRC: 200, T.MAXDELAY: 0}
+    r.handle_packet(encode_status(fields, cmd=True))
+    assert r.chans[200].maxdelay == 0  # disables the global aggregation
+    n0 = len([1 for k, _ in r._sent if k == "data"])
+    for _ in range(2):
+        r.step_block()
+    n1 = len([1 for k, _ in r._sent if k == "data"])
+    assert n1 > n0  # per-block emission resumed immediately

@@ -180,3 +180,23 @@ def test_opus_plc_conceals_losses():
     f = np.fft.rfftfreq(a.size, 1 / FS_OUT)
     assert abs(f[np.argmax(A)] - 440.0) < 4
     assert mixer.sessions[9].drops >= 3
+
+
+def test_slew_direction():
+    """Clock tracker sign: a too-deep queue must LOWER the ratio (consume
+    the backlog), a draining queue must RAISE it (review finding)."""
+    s = PlayoutSession(1, FS_IN, 1, Encoding.S16BE, FS_OUT)
+    payload = encode_samples(np.zeros(PKT, np.float32), Encoding.S16BE)
+    # shallow queue: first packet lands target_latency ahead; depth ~0.12s
+    s.ingest(RtpHeader(type=122, seq=0, timestamp=0, ssrc=1), payload, 0)
+    # fake a deep queue and ingest again
+    s._max_written += int(0.5 * FS_OUT)
+    s.ingest(RtpHeader(type=122, seq=1, timestamp=PKT, ssrc=1), payload, 0)
+    assert s.ratio < s.nominal  # deep -> slow down placement
+
+    # shallow: the play head nearly caught up with the written frames
+    s2 = PlayoutSession(2, FS_IN, 1, Encoding.S16BE, FS_OUT)
+    s2.ingest(RtpHeader(type=122, seq=0, timestamp=0, ssrc=2), payload, 0)
+    head = s2._max_written - int(0.02 * FS_OUT)
+    s2.ingest(RtpHeader(type=122, seq=1, timestamp=PKT, ssrc=2), payload, head)
+    assert s2.ratio > s2.nominal  # shallow -> stretch
