@@ -344,5 +344,16 @@ def main(argv=None) -> int:
     return 0
 
 
+def main_wd(argv=None) -> int:
+    """wd-record-tpu: pcmrecord with wsprdaemon defaults (wd-record.c):
+    WSPR-cycle-aligned 120 s files with K1JT names unless the caller picks
+    another mode."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not any(a in ("--ft8", "-8", "--ft4", "-4", "--wspr", "-w", "--jt", "-j",
+                     "--max-length", "-L", "--rotate") for a in argv):
+        argv = ["--wspr"] + argv
+    return main(argv)
+
+
 if __name__ == "__main__":
     sys.exit(main())

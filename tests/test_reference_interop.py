@@ -143,3 +143,69 @@ def test_control_client_against_reference(ref_radiod, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "SQUELCH" in out.upper() or "squelch" in out
+
+
+def test_spectrum_cross_implementation(ref_radiod):
+    """Our powers client polls a SPECT channel on the REFERENCE daemon; an
+    identical config on OUR daemon must report matching bin powers — a
+    cross-implementation spectrum parity check on live wire data."""
+    import threading
+    from ka9q_radio_tpu.cli.powers import poll_once
+    from ka9q_radio_tpu.net.multicast import output_socket
+    from ka9q_radio_tpu.net.status import encode_status
+
+    # create a dynamic spectrum channel on the reference (unknown ssrc +
+    # preset=spectrum, radio_status.c:92-105)
+    dest = resolve_dest(f"{TAG}-st.local", 5006)
+    tx = output_socket(dest, 1)
+    rx = listen_socket(dest)
+    tx.send(encode_status({T.OUTPUT_SSRC: 9001, T.PRESET: "spectrum",
+                           T.RADIO_FREQUENCY: 51_000.0,
+                           T.RESOLUTION_BW: 1000.0, T.BIN_COUNT: 40}, cmd=True))
+    time.sleep(2.0)  # let averaging fill
+    f = None
+    for _ in range(5):
+        f = poll_once(tx, rx, 9001, timeout=2.0)
+        if f is not None:
+            break
+    assert f is not None, "reference spectrum poll failed"
+    ref_bins = np.asarray(f[T.BIN_DATA], np.float64)
+    assert ref_bins.size >= 40
+
+    # same scene on OUR daemon (offline), via the same TLV surface
+    from ka9q_radio_tpu.config import load_config
+    from ka9q_radio_tpu.runtime.radiod import Radiod
+
+    conf = CONF.replace(f"{TAG}-st.local", "x.local").replace(f"{TAG}-pcm.local", "y.local")
+    conf += "\n[sweep]\nmode = spectrum\nfreq = 51k0\nresolution-bw = 1000\nbin-count = 40\n"
+    rd = Radiod(load_config(conf), use_network=False)
+    for _ in range(30):
+        rd.step_block()
+    ours = None
+    for kind, pkt in reversed(rd._sent):
+        if kind != "status":
+            continue
+        _, fields, _ = decode_status(pkt)
+        if fields.get(T.OUTPUT_SSRC) == 51 and T.BIN_DATA in fields:
+            ours = np.asarray(fields[T.BIN_DATA], np.float64)
+            break
+    assert ours is not None
+    assert ours.size == 40
+
+    # both see the carrier bin towering over the noise floor at the center
+    def db(x):
+        return 10 * np.log10(np.maximum(np.asarray(x, np.float64), 1e-30))
+
+    ref_db, our_db = db(ref_bins[:40]), db(ours)
+    # BIN_DATA is FFT order on both sides (powers.c: "still in FFT order"):
+    # the carrier at the channel center lands in the DC bin
+    def near_dc(i, n):
+        return min(i, n - i) <= 1
+
+    assert near_dc(int(np.argmax(ref_db)), ref_db.size)
+    assert near_dc(int(np.argmax(our_db)), our_db.size)
+    # peak power agrees within 1 dB; average noise floor within 3 dB
+    assert abs(ref_db.max() - our_db.max()) < 1.0, (ref_db.max(), our_db.max())
+    ref_floor = np.median(ref_db)
+    our_floor = np.median(our_db)
+    assert abs(ref_floor - our_floor) < 3.0, (ref_floor, our_floor)
