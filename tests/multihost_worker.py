@@ -79,4 +79,29 @@ for shard in audio.addressable_shards:
     assert np.max(np.abs(got - want)) < 2e-3, (pid, rows)
     checked += got.shape[0]
 assert checked == 8 // nproc, checked  # this process's channel rows
-print(f"proc {pid}: MULTIHOST-OK checked {checked} channels", flush=True)
+# and the time-axis halo (P5) across the SAME cross-process mesh: D
+# consecutive blocks, one per device, the (M-1) context ppermuted over
+# the process boundary — equals sequential master_fft bit-for-bit
+from ka9q_radio_tpu.ops.filterbank import master_init, master_fft
+from ka9q_radio_tpu.parallel.timeshard import batch_master_fft
+
+cfgm = eng.master
+tail0 = np.zeros(cfgm.M - 1, np.complex64)
+blocks = (rng.standard_normal((D, cfgm.L)) + 1j * rng.standard_normal((D, cfgm.L))).astype(np.complex64)
+tail_g = jax.make_array_from_callback(tail0.shape, repl, lambda idx: tail0[idx])
+bspec = NamedSharding(mesh, P("c", None))
+blocks_g = jax.make_array_from_callback(blocks.shape, bspec, lambda idx: blocks[idx])
+new_tail, Fb = jax.jit(lambda t, b: batch_master_fft(cfgm, t, b, mesh))(tail_g, blocks_g)
+
+st_ref = {"tail": jnp.asarray(tail0), "jobnum": jnp.zeros((), jnp.int32)}
+seq = []
+for d in range(D):
+    st_ref, Fd = master_fft(cfgm, st_ref, jnp.asarray(blocks[d]))
+    seq.append(np.asarray(Fd))
+for shard in Fb.addressable_shards:
+    d = shard.index[0].start or 0
+    got = np.asarray(shard.data)[0]
+    scale = max(np.max(np.abs(seq[d])), 1e-9)
+    assert np.max(np.abs(got - seq[d])) / scale < 1e-5, ("halo", pid, d)
+
+print(f"proc {pid}: MULTIHOST-OK checked {checked} channels + timeshard halo", flush=True)
