@@ -70,6 +70,7 @@ class PlayoutSession:
         self.last_seq: int | None = None
         self.level = 0.0
         self.opus = None
+        self._late_run = 0  # consecutive late packets (rebase trigger)
         self._max_written = 0  # highest absolute frame written (for depth)
         if encoding in (Encoding.OPUS, Encoding.OPUS_VOIP):
             from .opus import OpusDecoder
@@ -155,12 +156,27 @@ class PlayoutSession:
         start = int(np.round(want))
         if start + n_out <= play_head:
             self.late += 1
-            return
-        if start < play_head:  # partially late: keep the tail
+            self._late_run += 1
+            # a PERSISTENTLY late sender (slow/stalled source, monitor
+            # started mid-burst) means our base is wrong, not the network:
+            # rebase the stream target_latency ahead instead of discarding
+            # everything (monitor-data.c late-window resync)
+            if self._late_run >= 25:
+                self.resets += 1
+                self.ts0 = hdr.timestamp
+                self.base = play_head + int(self.target * self.out_rate)
+                self._late_run = 0
+                start = self.base
+            else:
+                return
+        elif start < play_head:  # partially late: keep the tail
             cut = play_head - start
             frames = frames[cut:]
             start = play_head
             self.late += 1
+            self._late_run += 1
+        else:
+            self._late_run = 0
         # write into the ring at absolute frames [start, start+len)
         idx = (start + np.arange(frames.shape[0])) % self.ring_frames
         self.ring[idx] = frames

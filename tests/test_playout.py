@@ -200,3 +200,29 @@ def test_slew_direction():
     head = s2._max_written - int(0.02 * FS_OUT)
     s2.ingest(RtpHeader(type=122, seq=1, timestamp=PKT, ssrc=2), payload, head)
     assert s2.ratio > s2.nominal  # shallow -> stretch
+
+
+def test_persistently_late_sender_rebases():
+    """A sender whose stream lags the play head (slow source, mid-burst
+    join) must rebase after a late run instead of discarding forever."""
+    mixer = Mixer(FS_OUT, int(FS_OUT * 0.02))
+    fmt = (FS_IN, 1, Encoding.S16BE)
+    pkts = _packets(seconds=3.0)
+    # establish the stream, then let the play head run far ahead
+    for hdr, payload in pkts[:2]:
+        mixer.ingest(hdr, payload, fmt)
+    for _ in range(60):  # 1.2 s of playout vs 40 ms of stream
+        mixer.next_block()
+    sent = 0
+    for hdr, payload in pkts[2:60]:
+        mixer.ingest(hdr, payload, fmt)
+        sent += 1
+    s = mixer.sessions[7]
+    assert s.resets >= 1  # rebase kicked in
+    # after the rebase, fresh packets land and play again
+    out = []
+    for hdr, payload in pkts[60:100]:
+        mixer.ingest(hdr, payload, fmt)
+        out.append(mixer.next_block())
+    mix = np.concatenate(out, axis=0)
+    assert np.abs(mix).max() > 0.05  # audio flowing again
