@@ -166,7 +166,6 @@ def render_panel(f: dict, width: int = 78) -> list[str]:
     """Build the TUI screen (pure: status fields -> lines) — the testable
     core of the curses panel, mirroring control.c's windows."""
     from ..config.bandplan import band_name
-    from ..utils.units import power_to_dB  # noqa: F401  (units doc'd)
 
     def g(key, fmt="{}", default="—"):
         v = f.get(key)
@@ -239,11 +238,13 @@ def tui(ctl: Controller) -> int:
                 continue
             if ch in (ord("q"), 27):
                 return 0
-            freq = float(fields.get(T.RADIO_FREQUENCY, 0.0) or 0.0)
-            if ch == curses.KEY_UP:
-                ctl.transact({T.RADIO_FREQUENCY: freq + _STEPS[step_i]}, timeout=0.5)
+            freq = fields.get(T.RADIO_FREQUENCY)
+            if ch in (curses.KEY_UP, curses.KEY_DOWN) and freq is None:
+                msg = "no status yet - tuning keys ignored"
+            elif ch == curses.KEY_UP:
+                ctl.transact({T.RADIO_FREQUENCY: float(freq) + _STEPS[step_i]}, timeout=0.5)
             elif ch == curses.KEY_DOWN:
-                ctl.transact({T.RADIO_FREQUENCY: max(freq - _STEPS[step_i], 0.0)}, timeout=0.5)
+                ctl.transact({T.RADIO_FREQUENCY: max(float(freq) - _STEPS[step_i], 0.0)}, timeout=0.5)
             elif ch == curses.KEY_LEFT:
                 step_i = min(step_i + 1, len(_STEPS) - 1)
             elif ch == curses.KEY_RIGHT:
@@ -267,8 +268,6 @@ def tui(ctl: Controller) -> int:
                             msg = f"unknown: {toks[0]}"
                     except (KeyError, ValueError, IndexError) as e:
                         msg = f"bad command: {e}"
-
-    import curses
 
     return curses.wrapper(loop)
 

@@ -349,8 +349,12 @@ def main_wd(argv=None) -> int:
     WSPR-cycle-aligned 120 s files with K1JT names unless the caller picks
     another mode."""
     argv = list(sys.argv[1:] if argv is None else argv)
-    if not any(a in ("--ft8", "-8", "--ft4", "-4", "--wspr", "-w", "--jt", "-j",
-                     "--max-length", "-L", "--rotate") for a in argv):
+    longs = ("--ft8", "--ft4", "--wspr", "--jt", "--max-length",
+             "--lengthlimit", "--rotate")
+    def mode_flag(a):
+        return (a.split("=")[0] in longs or a in ("-8", "-4", "-w", "-j")
+                or a.startswith("-L"))
+    if not any(mode_flag(a) for a in argv):
         argv = ["--wspr"] + argv
     return main(argv)
 

@@ -78,9 +78,11 @@ def shard_engine_tree(engine, mesh: Mesh, tree, replicate_rest: bool = True):
     def place(leaf, sh):
         if sh.spec == P() and not replicate_rest and not multiproc:
             return leaf
-        arr = np.asarray(leaf)
         if multiproc:
+            arr = np.asarray(leaf)
             return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
-        return jax.device_put(arr, sh)
+        # single-process: device_put relays out on-device (no host round
+        # trip — the flaky-tunnel rule in CLAUDE.md)
+        return jax.device_put(leaf, sh)
 
     return jax.tree.map(place, tree, shardings)

@@ -404,6 +404,20 @@ class Radiod:
         p[gname]["demod"] = d
         self.params = p
 
+    _MUTE_KEYS = ("squelch_open", "squelch_close", "snr_squelch_enable",
+                  "manual_gain")
+
+    def _setp_user(self, ch: "_Chan", key: str, value):
+        """User-facing param write: a PARKED channel's mute sentinel must
+        survive, so writes to the muted keys land in the park snapshot and
+        take effect on unpark."""
+        if ch.parked and key in self._MUTE_KEYS:
+            saved = self._park_saves.setdefault((ch.group, ch.idx), {})
+            saved[key] = value
+            # keep the host mirror's dtype discipline for later restore
+            return
+        self._setp(ch.group, ch.idx, key, value)
+
     def _mute_slot(self, gname: str, idx: int):
         """Tombstone one slot (radio.c:1465-1471 analog): squelch forced
         shut + zero gain via params surgery, so a freed slot costs nothing
@@ -501,7 +515,17 @@ class Radiod:
         hi = high if high is not None else ch.high
         if gname == old_g:
             if not carry:  # PRESET re-applied onto the same class: reload defaults
-                self._restore_slot(gname, old_i)
+                if ch.parked:
+                    g0 = self.engine.groups[gname]
+                    self._park_saves[(gname, old_i)] = {
+                        k: np.copy(arr[min(old_i, arr.shape[0] - 1)])
+                        for k, arr in g0.pristine_demod.items()
+                        if k in self._MUTE_KEYS}
+                    for k, arr in g0.pristine_demod.items():
+                        if k not in self._MUTE_KEYS:
+                            self._setp(gname, old_i, k, arr[min(old_i, arr.shape[0] - 1)])
+                else:
+                    self._restore_slot(gname, old_i)
             self.params = self.engine.set_edges(
                 self.params, gname, old_i, lo, hi, ch.kaiser_beta, ch.filter2_beta)
             ch.low, ch.high = min(lo, hi), max(lo, hi)
@@ -529,13 +553,16 @@ class Radiod:
         ch.opus_encoder = None
         lo = max(lo, -out_rate / 2)
         hi = min(hi, out_rate / 2)
-        ch.parked = False  # fresh slot: _retune re-parks if still uncovered
-        self._retune(ch, ch.freq)
+        # carried runtime params FIRST: if the final retune parks the new
+        # slot, the park snapshot must hold these (not pristine defaults),
+        # and the mute sentinel must stay on top
+        for k, v in carried.items():
+            self._setp(gname, slot, k, v)
         self.params = self.engine.set_edges(
             self.params, gname, slot, lo, hi, ch.kaiser_beta, ch.filter2_beta)
         ch.low, ch.high = min(lo, hi), max(lo, hi)
-        for k, v in carried.items():
-            self._setp(gname, slot, k, v)
+        ch.parked = False  # fresh slot: _retune re-parks if still uncovered
+        self._retune(ch, ch.freq)
         self._refresh_edges()
 
     def round_samprate(self, r: int) -> int:
@@ -807,7 +834,7 @@ class Radiod:
         gp = eng.groups[g].host["demod"]
 
         def setp(key, value):
-            self._setp(g, i, key, value)
+            self._setp_user(ch, key, value)
 
         if T.SQUELCH_OPEN in fields and "squelch_open" in gp:
             setp("squelch_open", np.float32(dB_to_power(float(fields[T.SQUELCH_OPEN]))))

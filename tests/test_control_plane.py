@@ -343,3 +343,27 @@ def test_maxdelay_zero_overrides_global():
         r.step_block()
     n1 = len([1 for k, _ in r._sent if k == "data"])
     assert n1 > n0  # per-block emission resumed immediately
+
+
+def test_parked_channel_stays_muted_through_commands_and_moves(rd):
+    """Review findings: runtime commands while parked must not lift the
+    mute (they land in the snapshot and apply on unpark), and a rate-class
+    move of a parked channel keeps it muted with user values carried."""
+    cmd(rd, 200, RADIO_FREQUENCY=900_000_000.0)  # park
+    ch = rd.chans[200]
+    assert ch.parked
+    # user adjusts gain/squelch while parked: sentinel must survive
+    cmd(rd, 200, GAIN=20.0, SQUELCH_OPEN=5.0)
+    assert float(host_val(rd, ch, "squelch_open")) > 1e20  # still muted
+    # move to another rate class while parked: still muted
+    ch = cmd(rd, 200, OUTPUT_SAMPRATE=24_000)
+    assert ch.parked
+    assert float(host_val(rd, ch, "squelch_open")) > 1e20
+    rd.step_block()
+    # unpark: the values set while parked take effect
+    ch = cmd(rd, 200, RADIO_FREQUENCY=200_000.0)
+    assert not ch.parked
+    np.testing.assert_allclose(host_val(rd, ch, "manual_gain"), 10.0, rtol=1e-5)
+    np.testing.assert_allclose(host_val(rd, ch, "squelch_open"), 10 ** 0.5, rtol=1e-4)
+    rd.step_block()
+    assert np.isfinite(np.asarray(rd.chans[200].last_info["baseband_power"])).all()
