@@ -41,6 +41,14 @@ def build_engine(config: str):
                       channels=tuple(ChannelSpec(freq=float(f)) for f in sfreqs)),
         ]
         real = True
+    elif config == "rx888x2":  # the reference's hard channel cap: 2000/instance (radio.h:344)
+        FS, baseline = 129_600_000, 129.6
+        freqs = np.linspace(0.02 * FS, 0.48 * FS, 2000)
+        groups = [
+            GroupSpec(name="hf", demod="linear", samprate=12_000, snr_squelch=True,
+                      channels=tuple(ChannelSpec(freq=float(f), low=50.0, high=3000.0) for f in freqs)),
+        ]
+        real = True
     elif config == "wfm":  # config 3: broadcast stereo stations
         FS, baseline = 7_680_000, 7.68
         freqs = np.linspace(-3_000_000, 3_000_000, 8)

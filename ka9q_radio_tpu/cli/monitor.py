@@ -11,7 +11,11 @@ file, paced by wall clock in --live mode.
 
     monitor-tpu --data test-pcm.local [--wav out.wav] [--raw] [--live]
                 [--duration 5] [--samprate 48000] [--gain ssrc=dB ...]
-                [--vote] [--notch] [--quiet]
+                [--vote] [--notch] [--quiet] [--tui]
+
+--tui adds the reference's ncurses session display (monitor-display.c):
+one row per session with a level meter, drop/late counters and SNR;
+up/down selects a session, +/- trims its gain, l/r pans, m mutes.
 """
 from __future__ import annotations
 
@@ -61,6 +65,24 @@ class _PlNotch:
         return np.repeat(y.astype(np.float32)[:, None], 2, axis=1)
 
 
+def render_sessions(mixer, snr_by_ssrc, selected: int, width: int = 78) -> list[str]:
+    """Pure renderer for the session table (testable without curses)."""
+    lines = [f"{'':1} {'ssrc':>8} {'rate':>6} {'level':>7} {'gain':>5} {'pan':>4} "
+             f"{'pkts':>7} {'drops':>5} {'late':>5} {'snr':>5}  meter"]
+    for i, (ssrc, s) in enumerate(sorted(mixer.sessions.items())):
+        lvl = 20 * np.log10(max(s.level, 1e-9))
+        meter = "#" * max(0, min(20, int((lvl + 60) / 3)))
+        snr = snr_by_ssrc.get(ssrc)
+        g_db = 20 * np.log10(max(s.gain, 1e-9)) if s.gain > 0 else float("-inf")
+        gtxt = "MUTE" if s.gain == 0 else f"{g_db:+.0f}"
+        lines.append(
+            f"{'>' if i == selected else ' '} {ssrc:>8} {s.samprate:>6} {lvl:>6.1f}d "
+            f"{gtxt:>5} {s.pan:>+4.1f} {s.packets:>7} {s.drops:>5} {s.late:>5} "
+            f"{f'{snr:.0f}' if snr is not None else '—':>5}  {meter}")
+    lines.append(f"underruns {mixer.underruns}   blocks {mixer.play_head // max(mixer.block,1)}")
+    return [ln[:width] for ln in lines]
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="monitor-tpu")
     ap.add_argument("--data", required=True)
@@ -79,7 +101,11 @@ def main(argv=None) -> int:
                     help="mix only the best-SNR session (monitor.h:185 voting)")
     ap.add_argument("--notch", action="store_true", help="PL tone notch filter")
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--tui", action="store_true",
+                    help="curses session display w/ per-session gain/pan/mute")
     args = ap.parse_args(argv)
+    if args.tui:
+        args.quiet = True
 
     gains = {}
     for g in args.gain:
@@ -120,9 +146,56 @@ def main(argv=None) -> int:
             sys.stdout.buffer.write(pcm.tobytes())
             sys.stdout.buffer.flush()
 
+    scr = None
+    selected = [0]
+    if args.tui:
+        import curses
+
+        scr = curses.initscr()
+        curses.noecho()
+        curses.cbreak()
+        scr.nodelay(True)
+        scr.keypad(True)
+
+    def tui_tick():
+        import curses
+
+        scr.erase()
+        for i, ln in enumerate(render_sessions(mixer, snr_by_ssrc, selected[0],
+                                               scr.getmaxyx()[1] - 1)):
+            try:
+                scr.addstr(i, 0, ln)
+            except curses.error:
+                pass
+        scr.refresh()
+        ch = scr.getch()
+        if ch == -1:
+            return True
+        order = sorted(mixer.sessions)
+        if ch in (ord("q"), 27):
+            return False
+        if ch == curses.KEY_UP:
+            selected[0] = max(0, selected[0] - 1)
+        elif ch == curses.KEY_DOWN:
+            selected[0] = min(max(len(order) - 1, 0), selected[0] + 1)
+        elif order and selected[0] < len(order):
+            s = mixer.sessions[order[selected[0]]]
+            if ch == ord("+"):
+                s.gain = min((s.gain or 0.056) * 10 ** 0.05, 10.0)
+            elif ch == ord("-"):
+                s.gain = s.gain * 10 ** -0.05
+            elif ch == ord("m"):
+                s.gain = 0.0 if s.gain else 1.0
+            elif ch == ord("l"):
+                s.pan = max(-1.0, s.pan - 0.1)
+            elif ch == ord("r"):
+                s.pan = min(1.0, s.pan + 0.1)
+        return True
+
     t0 = time.monotonic()
     t_end = t0 + args.duration if args.duration else None
     blocks_out = 0
+    last_tui = 0.0
     socks = [rx, brx] + ([srx] if srx else [])
     try:
         while t_end is None or time.monotonic() < t_end:
@@ -181,8 +254,20 @@ def main(argv=None) -> int:
                     sess.gain = (gains.get(hdr.ssrc, 1.0)
                                  if hdr.ssrc == best else 0.0)
                 sess.ingest(hdr, payload, mixer.play_head)
+            if scr is not None and time.monotonic() - last_tui > 0.1:
+                last_tui = time.monotonic()
+                if not tui_tick():
+                    break
     except KeyboardInterrupt:
         pass
+    finally:
+        if scr is not None:
+            import curses
+
+            curses.nocbreak()
+            scr.keypad(False)
+            curses.echo()
+            curses.endwin()
 
     # drain whatever is still buffered
     while any(s.active and s._max_written > mixer.play_head

@@ -226,3 +226,16 @@ def test_persistently_late_sender_rebases():
         out.append(mixer.next_block())
     mix = np.concatenate(out, axis=0)
     assert np.abs(mix).max() > 0.05  # audio flowing again
+
+
+def test_monitor_session_renderer():
+    """The monitor TUI's table renderer is pure over mixer state."""
+    from ka9q_radio_tpu.cli.monitor import render_sessions
+
+    mixer = Mixer(FS_OUT, int(FS_OUT * 0.02))
+    _run(mixer, _packets(seconds=1.0))
+    mixer.sessions[7].gain = 0.0  # muted
+    lines = render_sessions(mixer, {7: 23.0}, selected=0)
+    assert any("7" in ln and "MUTE" in ln for ln in lines)
+    assert any("23" in ln for ln in lines)
+    assert lines[0].startswith(" ") and "ssrc" in lines[0]
