@@ -135,22 +135,22 @@ class Session:
         self.frames_written += frames.shape[0]
 
     # -------------------------------------------------------------- rotation
+    def _epoch(self, wall: float) -> float:
+        """File epoch: the preceding --max-length boundary when --pad."""
+        L = self.args.max_length
+        return int(wall / L) * L if (L and self.args.pad) else wall
+
     def _maybe_rotate(self, wall: float, marker: bool):
         L = self.args.max_length
         if self.path is None:
-            # --pad/--jt: open at the preceding boundary, head-padded
-            self._open_file(int(wall / L) * L if (L and self.args.pad) else wall, wall)
+            self._open_file(self._epoch(wall), wall)
             return
-        rotate = False
-        if L:
-            base = int(self.opened_wall / L) * L if self.args.pad else self.opened_wall
-            if wall - base >= L:
-                rotate = True
+        rotate = L and wall - self._epoch(self.opened_wall) >= L
         if marker and self.args.split_on_marker and self.frames_written > 0:
             rotate = True  # sender squelch reopened: new transmission
         if rotate:
             self.close_file()
-            self._open_file(int(wall / L) * L if (L and self.args.pad) else wall, wall)
+            self._open_file(self._epoch(wall), wall)
 
     def idle_check(self, now: float):
         """Close the file after --timeout with no packets (the sender's

@@ -23,8 +23,6 @@ sample-and-hold; the PL notch lives in cli/monitor.py on top of this.
 """
 from __future__ import annotations
 
-import dataclasses
-
 import numpy as np
 
 from .rtp import RtpHeader, Encoding, decode_samples

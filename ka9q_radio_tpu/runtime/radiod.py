@@ -32,7 +32,7 @@ from ..config.loader import RadiodConfig
 from ..net.status import StatusType as T, PacketType, encode_status, decode_status
 from ..net.rtp import RtpHeader, Encoding, PayloadRegistry, encode_samples
 from ..net.multicast import resolve_dest, output_socket, listen_socket, DEFAULT_RTP_PORT, DEFAULT_STAT_PORT
-from ..utils.units import power_to_dB, dB_to_power, voltage_to_dB
+from ..utils.units import power_to_dB, dB_to_power, dB_to_voltage, voltage_to_dB
 from .engine import Engine, migrate_state
 from .source import siggen_init, siggen_block
 
@@ -404,17 +404,35 @@ class Radiod:
         p[gname]["demod"] = d
         self.params = p
 
-    _MUTE_KEYS = ("squelch_open", "squelch_close", "snr_squelch_enable",
-                  "manual_gain")
+    # keys the mute sentinel occupies; the single source of truth for
+    # tombstoning, park snapshots, and park-aware user writes
+    _MUTE_SENTINEL = {"squelch_open": np.float32(1e30),
+                      "squelch_close": np.float32(1e30),
+                      "snr_squelch_enable": True,
+                      "manual_gain": 0.0}
+    _MUTE_KEYS = tuple(_MUTE_SENTINEL)
+
+    def _setp_many(self, gname: str, idx: int, items: dict):
+        """Batched _setp: one params-dict rebuild for several keys."""
+        g = self.engine.groups[gname]
+        gp = g.host["demod"]
+        p = dict(self.params)
+        p[gname] = dict(p[gname])
+        d = dict(p[gname]["demod"])
+        for key, value in items.items():
+            if key not in gp:
+                continue
+            gp[key][idx] = value
+            d[key] = g.put(gp[key])
+        p[gname]["demod"] = d
+        self.params = p
 
     def _setp_user(self, ch: "_Chan", key: str, value):
         """User-facing param write: a PARKED channel's mute sentinel must
         survive, so writes to the muted keys land in the park snapshot and
         take effect on unpark."""
         if ch.parked and key in self._MUTE_KEYS:
-            saved = self._park_saves.setdefault((ch.group, ch.idx), {})
-            saved[key] = value
-            # keep the host mirror's dtype discipline for later restore
+            self._park_saves.setdefault((ch.group, ch.idx), {})[key] = value
             return
         self._setp(ch.group, ch.idx, key, value)
 
@@ -422,21 +440,15 @@ class Radiod:
         """Tombstone one slot (radio.c:1465-1471 analog): squelch forced
         shut + zero gain via params surgery, so a freed slot costs nothing
         until reused."""
-        g = self.engine.groups[gname]
-        host = g.host["demod"]
-        if "squelch_open" in host:
-            self._setp(gname, idx, "squelch_open", np.float32(1e30))
-            self._setp(gname, idx, "squelch_close", np.float32(1e30))
-            self._setp(gname, idx, "snr_squelch_enable", True)
-        if "manual_gain" in host:
-            self._setp(gname, idx, "manual_gain", 0.0)
+        self._setp_many(gname, idx, self._MUTE_SENTINEL)
 
     def _restore_slot(self, gname: str, slot: int):
         """Un-tombstone: restore the slot's demod params from the group's
         pristine build-time defaults."""
         g0 = self.engine.groups[gname]
-        for key, arr in g0.pristine_demod.items():
-            self._setp(gname, slot, key, arr[min(slot, arr.shape[0] - 1)])
+        self._setp_many(gname, slot, {
+            key: arr[min(slot, arr.shape[0] - 1)]
+            for key, arr in g0.pristine_demod.items()})
 
     def _acquire_slot(self, gname: str, template) -> int:
         """Get a live slot in group `gname` (created from `template` if the
@@ -841,9 +853,9 @@ class Radiod:
         if T.SQUELCH_CLOSE in fields and "squelch_close" in gp:
             setp("squelch_close", np.float32(dB_to_power(float(fields[T.SQUELCH_CLOSE]))))
         if T.HEADROOM in fields and "headroom" in gp:
-            setp("headroom", np.float32(10 ** (-abs(float(fields[T.HEADROOM])) / 20)))
+            setp("headroom", np.float32(dB_to_voltage(-abs(float(fields[T.HEADROOM])))))
         if T.GAIN in fields and "manual_gain" in gp:
-            setp("manual_gain", np.float32(10 ** (float(fields[T.GAIN]) / 20)))
+            setp("manual_gain", np.float32(dB_to_voltage(float(fields[T.GAIN]))))
             # manual gain implies AGC off (radio_status.c:404)
             setp("agc_enable", False)
         if T.AGC_ENABLE in fields and "agc_enable" in gp:
@@ -851,9 +863,10 @@ class Radiod:
         if T.AGC_HANGTIME in fields and "hangtime_samples" in gp:
             setp("hangtime_samples", np.int32(abs(float(fields[T.AGC_HANGTIME])) * ch.samprate))
         if T.AGC_RECOVERY_RATE in fields and "recovery_per_sample" in gp:
-            setp("recovery_per_sample", np.float32(10 ** (abs(float(fields[T.AGC_RECOVERY_RATE])) / 20 / ch.samprate)))
+            setp("recovery_per_sample",
+                 np.float32(dB_to_voltage(abs(float(fields[T.AGC_RECOVERY_RATE])) / ch.samprate)))
         if T.AGC_THRESHOLD in fields and "threshold" in gp:
-            setp("threshold", np.float32(10 ** (-abs(float(fields[T.AGC_THRESHOLD])) / 20)))
+            setp("threshold", np.float32(dB_to_voltage(-abs(float(fields[T.AGC_THRESHOLD])))))
         if T.PL_TONE in fields and "tone_freq" in gp:
             setp("tone_freq", np.float32(float(fields[T.PL_TONE])))
         if T.THRESH_EXTEND in fields and "threshold_ext" in gp:
