@@ -217,6 +217,7 @@ class Radiod:
                     )
 
         self.data_sock = self.status_sock = self.status_in = None
+        self.beacon_sock = None
         self.edges: dict[str, tuple[Any, list[_Chan]]] = {}
         if use_network:
             ttl = int(cfg.options.get("ttl", 1))
@@ -224,6 +225,10 @@ class Radiod:
             stat_dest = resolve_dest(cfg.options.get("status", "127.0.0.1"), status_port)
             self.data_sock = output_socket(data_dest, ttl)
             self.status_sock = output_socket(stat_dest, ttl)
+            # per-channel beacons ride the OUTPUT stream's status port
+            # (radio.c response(): chan->status.dest_socket) so stock
+            # monitor/pcmrecord/metadump find them next to the audio
+            self.beacon_sock = output_socket((data_dest[0], DEFAULT_STAT_PORT), ttl)
             self.status_in = listen_socket(stat_dest)
             if (self.agg_blocks == 0
                     and str(cfg.options.get("native-edge", "y")).lower() not in ("n", "no", "false", "0")):
@@ -339,12 +344,25 @@ class Radiod:
             self._sent.append(("data", pkt))
 
     def _send_status(self, pkt: bytes):
+        """Poll/command responses: the control group AND the output
+        stream's status port (radio.c response() sends both)."""
         if self.status_sock is not None:
             try:
                 self.status_sock.send(pkt)
             except OSError:
                 pass
+            self._send_beacon(pkt)
         else:
+            self._sent.append(("status", pkt))
+
+    def _send_beacon(self, pkt: bytes):
+        """Periodic per-channel beacons: the data group's status port."""
+        if self.beacon_sock is not None:
+            try:
+                self.beacon_sock.send(pkt)
+            except OSError:
+                pass
+        elif self.status_sock is None:
             self._sent.append(("status", pkt))
 
     # ------------------------------------------------------------- control
@@ -1302,7 +1320,7 @@ class Radiod:
             ch.last_info = info
             if ch.group in self.edges and not ch.rds:
                 if beacon and self._beacon_due(ch):
-                    self._send_status(self.encode_channel_status(ch))
+                    self._send_beacon(self.encode_channel_status(ch))
                 continue
             send = bool(np.asarray(info["send"][ch.idx])) if "send" in info else True
             if ch.rds:
@@ -1324,7 +1342,7 @@ class Radiod:
                 else:
                     self._emit_rtp(ch, audio, send=send)
             if beacon and self._beacon_due(ch):
-                self._send_status(self.encode_channel_status(ch))
+                self._send_beacon(self.encode_channel_status(ch))
         # idle dynamic channels count down and self-destruct (radio.c:1465)
         expired = []
         for ssrc, ch in self.chans.items():

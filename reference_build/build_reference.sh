@@ -59,6 +59,18 @@ gcc -rdynamic -pthread -o radiod $(for f in $RADIOD_SRCS; do echo "$f.o"; done) 
   fftw_shim.o iniparser_shim.o \
   -L"$BUILD/lib" -Wl,-rpath,/lib/x86_64-linux-gnu -lopus -lbsd -ldl -lm
 
+# the reference's own CLIENTS, to drive against OUR daemon (interop in
+# the consumer direction: a stock ka9q user pointing stock tools at us)
+for f in tune metadump powers dump; do
+  gcc $CFLAGS -c "$SRC/$f.c" -o "$f.o"
+done
+for exe in tune metadump powers; do
+  gcc -pthread -o "$exe" "$exe.o" dump.o status.o decode_status.o misc.o \
+    multicast.o rtp.o config.o iniparser_shim.o \
+    -L"$BUILD/lib" -Wl,-rpath,/lib/x86_64-linux-gnu -lopus -lbsd -lm
+done
+echo "built: $BUILD/{tune,metadump,powers}"
+
 # the sig_gen synthetic front end, as the dlopen plugin radiod expects
 gcc $CFLAGS -c "$SRC/sig_gen.c" -o sig_gen_p.o
 gcc $CFLAGS -c "$SRC/gauss.c" -o gauss_p.o

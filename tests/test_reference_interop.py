@@ -209,3 +209,121 @@ def test_spectrum_cross_implementation(ref_radiod):
     ref_floor = np.median(ref_db)
     our_floor = np.median(our_db)
     assert abs(ref_floor - our_floor) < 3.0, (ref_floor, our_floor)
+
+
+# ---------------------------------------------------------------------------
+# the CONSUMER direction: the reference's own stock clients drive OUR daemon
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def our_radiod():
+    """OUR daemon serving on real multicast for the reference clients."""
+    import threading
+    from ka9q_radio_tpu.config import load_config
+    from ka9q_radio_tpu.runtime.radiod import Radiod
+
+    tag = f"ours-{os.getpid()}"
+    conf = f"""
+[global]
+hardware = sig_gen
+status = {tag}-st.local
+data = {tag}-pcm.local
+update = 5
+advertise = no
+sap = no
+
+[sig_gen]
+device = sig_gen
+samprate = 512k
+complex = yes
+carrier = 51k
+amplitude = -20
+noise = -140
+
+[hf]
+mode = usb
+samprate = 12k
+freq = 50k0
+
+[sweep]
+mode = spectrum
+freq = 51k0
+resolution-bw = 1000
+bin-count = 40
+"""
+    rd = Radiod(load_config(conf), use_network=True)
+    for _ in range(3):
+        rd.step_block()  # compile before going live
+    stop = threading.Event()
+
+    def loop():
+        while not stop.is_set():
+            rd.step_block()
+
+    th = threading.Thread(target=loop, daemon=True)
+    th.start()
+    yield rd, tag
+    stop.set()
+    th.join(timeout=5)
+
+
+def _have_ref_clients():
+    return all(os.path.exists(os.path.join(BUILD, x))
+               for x in ("tune", "metadump", "powers"))
+
+
+def test_reference_tune_commands_our_daemon(our_radiod):
+    """The STOCK ka9q `tune` binary retunes our daemon."""
+    if not _have_ref_clients():
+        pytest.skip("reference clients not built")
+    rd, tag = our_radiod
+    # stock clients resolve names via DNS/mDNS (absent here): hand them the
+    # hashed group address directly, like a DNS-less deployment would
+    ctl = resolve_dest(f"{tag}-st.local", 5006)[0]
+    r = subprocess.run([os.path.join(BUILD, "tune"), "-r", ctl,
+                        "-s", "50", "-f", "56k0"],
+                       capture_output=True, text=True, timeout=20)
+    assert r.returncode == 0, r.stderr[-500:]
+    deadline = time.time() + 5
+    while time.time() < deadline and rd.chans[50].freq != 56_000.0:
+        time.sleep(0.1)
+    assert rd.chans[50].freq == 56_000.0
+    assert "56" in r.stdout  # tune printed the decoded response
+    subprocess.run([os.path.join(BUILD, "tune"), "-r", ctl,
+                    "-s", "50", "-f", "50k0"], capture_output=True, timeout=20)
+
+
+def test_reference_metadump_reads_our_beacons(our_radiod):
+    """The STOCK `metadump` decodes our TLV status stream."""
+    if not _have_ref_clients():
+        pytest.skip("reference clients not built")
+    rd, tag = our_radiod
+    data_addr = resolve_dest(f"{tag}-pcm.local", 5006)[0]
+    r = subprocess.run([os.path.join(BUILD, "metadump"), "-s", "50", "-c", "3",
+                        data_addr],
+                       capture_output=True, text=True, timeout=30)
+    out = r.stdout + r.stderr
+    assert "50" in out
+    up = out.upper()
+    assert "FREQ" in up or "RADIO" in up, out[-800:]
+    assert "12" in out  # samprate visible
+
+
+def test_reference_powers_polls_our_spectrum(our_radiod):
+    """The STOCK `powers` polls our spectrum channel and prints bins."""
+    if not _have_ref_clients():
+        pytest.skip("reference clients not built")
+    rd, tag = our_radiod
+    ctl = resolve_dest(f"{tag}-st.local", 5006)[0]
+    r = subprocess.run([os.path.join(BUILD, "powers"), "-s", "51", "-c", "1",
+                        "-T", "5", ctl],
+                       capture_output=True, text=True, timeout=30)
+    out = r.stdout
+    assert r.returncode == 0, (r.stdout[-300:], r.stderr[-300:])
+    # rtl_power-style CSV with our 40 bins
+    line = [l for l in out.splitlines() if "," in l]
+    assert line, out[-500:]
+    parts = [p.strip() for p in line[-1].split(",")]
+    assert any(p.lstrip("-").replace(".", "").isdigit() and float(p) < 0
+               for p in parts[6:] if p), line[-1]
