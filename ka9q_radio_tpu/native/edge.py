@@ -56,6 +56,9 @@ def _load():
             ctypes.c_char_p,
         ]
         lib.rtp_edge_has_opus.restype = ctypes.c_int
+        lib.rtp_edge_send_ctl.restype = ctypes.c_int
+        lib.rtp_edge_send_ctl.argtypes = [ctypes.c_int, ctypes.c_char_p,
+                                          ctypes.c_int, ctypes.c_int]
         _lib = lib
         return lib
 
@@ -128,6 +131,13 @@ class RtpEdge:
         if n > 0:
             self.packets += n
         return n
+
+    def send_ctl(self, pkt: bytes, port: int) -> int:
+        """Send a status/beacon packet from the audio socket's source
+        port to the data group's `port` (stock clients match on it)."""
+        if self.fd < 0:
+            return -1
+        return self._lib.rtp_edge_send_ctl(self.fd, pkt, len(pkt), port)
 
     def close(self):
         if self.fd >= 0:

@@ -122,6 +122,10 @@ struct OpusSlot {
 };
 // per-(socket, channel) encoder states; freed by rtp_edge_close
 std::unordered_map<uint64_t, OpusSlot> Opus_slots;
+// per-socket data destination (sockets are UNCONNECTED so audio and the
+// status-port beacons share one source port — stock ka9q clients match
+// data<->status sessions on it, pcmrecord.c process_status)
+std::unordered_map<int, sockaddr_in> Edge_dest;
 
 inline uint64_t slot_key(int fd, int chan) {
   return ((uint64_t)(uint32_t)fd << 32) | (uint32_t)chan;
@@ -200,10 +204,21 @@ int rtp_edge_open(const char *ip, int port, int ttl, int tos) {
     unsigned char loop = 1;
     setsockopt(fd, IPPROTO_IP, IP_MULTICAST_LOOP, &loop, sizeof loop);
   }
-  if (connect(fd, (sockaddr *)&sa, sizeof sa) < 0) { close(fd); return -3; }
   int sz = 4 << 20;
   setsockopt(fd, SOL_SOCKET, SO_SNDBUF, &sz, sizeof sz);
+  Edge_dest[fd] = sa;  // unconnected: sendmmsg carries the address
   return fd;
+}
+
+// Send one control/status packet from the SAME socket (and source port)
+// as the audio, to the data group's `port` (the beacon path).
+int rtp_edge_send_ctl(int fd, const uint8_t *buf, int len, int port) {
+  auto it = Edge_dest.find(fd);
+  if (it == Edge_dest.end()) return -1;
+  sockaddr_in dst = it->second;
+  dst.sin_port = htons((uint16_t)port);
+  ssize_t r = sendto(fd, buf, (size_t)len, 0, (sockaddr *)&dst, sizeof dst);
+  return r < 0 ? -1 : (int)r;
 }
 
 void rtp_edge_close(int fd) {
@@ -215,6 +230,7 @@ void rtp_edge_close(int fd) {
       ++it;
     }
   }
+  Edge_dest.erase(fd);
   close(fd);
 }
 
@@ -345,6 +361,8 @@ int rtp_edge_send_block(int fd, const float *audio, int nchan, int nframes,
   }
   if (pkts.empty()) return 0;
 
+  auto dit = Edge_dest.find(fd);
+  if (dit == Edge_dest.end()) return -1;
   std::vector<mmsghdr> hdrs(pkts.size());
   std::vector<iovec> iovs(pkts.size());
   for (size_t i = 0; i < pkts.size(); i++) {
@@ -352,6 +370,8 @@ int rtp_edge_send_block(int fd, const float *audio, int nchan, int nframes,
     std::memset(&hdrs[i], 0, sizeof(mmsghdr));
     hdrs[i].msg_hdr.msg_iov = &iovs[i];
     hdrs[i].msg_hdr.msg_iovlen = 1;
+    hdrs[i].msg_hdr.msg_name = (void *)&dit->second;
+    hdrs[i].msg_hdr.msg_namelen = sizeof(sockaddr_in);
   }
   size_t done = 0;
   while (done < hdrs.size()) {

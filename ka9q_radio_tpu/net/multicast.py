@@ -12,7 +12,8 @@ from __future__ import annotations
 import socket
 import struct
 
-__all__ = ["fnv1hash", "make_maddr", "resolve_dest", "output_socket", "listen_socket",
+__all__ = ["fnv1hash", "make_maddr", "resolve_dest", "output_socket",
+           "output_socket_unconnected", "listen_socket",
            "DEFAULT_RTP_PORT", "DEFAULT_STAT_PORT"]
 
 DEFAULT_RTP_PORT = 5004
@@ -74,6 +75,25 @@ def output_socket(dest: tuple[str, int], ttl: int = 1, tos: int = 48 << 2) -> so
         s.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_TTL, max(ttl, 0))
         s.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_LOOP, 1)
     s.connect(dest)
+    return s
+
+
+def output_socket_unconnected(dest: tuple[str, int], ttl: int = 1, tos: int = 48 << 2) -> socket.socket:
+    """Like output_socket but UNCONNECTED (sendto per packet): one socket
+    — hence ONE source port — can feed both the RTP port and the status
+    port of a group. Stock ka9q clients (pcmrecord.c process_status:
+    "Assumes same IP source address *and UDP source port* for status and
+    data") match sessions on that source port, like the reference's
+    single shared Output_fd."""
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        s.setsockopt(socket.IPPROTO_IP, socket.IP_TOS, tos)
+    except OSError:
+        pass
+    ip = dest[0]
+    if ip.startswith("2") and int(ip.split(".")[0]) >= 224:
+        s.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_TTL, max(ttl, 0))
+        s.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_LOOP, 1)
     return s
 
 

@@ -31,7 +31,8 @@ import jax
 from ..config.loader import RadiodConfig
 from ..net.status import StatusType as T, PacketType, encode_status, decode_status
 from ..net.rtp import RtpHeader, Encoding, PayloadRegistry, encode_samples
-from ..net.multicast import resolve_dest, output_socket, listen_socket, DEFAULT_RTP_PORT, DEFAULT_STAT_PORT
+from ..net.multicast import (resolve_dest, output_socket, output_socket_unconnected,
+                             listen_socket, DEFAULT_RTP_PORT, DEFAULT_STAT_PORT)
 from ..utils.units import power_to_dB, dB_to_power, dB_to_voltage, voltage_to_dB
 from .engine import Engine, migrate_state
 from .source import siggen_init, siggen_block
@@ -223,12 +224,14 @@ class Radiod:
             ttl = int(cfg.options.get("ttl", 1))
             data_dest = resolve_dest(cfg.options.get("data", "127.0.0.1"), data_port)
             stat_dest = resolve_dest(cfg.options.get("status", "127.0.0.1"), status_port)
-            self.data_sock = output_socket(data_dest, ttl)
+            # ONE unconnected socket for audio AND per-channel beacons:
+            # stock clients (pcmrecord) match data<->status sessions by the
+            # sender's source PORT, like the reference's shared Output_fd
+            self.data_sock = output_socket_unconnected(data_dest, ttl)
+            self._data_dest = data_dest
+            self._beacon_dest = (data_dest[0], DEFAULT_STAT_PORT)
             self.status_sock = output_socket(stat_dest, ttl)
-            # per-channel beacons ride the OUTPUT stream's status port
-            # (radio.c response(): chan->status.dest_socket) so stock
-            # monitor/pcmrecord/metadump find them next to the audio
-            self.beacon_sock = output_socket((data_dest[0], DEFAULT_STAT_PORT), ttl)
+            self.beacon_sock = self.data_sock
             self.status_in = listen_socket(stat_dest)
             if (self.agg_blocks == 0
                     and str(cfg.options.get("native-edge", "y")).lower() not in ("n", "no", "false", "0")):
@@ -334,10 +337,15 @@ class Radiod:
 
     # ------------------------------------------------------------------ IO
     def _send_data(self, pkt: bytes, sock=None):
-        sock = sock if sock is not None else self.data_sock
-        if sock is not None:
+        if sock is not None:  # per-channel OUTPUT_DATA_DEST redirect
             try:
                 sock.send(pkt)
+            except OSError:
+                pass
+            return
+        if self.data_sock is not None:
+            try:
+                self.data_sock.sendto(pkt, self._data_dest)
             except OSError:
                 pass
         else:
@@ -355,11 +363,16 @@ class Radiod:
         else:
             self._sent.append(("status", pkt))
 
-    def _send_beacon(self, pkt: bytes):
-        """Periodic per-channel beacons: the data group's status port."""
+    def _send_beacon(self, pkt: bytes, ch: "_Chan | None" = None):
+        """Per-channel beacons: the data group's status port, from the
+        SAME source socket (and port) as the channel's audio."""
+        if ch is not None and ch.group in self.edges and not ch.rds:
+            edge, _ = self.edges[ch.group]
+            if edge.send_ctl(pkt, DEFAULT_STAT_PORT) >= 0:
+                return
         if self.beacon_sock is not None:
             try:
-                self.beacon_sock.send(pkt)
+                self.beacon_sock.sendto(pkt, self._beacon_dest)
             except OSError:
                 pass
         elif self.status_sock is None:
@@ -1320,7 +1333,7 @@ class Radiod:
             ch.last_info = info
             if ch.group in self.edges and not ch.rds:
                 if beacon and self._beacon_due(ch):
-                    self._send_beacon(self.encode_channel_status(ch))
+                    self._send_beacon(self.encode_channel_status(ch), ch)
                 continue
             send = bool(np.asarray(info["send"][ch.idx])) if "send" in info else True
             if ch.rds:
@@ -1342,7 +1355,7 @@ class Radiod:
                 else:
                     self._emit_rtp(ch, audio, send=send)
             if beacon and self._beacon_due(ch):
-                self._send_beacon(self.encode_channel_status(ch))
+                self._send_beacon(self.encode_channel_status(ch), ch)
         # idle dynamic channels count down and self-destruct (radio.c:1465)
         expired = []
         for ssrc, ch in self.chans.items():

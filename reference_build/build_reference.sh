@@ -18,6 +18,7 @@ mkdir -p "$BUILD/lib"
 # dev-symlink the runtime .so.0 libraries so -lopus/-lbsd resolve
 ln -sf /lib/x86_64-linux-gnu/libopus.so.0 "$BUILD/lib/libopus.so"
 ln -sf /lib/x86_64-linux-gnu/libbsd.so.0 "$BUILD/lib/libbsd.so"
+ln -sf /lib/x86_64-linux-gnu/libogg.so.0 "$BUILD/lib/libogg.so"
 
 # the Makefile-generated header (paths + git stamps); PKGLIBDIR points at
 # the build dir so radiod's dlopen finds our sig_gen.so plugin
@@ -69,7 +70,12 @@ for exe in tune metadump powers; do
     multicast.o rtp.o config.o iniparser_shim.o \
     -L"$BUILD/lib" -Wl,-rpath,/lib/x86_64-linux-gnu -lopus -lbsd -lm
 done
-echo "built: $BUILD/{tune,metadump,powers}"
+gcc $CFLAGS -c "$SRC/pcmrecord.c" -o pcmrecord.o
+gcc $CFLAGS -c "$SRC/attr.c" -o attr.o
+gcc -pthread -o pcmrecord pcmrecord.o attr.o status.o decode_status.o misc.o \
+  multicast.o rtp.o config.o iniparser_shim.o \
+  -L"$BUILD/lib" -Wl,-rpath,/lib/x86_64-linux-gnu -lopus -logg -lbsd -lm
+echo "built: $BUILD/{tune,metadump,powers,pcmrecord}"
 
 # the sig_gen synthetic front end, as the dlopen plugin radiod expects
 gcc $CFLAGS -c "$SRC/sig_gen.c" -o sig_gen_p.o

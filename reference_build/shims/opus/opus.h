@@ -20,6 +20,12 @@ typedef struct OpusDecoder OpusDecoder;
 
 #define OPUS_OK 0
 #define OPUS_BAD_ARG (-1)
+#define OPUS_BUFFER_TOO_SMALL (-2)
+#define OPUS_INTERNAL_ERROR (-3)
+#define OPUS_INVALID_PACKET (-4)
+#define OPUS_UNIMPLEMENTED (-5)
+#define OPUS_INVALID_STATE (-6)
+#define OPUS_ALLOC_FAIL (-7)
 #define OPUS_AUTO (-1000)
 #define OPUS_BITRATE_MAX (-1)
 
@@ -67,6 +73,14 @@ opus_int32 opus_encode_float(OpusEncoder *st, const float *pcm, int frame_size,
                              unsigned char *data, opus_int32 max_data_bytes);
 const char *opus_strerror(int error);
 const char *opus_get_version_string(void);
+
+/* packet inspection helpers (pcmrecord uses them on received payloads) */
+int opus_packet_get_nb_frames(const unsigned char packet[], opus_int32 len);
+int opus_packet_get_nb_samples(const unsigned char packet[], opus_int32 len,
+                               opus_int32 fs);
+int opus_packet_get_samples_per_frame(const unsigned char *data, opus_int32 fs);
+int opus_packet_get_bandwidth(const unsigned char *data);
+int opus_packet_get_nb_channels(const unsigned char *data);
 
 #ifdef __cplusplus
 }

@@ -327,3 +327,35 @@ def test_reference_powers_polls_our_spectrum(our_radiod):
     parts = [p.strip() for p in line[-1].split(",")]
     assert any(p.lstrip("-").replace(".", "").isdigit() and float(p) < 0
                for p in parts[6:] if p), line[-1]
+
+
+def test_reference_pcmrecord_records_our_audio(our_radiod, tmp_path):
+    """The STOCK `pcmrecord` records our daemon's RTP into a WAV with the
+    right tone — the audio-consumption direction with an unmodified tool."""
+    if not os.path.exists(os.path.join(BUILD, "pcmrecord")):
+        pytest.skip("reference pcmrecord not built")
+    rd, tag = our_radiod
+    data_addr = resolve_dest(f"{tag}-pcm.local", 5004)[0]
+    proc = subprocess.Popen([os.path.join(BUILD, "pcmrecord"), "-d", str(tmp_path),
+                             "--ssrc", "50", data_addr],
+                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    time.sleep(4.0)
+    proc.send_signal(signal.SIGINT)
+    try:
+        proc.wait(5)
+    except subprocess.TimeoutExpired:
+        proc.terminate()
+        proc.wait(5)
+    files = [p for p in tmp_path.rglob("*") if p.is_file()]
+    assert files, "stock pcmrecord wrote nothing"
+    import wave
+
+    wavs = [p for p in files if p.suffix.lower() == ".wav"] or files
+    with wave.open(str(wavs[0])) as w:
+        fs = w.getframerate()
+        data = np.frombuffer(w.readframes(w.getnframes()), "<i2").astype(np.float64)
+    assert fs == 12_000
+    assert data.size > 12_000  # at least a second
+    A = np.abs(np.fft.rfft(data * np.hanning(data.size)))
+    f = np.fft.rfftfreq(data.size, 1 / fs)
+    assert abs(f[np.argmax(A)] - 1000.0) < 5  # our USB tone, stock-recorded
