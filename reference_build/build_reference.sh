@@ -71,11 +71,14 @@ for exe in tune metadump powers; do
     -L"$BUILD/lib" -Wl,-rpath,/lib/x86_64-linux-gnu -lopus -lbsd -lm
 done
 gcc $CFLAGS -c "$SRC/pcmrecord.c" -o pcmrecord.o
+gcc $CFLAGS -c "$SRC/wd-record.c" -o wd-record.o
 gcc $CFLAGS -c "$SRC/attr.c" -o attr.o
-gcc -pthread -o pcmrecord pcmrecord.o attr.o status.o decode_status.o misc.o \
-  multicast.o rtp.o config.o iniparser_shim.o \
-  -L"$BUILD/lib" -Wl,-rpath,/lib/x86_64-linux-gnu -lopus -logg -lbsd -lm
-echo "built: $BUILD/{tune,metadump,powers,pcmrecord}"
+for exe in pcmrecord wd-record; do
+  gcc -pthread -o "$exe" "$exe.o" attr.o status.o decode_status.o misc.o \
+    multicast.o rtp.o config.o iniparser_shim.o \
+    -L"$BUILD/lib" -Wl,-rpath,/lib/x86_64-linux-gnu -lopus -logg -lbsd -lm
+done
+echo "built: $BUILD/{tune,metadump,powers,pcmrecord,wd-record}"
 
 # the sig_gen synthetic front end, as the dlopen plugin radiod expects
 gcc $CFLAGS -c "$SRC/sig_gen.c" -o sig_gen_p.o

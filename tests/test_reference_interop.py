@@ -359,3 +359,33 @@ def test_reference_pcmrecord_records_our_audio(our_radiod, tmp_path):
     A = np.abs(np.fft.rfft(data * np.hanning(data.size)))
     f = np.fft.rfftfreq(data.size, 1 / fs)
     assert abs(f[np.argmax(A)] - 1000.0) < 5  # our USB tone, stock-recorded
+
+
+def test_reference_wd_record_records_our_audio(our_radiod, tmp_path):
+    """The STOCK wsprdaemon recorder (`wd-record`, 2.7k LoC) consumes our
+    daemon's stream and writes a WAV."""
+    if not os.path.exists(os.path.join(BUILD, "wd-record")):
+        pytest.skip("reference wd-record not built")
+    rd, tag = our_radiod
+    data_addr = resolve_dest(f"{tag}-pcm.local", 5004)[0]
+    proc = subprocess.Popen([os.path.join(BUILD, "wd-record"), "-d", str(tmp_path),
+                             "--ssrc", "50", data_addr],
+                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    time.sleep(4.0)
+    proc.send_signal(signal.SIGINT)
+    try:
+        proc.wait(5)
+    except subprocess.TimeoutExpired:
+        proc.terminate()
+        proc.wait(5)
+    files = [p for p in tmp_path.rglob("*") if p.is_file()]
+    assert files, "stock wd-record wrote nothing"
+    import wave
+
+    with wave.open(str(files[0])) as w:
+        data = np.frombuffer(w.readframes(w.getnframes()), "<i2").astype(np.float64)
+        fs = w.getframerate()
+    assert data.size > fs  # at least a second
+    A = np.abs(np.fft.rfft(data * np.hanning(data.size)))
+    f = np.fft.rfftfreq(data.size, 1 / fs)
+    assert abs(f[np.argmax(A)] - 1000.0) < 5
