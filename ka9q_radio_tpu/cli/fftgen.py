@@ -10,7 +10,6 @@ radiod-tpu start is instant.
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 import time
 
@@ -22,24 +21,21 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
     from ..config import load_config
-    from ..runtime.engine import Engine
-
-    os.makedirs(args.wisdom, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", args.wisdom)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from ..runtime.radiod import Radiod
 
     cfg = load_config(args.config)
-    eng = Engine(samprate=cfg.samprate, real=cfg.real, groups=cfg.groups,
-                 blocktime=cfg.blocktime, overlap=cfg.overlap)
+    # warm through the SAME construction path as production (matmul/mesh/
+    # spurs/prealloc all change the compiled program — an Engine built
+    # with different options would miss the cache at radiod start)
+    cfg.options["wisdom"] = args.wisdom
     t0 = time.monotonic()
-    state = jax.jit(eng.init_state)()
-    params = eng.init_params()
-    block = jnp.zeros((eng.L,), jnp.float32 if eng.master.real else jnp.complex64)
-    step = jax.jit(eng.step, donate_argnums=0)
-    state, out = step(state, params, block)
-    jax.block_until_ready(out)
+    rd = Radiod(cfg, use_network=False)
+    # Radiod sets a 0.5 s persistence floor; a warmer wants EVERY program
+    # written, so lower it after construction, before the compiling step
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    rd.step_block()
+    eng = rd.engine
     print(f"compiled master N={eng.master.N} + {sum(g.C for g in eng.groups.values())} "
           f"channels in {time.monotonic() - t0:.1f}s; cache at {args.wisdom}", file=sys.stderr)
     return 0

@@ -109,8 +109,14 @@ class Radiod:
             import os
             try:
                 os.makedirs(cache_dir, exist_ok=True)
+                prev = jax.config.jax_compilation_cache_dir
                 jax.config.update("jax_compilation_cache_dir", str(cache_dir))
                 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+                if prev is not None and prev != str(cache_dir):
+                    # the cache binds its dir at first use; a later change
+                    # is silently ignored unless the cache is reset
+                    from jax.experimental.compilation_cache import compilation_cache
+                    compilation_cache.reset_cache()
             except Exception:
                 pass
         use_matmul = str(cfg.options.get("matmul", "n")).lower() in ("y", "yes", "true", "1", "on")

@@ -167,3 +167,38 @@ def test_control_full_surface(daemon, capsys):
     # restore for other fixture users
     main(["--radio", radio, "--ssrc", "200", "-c", "agc on", "-c", "f 200k0"])
     capsys.readouterr()
+
+
+def test_fftgen_warms_production_cache(tmp_path):
+    """fft-gen-tpu compiles the SAME programs the daemon will run, so a
+    warmed start hits the persistent cache (the FFTW-wisdom analog)."""
+    from ka9q_radio_tpu.cli.fftgen import main as fftgen_main
+    from ka9q_radio_tpu.config import load_config
+    from ka9q_radio_tpu.runtime.radiod import Radiod
+
+    conf = """
+[global]
+hardware = sig_gen
+mode = usb
+[sig_gen]
+device = sig_gen
+samprate = 128k
+complex = yes
+carrier = 33k
+amplitude = -20
+noise = -140
+[hf]
+mode = usb
+samprate = 8k
+freq = 32k0
+"""
+    cfile = tmp_path / "warm.conf"
+    cfile.write_text(conf)
+    cache = tmp_path / "wisdom"
+    assert fftgen_main([str(cfile), "--wisdom", str(cache)]) == 0
+    assert any(cache.iterdir())  # programs persisted
+    cfg = load_config(conf)
+    cfg.options["wisdom"] = str(cache)
+    rd = Radiod(cfg, use_network=False)
+    rd.step_block()  # loads from cache (no exception, instant-ish)
+    assert rd.blocks == 1
