@@ -283,10 +283,13 @@ class Radiod:
         from ..config.presets import preset_table
 
         presets = preset_table()
-        gname = f"dyn-{preset}"
-        if preset not in presets or gname in self.engine.groups or self.dyn_spare == 0:
+        if preset not in presets or self.dyn_spare == 0:
             return
-        template = _build_group(gname, dict(presets[preset]), [(0.0, 0.0)])
+        template = _build_group(f"dyn-{preset}", dict(presets[preset]), [(0.0, 0.0)])
+        gname = self._group_for_spec(template, default=template.name)
+        if self.free_slots.get(gname):
+            return  # the matching class already holds spare slots
+        template = dataclasses.replace(template, name=gname)
         slot = self._acquire_slot(gname, template)
         self._mute_slot(gname, slot)
         self.free_slots.setdefault(gname, []).append(slot)
@@ -357,15 +360,17 @@ class Radiod:
         else:
             self._sent.append(("data", pkt))
 
-    def _send_status(self, pkt: bytes):
+    def _send_status(self, pkt: bytes, ch: "_Chan | None" = None):
         """Poll/command responses: the control group AND the output
-        stream's status port (radio.c response() sends both)."""
+        stream's status port (radio.c response() sends both). The beacon
+        copy rides the channel's data source socket so stock clients can
+        keep correlating sessions by source port."""
         if self.status_sock is not None:
             try:
                 self.status_sock.send(pkt)
             except OSError:
                 pass
-            self._send_beacon(pkt)
+            self._send_beacon(pkt, ch)
         else:
             self._sent.append(("status", pkt))
 
@@ -412,7 +417,7 @@ class Radiod:
             return
         if ssrc == 0xFFFFFFFF:  # all-channel dump
             for ch in list(self.chans.values()):
-                self._send_status(self.encode_channel_status(ch, tag))
+                self._send_status(self.encode_channel_status(ch, tag), ch)
             return
         ch = self.chans.get(ssrc)
         if ch is None:
@@ -423,7 +428,7 @@ class Radiod:
         if ch.dynamic and ch.lifetime_init:
             ch.lifetime = ch.lifetime_init  # poll/command restarts the countdown
         self.apply_command(ch, fields)
-        self._send_status(self.encode_channel_status(ch, tag))
+        self._send_status(self.encode_channel_status(ch, tag), ch)
 
     # ------------------------------------------------ dynamic channel table
     def _setp(self, gname: str, idx: int, key: str, value):
@@ -530,14 +535,19 @@ class Radiod:
         d.pop("channels")
         return tuple(sorted((k, repr(v)) for k, v in d.items()))
 
-    def _group_for_spec(self, template) -> str:
-        """Existing group whose compiled class matches `template`, else a
-        canonical dyn~ name derived from the spec fields (so repeat moves
-        to the same class share one group)."""
+    def _group_for_spec(self, template, default: str | None = None) -> str:
+        """Existing group whose compiled class matches `template` — static
+        groups included, so dynamic creates and moves reuse their compiled
+        programs (and any tombstoned spares) instead of building a parallel
+        dyn group. Otherwise `default`, else a canonical dyn~ name derived
+        from the spec fields (so repeat moves to the same class share one
+        group)."""
         key = self._spec_key(template)
         for name, g in self.engine.groups.items():
             if self._spec_key(g.spec) == key:
                 return name
+        if default is not None:
+            return default
         import zlib
         return "dyn~%08x" % zlib.crc32(repr(key).encode())
 
@@ -641,8 +651,11 @@ class Radiod:
         if preset not in presets:
             return None
         freq = float(fields.get(T.RADIO_FREQUENCY, 0.0) or 0.0)
-        gname = f"dyn-{preset}"
-        template = _build_group(gname, dict(presets[preset]), [(freq, 0.0)])
+        template = _build_group(f"dyn-{preset}", dict(presets[preset]), [(freq, 0.0)])
+        # reuse any group already compiled for this class (static ones
+        # included — the reference has one flat channel table, radio.c)
+        gname = self._group_for_spec(template, default=template.name)
+        template = dataclasses.replace(template, name=gname)
         slot = self._acquire_slot(gname, template)
 
         spec = self.engine.groups[gname].spec
@@ -651,8 +664,9 @@ class Radiod:
         enc_name = str(self.cfg.options.get("encoding", "s16be")).upper()
         enc = Encoding[enc_name] if enc_name in Encoding.__members__ else Encoding.S16BE
         pt = self.registry.pt_from_info(out_rate, nch, enc)
+        tch = template.channels[0]  # preset edges, not the host group's
         ch = _Chan(group=gname, idx=slot, ssrc=ssrc, freq=freq,
-                   low=spec.channels[0].low, high=spec.channels[0].high,
+                   low=tch.low, high=tch.high,
                    samprate=out_rate, channels=nch, encoding=enc, pt=pt,
                    dynamic=True, lifetime=self.lifetime_blocks,
                    lifetime_init=self.lifetime_blocks, preset=preset)

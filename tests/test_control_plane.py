@@ -278,6 +278,24 @@ def test_spare_slots_zero_recompile(rd):
     assert np.isfinite(np.asarray(rd.chans[7010].last_info["baseband_power"])).all()
 
 
+def test_dynamic_create_reuses_static_group(rd):
+    """A dynamic create whose preset matches a static section's compiled
+    class lands in THAT group — the reference keeps one flat channel table
+    (radio.c:1465), so no parallel dyn group should appear."""
+    ch = cmd(rd, 7100, PRESET="cwu", RADIO_FREQUENCY=150_500.0)
+    assert ch is not None and ch.group == "cw"
+    assert "dyn-cwu" not in rd.engine.groups
+    eng = rd.engine  # first create grew "cw" with spares; next ones are free
+    for k in range(3):
+        c2 = cmd(rd, 7101 + k, PRESET="cwu", RADIO_FREQUENCY=151_000.0 + k)
+        assert c2 is not None and c2.group == "cw" and rd.engine is eng, k
+    rd.step_block()
+    assert np.isfinite(np.asarray(rd.chans[7100].last_info["baseband_power"])).all()
+    # the static channel rode through the grow (state migration)
+    static_cw = next(c for c in rd.chans.values() if c.group == "cw" and not c.dynamic)
+    assert np.isfinite(np.asarray(static_cw.last_info["baseband_power"])).all()
+
+
 def test_move_carries_runtime_params(rd):
     cmd(rd, 200, GAIN=14.0)
     ch = cmd(rd, 200, OUTPUT_SAMPRATE=24_000)
