@@ -80,6 +80,24 @@ for exe in pcmrecord wd-record; do
 done
 echo "built: $BUILD/{tune,metadump,powers,pcmrecord,wd-record}"
 
+# the stock MONITOR, headless build (-q --pipe): curses/portaudio/alsa are
+# link-time-only on that path, provided by no-op stubs; libsamplerate's
+# resampler is bypassed for 48 kHz streams (monitor-data.c:731-733), which
+# is all the interop test plays
+gcc $CFLAGS -c "$HERE/shims/portaudio_stub.c" -o portaudio_stub.o
+gcc $CFLAGS -c "$HERE/shims/ncurses_stub.c" -o ncurses_stub.o
+gcc $CFLAGS -c "$HERE/shims/samplerate_stub.c" -o samplerate_stub.o
+MONITOR_SRCS="monitor monitor-data monitor-display monitor-repeater morse"
+for f in $MONITOR_SRCS; do
+  gcc $CFLAGS -c "$SRC/$f.c" -o "$f.o"
+done
+gcc -pthread -o monitor $(for f in $MONITOR_SRCS; do echo "$f.o"; done) \
+  status.o decode_status.o misc.o multicast.o rtp.o config.o iir.o osc.o \
+  sincospi.o sincospif.o \
+  iniparser_shim.o portaudio_stub.o ncurses_stub.o samplerate_stub.o \
+  -L"$BUILD/lib" -Wl,-rpath,/lib/x86_64-linux-gnu -lopus -lbsd -lm
+echo "built: $BUILD/monitor (headless: -q --pipe)"
+
 # the sig_gen synthetic front end, as the dlopen plugin radiod expects
 gcc $CFLAGS -c "$SRC/sig_gen.c" -o sig_gen_p.o
 gcc $CFLAGS -c "$SRC/gauss.c" -o gauss_p.o

@@ -40,6 +40,13 @@ static inline long src_callback_read(SRC_STATE *s, double ratio, long frames,
   (void)s; (void)ratio; (void)frames; (void)data;
   return 0;
 }
+/* push-mode API used by monitor-data.c's upsample() — implemented as a
+ * real linear-interpolation resampler in samplerate_stub.c (only engaged
+ * for streams not already at the 48 kHz DAC rate, monitor-data.c:731) */
+SRC_STATE *src_new(int converter_type, int channels, int *error);
+int src_set_ratio(SRC_STATE *state, double new_ratio);
+int src_process(SRC_STATE *state, SRC_DATA *data);
+
 static inline int src_error(SRC_STATE *s) { (void)s; return 0; }
 static inline const char *src_strerror(int e) { (void)e; return "shim: libsamplerate absent"; }
 static inline void src_short_to_float_array(const short *in, float *out, int len) {

@@ -251,6 +251,19 @@ mode = spectrum
 freq = 51k0
 resolution-bw = 1000
 bin-count = 40
+
+[wide48]
+mode = usb
+samprate = 48k
+freq = 49k5
+ssrc = 150
+
+[op48]
+mode = usb
+samprate = 48k
+freq = 49k0
+ssrc = 151
+encoding = opus
 """
     rd = Radiod(load_config(conf), use_network=True)
     for _ in range(3):
@@ -359,6 +372,57 @@ def test_reference_pcmrecord_records_our_audio(our_radiod, tmp_path):
     A = np.abs(np.fft.rfft(data * np.hanning(data.size)))
     f = np.fft.rfftfreq(data.size, 1 / fs)
     assert abs(f[np.argmax(A)] - 1000.0) < 5  # our USB tone, stock-recorded
+
+
+def test_reference_monitor_plays_our_audio(our_radiod, tmp_path):
+    """The STOCK `monitor` (headless -q --pipe build) plays our daemon's
+    streams: 48 kHz PCM (native rate), 12 kHz PCM (through its resampler),
+    and Opus (libopus decode) all mix into one 48 kHz output — each channel
+    carries a distinct audio tone, so one FFT proves all three paths."""
+    if not os.path.exists(os.path.join(BUILD, "monitor")):
+        pytest.skip("reference monitor not built")
+    rd, tag = our_radiod
+    data_addr = resolve_dest(f"{tag}-pcm.local", 5004)[0]
+    fifo = tmp_path / "mon.fifo"
+    os.mkfifo(fifo)
+    errlog = open(tmp_path / "monitor.err", "w")  # NEVER an unread pipe
+    proc = subprocess.Popen([os.path.join(BUILD, "monitor"), "-q",
+                             "-P", str(fifo), data_addr],
+                            stdout=errlog, stderr=errlog)
+    fd = os.open(fifo, os.O_RDONLY | os.O_NONBLOCK)
+    try:
+        import select
+        chunks, deadline = [], time.time() + 20
+        got = 0
+        while time.time() < deadline and got < 48_000 * 2 * 2 * 5:  # 5 s stereo
+            r, _, _ = select.select([fd], [], [], 1.0)
+            if r:
+                try:
+                    b = os.read(fd, 65536)
+                except BlockingIOError:
+                    continue
+                if b:
+                    chunks.append(b)
+                    got += len(b)
+        assert got > 48_000 * 2 * 2 * 2, f"only {got} bytes from stock monitor"
+    finally:
+        os.close(fd)
+        proc.terminate()
+        try:
+            proc.wait(5)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait(5)
+        errlog.close()
+    pcm = np.frombuffer(b"".join(chunks), "<i2").astype(np.float64)
+    pcm = pcm[: pcm.size // 2 * 2].reshape(-1, 2).mean(axis=1)  # downmix
+    pcm = pcm[pcm.size // 2:]  # settled second half
+    A = np.abs(np.fft.rfft(pcm * np.hanning(pcm.size)))
+    f = np.fft.rfftfreq(pcm.size, 1 / 48_000)
+    floor = np.median(A) + 1e-9
+    for tone in (1000.0, 1500.0, 2000.0):  # 12k-PCM, 48k-PCM, Opus sessions
+        band = A[(f > tone - 30) & (f < tone + 30)].max()
+        assert band > 100 * floor, f"{tone} Hz session missing from the mix"
 
 
 def test_reference_wd_record_records_our_audio(our_radiod, tmp_path):
