@@ -20,6 +20,17 @@ def main(argv=None) -> int:
     ap.add_argument("--checkpoint-interval", type=float, default=60.0)
     args = ap.parse_args(argv)
 
+    # runtime-adjustable verbosity (main.c:204-212): SIGUSR1 raises,
+    # SIGUSR2 lowers — lets an operator turn on the 10 s stats stream of
+    # a running daemon without restarting it. Installed before the (slow)
+    # engine build so an early signal can't kill the process.
+    import signal as _signal
+
+    class _Verb:
+        level = args.verbose
+    _signal.signal(_signal.SIGUSR1, lambda *_: setattr(_Verb, "level", _Verb.level + 1))
+    _signal.signal(_signal.SIGUSR2, lambda *_: setattr(_Verb, "level", max(0, _Verb.level - 1)))
+
     from ..config import load_config
     from ..runtime.radiod import Radiod
 
@@ -27,11 +38,14 @@ def main(argv=None) -> int:
     for w in cfg.warnings:
         print(f"config: {w}", file=sys.stderr)
     rd = Radiod(cfg, use_network=not args.no_network)
+    # unconditional banner (main.c prints version/config on startup);
+    # also the cue that the SIGUSR1/2 verbosity handlers are armed
+    print(f"radiod-tpu: {len(rd.chans)} channels ready", file=sys.stderr, flush=True)
     if args.checkpoint:
         import os
         if os.path.exists(args.checkpoint) and rd.load_checkpoint(args.checkpoint):
             print(f"resumed from {args.checkpoint} at block {rd.blocks}", file=sys.stderr)
-    if args.verbose:
+    if _Verb.level:
         print(f"master: L={rd.engine.L} N={rd.engine.master.N} "
               f"fs={rd.engine.samprate:.0f} {'real' if rd.engine.master.real else 'complex'}",
               file=sys.stderr)
@@ -47,14 +61,14 @@ def main(argv=None) -> int:
             rd.run(nblocks=n, realtime=not args.flat_out)
             if remaining is not None:
                 remaining -= n
-            if args.verbose:
+            if _Verb.level:
                 print(rd.stats_line(), file=sys.stderr)
             if args.checkpoint and time.monotonic() - last_ckpt >= args.checkpoint_interval:
                 rd.save_checkpoint(args.checkpoint)
                 last_ckpt = time.monotonic()
     except KeyboardInterrupt:
         pass
-    if args.verbose:
+    if _Verb.level:
         dt = time.monotonic() - t0
         print(f"{rd.blocks} blocks in {dt:.2f}s "
               f"({rd.blocks * rd.engine.L / max(dt, 1e-9) / 1e6:.1f} Msps)", file=sys.stderr)

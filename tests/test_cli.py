@@ -202,3 +202,61 @@ freq = 32k0
     rd = Radiod(cfg, use_network=False)
     rd.step_block()  # loads from cache (no exception, instant-ish)
     assert rd.blocks == 1
+
+
+def test_radiod_sigusr1_enables_stats(tmp_path):
+    """SIGUSR1 turns on a running daemon's stats stream without restart
+    (main.c:204-212); without it a non-verbose daemon prints nothing."""
+    import signal
+    import subprocess
+    import sys
+    import threading
+    import time
+
+    conf = tmp_path / "sig.conf"
+    conf.write_text("""
+[global]
+hardware = sig_gen
+mode = usb
+[sig_gen]
+device = sig_gen
+samprate = 128k
+complex = yes
+carrier = 33k
+amplitude = -20
+[hf]
+mode = usb
+samprate = 8k
+freq = 32k0
+""")
+    # ignore signals during the wrapper's own slow jax import; main()
+    # installs the real handler before the engine build
+    code = ("import signal; signal.signal(signal.SIGUSR1, signal.SIG_IGN);"
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "from ka9q_radio_tpu.cli.radiod import main; import sys;"
+            f"sys.exit(main([{str(conf)!r},'--no-network','--flat-out']))")
+    env = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
+    p = subprocess.Popen([sys.executable, "-c", code], env=env,
+                         stderr=subprocess.PIPE, text=True)
+    lines = []
+    t = threading.Thread(target=lambda: [lines.append(l) for l in p.stderr], daemon=True)
+    t.start()
+    try:
+        deadline = time.time() + 90
+        # wait for the ready banner: handlers are armed from then on
+        while time.time() < deadline and not any("channels ready" in l for l in lines):
+            assert p.poll() is None, f"daemon died: {lines[-5:]}"
+            time.sleep(0.5)
+        assert any("channels ready" in l for l in lines), lines[-5:]
+        while time.time() < deadline and not any("block time avg" in l for l in lines):
+            assert p.poll() is None, f"daemon died: {lines[-5:]}"
+            p.send_signal(signal.SIGUSR1)
+            time.sleep(2.0)
+        assert any("block time avg" in l for l in lines), lines[-5:]
+    finally:
+        p.terminate()
+        try:
+            p.wait(5)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.wait(5)
