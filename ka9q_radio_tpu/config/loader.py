@@ -97,6 +97,7 @@ class RadiodConfig:
     real: bool
     options: dict[str, str]  # remaining [global] keys (status/data names, ttl...)
     warnings: list = dataclasses.field(default_factory=list)  # unknown keys etc.
+    source_path: "str | None" = None  # file the config came from (fft.log)
 
 
 def _expand_freqs(sec: dict[str, str]) -> list[tuple[float, float]]:
@@ -276,7 +277,9 @@ def load_config(text_or_path: str, presets: dict[str, dict] | None = None) -> Ra
     """
     import os
 
+    source_path = None
     if "\n" not in text_or_path and not text_or_path.lstrip().startswith("["):
+        source_path = os.path.abspath(text_or_path)
         parts = []
         if os.path.isdir(text_or_path):
             d = text_or_path
@@ -377,4 +380,5 @@ def load_config(text_or_path: str, presets: dict[str, dict] | None = None) -> Ra
         real=real,
         options={k: v for k, v in g.items() if k not in ("blocktime", "overlap", "hardware")},
         warnings=warnings,
+        source_path=source_path,
     )

@@ -1285,6 +1285,26 @@ class Radiod:
                 f"max {self.t_max*1e3:.2f}, if_power "
                 f"{10*np.log10(max(self.if_power,1e-30)):.1f} dBFS")
 
+    # cold starts slower than this append to <wisdom>/fft.log — the analog
+    # of the reference's missing-wisdom log (filter.c:95-101), consumed by
+    # `fft-gen-tpu --wisdom DIR` (no config) to pre-warm offline
+    FFT_LOG_THRESHOLD = 5.0
+
+    def _log_cold_start(self, dt: float):
+        cache_dir = self.cfg.options.get("wisdom", "/tmp/ka9q_radio_tpu_xla_cache")
+        if dt < self.FFT_LOG_THRESHOLD or not cache_dir:
+            return
+        if str(cache_dir).lower() in ("n", "no", "off"):
+            return
+        try:
+            import os
+            with open(os.path.join(cache_dir, "fft.log"), "a") as fh:
+                fh.write(f"{time.strftime('%Y-%m-%dT%H:%M:%S')} {dt:.1f}s "
+                         f"N={self.engine.master.N} "
+                         f"config={self.cfg.source_path or '<inline>'}\n")
+        except OSError:
+            pass
+
     def step_block(self, block=None):
         """Run one 20 ms block end to end."""
         _t0 = time.monotonic()
@@ -1302,10 +1322,13 @@ class Radiod:
                     self.source_state, block = self._siggen(self.source_state)
                 else:
                     raise RuntimeError("no front end configured and no block given")
+            first = self.blocks == 0
             self.state, out = self.step(self.state, self.params, block)
             self.blocks += 1
             beacon = True  # per-channel cadence checked in _beacon_due
             host_out = jax.device_get(out)
+            if first:
+                self._log_cold_start(time.monotonic() - _t0)
         except RuntimeError:
             raise
         except Exception:

@@ -203,6 +203,19 @@ freq = 32k0
     rd.step_block()  # loads from cache (no exception, instant-ish)
     assert rd.blocks == 1
 
+    # the fft.log loop (filter.c:95-101 / fft-gen.c): a slow cold start is
+    # recorded, and config-less fft-gen-tpu warms whatever the log names
+    cache2 = tmp_path / "wisdom2"
+    cache2.mkdir()
+    cfg2 = load_config(str(cfile))
+    cfg2.options["wisdom"] = str(cache2)
+    rd2 = Radiod(cfg2, use_network=False)
+    rd2.FFT_LOG_THRESHOLD = 0.0  # CPU compiles are fast; force the log
+    rd2.step_block()
+    log = (cache2 / "fft.log").read_text()
+    assert f"config={cfile}" in log
+    assert fftgen_main(["--wisdom", str(cache2)]) == 0  # warm from the log
+
 
 def test_radiod_sigusr1_enables_stats(tmp_path):
     """SIGUSR1 turns on a running daemon's stats stream without restart
