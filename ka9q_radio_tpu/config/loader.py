@@ -206,6 +206,7 @@ def _build_group(name: str, settings: dict[str, Any], freqs: list[tuple[float, f
         squelch_tail=int(tail) if tail is not None else None,
         kaiser_beta=float(s.get("kaiser-beta", 11.0)),
         encoding=str(s["encoding"]).lower() if "encoding" in s else None,
+        data=str(s["data"]).strip() if s.get("data") else None,
         filter2=int(s.get("filter2", 0) or 0),
         isb=parse_bool(s.get("conj", False)),
     )
@@ -367,8 +368,10 @@ def load_config(text_or_path: str, presets: dict[str, dict] | None = None) -> Ra
             settings.update(presets[mode])
         for k in _GROUP_KEYS & set(sec):
             settings[k] = sec[k]
-        if "ssrc" in sec:
-            settings["ssrc"] = sec["ssrc"]
+        # channel-only keys that ride the GroupSpec as host-edge hints
+        for k in ("ssrc", "encoding", "data"):
+            if k in sec:
+                settings[k] = sec[k]
         groups.append(_build_group(name, settings, freqs))
 
     return RadiodConfig(

@@ -170,8 +170,11 @@ class GroupSpec:
     fft_avg: int = 10
     spectrum_overlap: float = 0.0
     crossover: float = 200.0  # rbw above this -> wideband raw-A/D algorithm
-    # host-edge hint: RTP encoding for this group (None -> [global] encoding)
+    # host-edge hints: RTP encoding and output stream for this group
+    # (None -> the [global] encoding / data group; per-section `data =`
+    # streams each section to its own multicast group, radio.c:705-754)
     encoding: str | None = None
+    data: str | None = None
 
     def __post_init__(self):
         if self.demod in ("am", "envelope"):

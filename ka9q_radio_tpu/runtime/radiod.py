@@ -102,6 +102,7 @@ class Radiod:
         status_port: int = DEFAULT_STAT_PORT,
     ):
         self.cfg = cfg
+        self._group_dests: dict[str, tuple] = {}  # per-section `data =` cache
         # persisted XLA compilation cache — the analog of FFTW wisdom
         # (docs/FFTW3.md:25-53): restarts reuse compiled programs
         cache_dir = cfg.options.get("wisdom", "/tmp/ka9q_radio_tpu_xla_cache")
@@ -267,6 +268,14 @@ class Radiod:
                     self.mdns.add_service(SVC_RTP, inst + "-pcm", data_dest[1],
                                           {"data": cfg.options.get("data", ""),
                                            "addr": data_dest[0]})
+                    # per-section `data =` streams get their own records
+                    # (radio.c:755-767 advertises each section's group)
+                    for gname, g in self.engine.groups.items():
+                        if g.spec.data:
+                            gd = self._group_data_dest(gname)
+                            self.mdns.add_service(
+                                SVC_RTP, f"{inst}-{gname}", gd[1],
+                                {"data": g.spec.data, "addr": gd[0]})
                     self.mdns.start()
                 except Exception:
                     self.mdns = None
@@ -317,8 +326,10 @@ class Radiod:
                 continue
             group_chans.sort(key=lambda c: c.idx)
             nch = group_chans[0].channels
+            gdest = (resolve_dest(spec.data, self._data_port) if spec.data
+                     else data_dest)
             try:
-                edge = RtpEdge(data_dest, C=g.C, nch=nch, ttl=ttl)
+                edge = RtpEdge(gdest, C=g.C, nch=nch, ttl=ttl)
             except Exception:
                 return
             edge.ssrc[:] = [c.ssrc for c in group_chans]
@@ -333,6 +344,7 @@ class Radiod:
     def _refresh_edges(self):
         """Rebuild the native sendmmsg edges after the channel table or a
         channel's encoding/redirect/aggregation settings changed."""
+        self._group_dests.clear()
         if not self.edges and self.data_sock is None:
             return
         for edge, _ in self.edges.values():
@@ -345,7 +357,20 @@ class Radiod:
             self._setup_native_edges(data_dest, ttl)
 
     # ------------------------------------------------------------------ IO
-    def _send_data(self, pkt: bytes, sock=None):
+    def _group_data_dest(self, gname: str):
+        """Target for a group's RTP: its own `data =` stream when the
+        section sets one (radio.c:705-754), else the [global] data group.
+        All sends still leave the ONE unconnected data socket (same source
+        port — the session-matching discipline stock clients rely on)."""
+        d = self._group_dests.get(gname)
+        if d is None:
+            spec = self.engine.groups[gname].spec
+            d = (resolve_dest(spec.data, self._data_port) if spec.data
+                 else self._data_dest)
+            self._group_dests[gname] = d
+        return d
+
+    def _send_data(self, pkt: bytes, sock=None, group: "str | None" = None):
         if sock is not None:  # per-channel OUTPUT_DATA_DEST redirect
             try:
                 sock.send(pkt)
@@ -354,7 +379,8 @@ class Radiod:
             return
         if self.data_sock is not None:
             try:
-                self.data_sock.sendto(pkt, self._data_dest)
+                self.data_sock.sendto(
+                    pkt, self._group_data_dest(group) if group else self._data_dest)
             except OSError:
                 pass
         else:
@@ -382,8 +408,11 @@ class Radiod:
             if edge.send_ctl(pkt, DEFAULT_STAT_PORT) >= 0:
                 return
         if self.beacon_sock is not None:
+            dest = self._beacon_dest
+            if ch is not None and ch.group in self.engine.groups:
+                dest = (self._group_data_dest(ch.group)[0], DEFAULT_STAT_PORT)
             try:
-                self.beacon_sock.sendto(pkt, self._beacon_dest)
+                self.beacon_sock.sendto(pkt, dest)
             except OSError:
                 pass
         elif self.status_sock is None:
@@ -569,6 +598,10 @@ class Radiod:
         surgery when one is free, a cached recompile otherwise), and tuning
         plus (optionally) the channel's runtime params are re-applied."""
         old_g, old_i = ch.group, ch.idx
+        # the output stream sticks to the channel across restarts, like
+        # chan->output.dest_socket in the reference
+        template = dataclasses.replace(
+            template, data=self.engine.groups[old_g].spec.data)
         gname = self._group_for_spec(template)
         lo = low if low is not None else ch.low
         hi = high if high is not None else ch.high
@@ -703,6 +736,7 @@ class Radiod:
         self.params = new_eng.adopt_host_params(old)
         self.engine = new_eng
         self.step = jax.jit(new_eng.step, donate_argnums=0)
+        self._group_dests.clear()
         if self.edges:
             self._refresh_edges()
 
@@ -1131,7 +1165,7 @@ class Radiod:
             payload = ch.opus_encoder.encode(audio)
             hdr = RtpHeader(type=ch.pt, seq=ch.rtp_seq, timestamp=ch.rtp_timestamp,
                             ssrc=ch.ssrc, marker=not ch.sending)
-            self._send_data(hdr.pack() + payload, ch.dest_sock)
+            self._send_data(hdr.pack() + payload, ch.dest_sock, ch.group)
             ch.rtp_seq = (ch.rtp_seq + 1) & 0xFFFF
             ch.rtp_timestamp = (ch.rtp_timestamp + ts_inc) & 0xFFFFFFFF
             ch.data_packets += 1
@@ -1153,7 +1187,7 @@ class Radiod:
                 marker=(first and not ch.sending),
             )
             self._send_data(hdr.pack() + payload[off * bytes_per_frame : (off + n) * bytes_per_frame],
-                            ch.dest_sock)
+                            ch.dest_sock, ch.group)
             ch.rtp_seq = (ch.rtp_seq + 1) & 0xFFFF
             ch.rtp_timestamp = (ch.rtp_timestamp + n) & 0xFFFFFFFF
             ch.data_packets += 1

@@ -71,6 +71,16 @@ void opus_encoder_destroy(OpusEncoder *st);
 int opus_encoder_ctl(OpusEncoder *st, int request, ...);
 opus_int32 opus_encode_float(OpusEncoder *st, const float *pcm, int frame_size,
                              unsigned char *data, opus_int32 max_data_bytes);
+/* decoder surface (monitor's playback path — an implicit declaration here
+ * would truncate the returned pointer to int and SEGV) */
+OpusDecoder *opus_decoder_create(opus_int32 fs, int channels, int *error);
+void opus_decoder_destroy(OpusDecoder *st);
+int opus_decoder_ctl(OpusDecoder *st, int request, ...);
+int opus_decode_float(OpusDecoder *st, const unsigned char *data, opus_int32 len,
+                      float *pcm, int frame_size, int decode_fec);
+int opus_decode(OpusDecoder *st, const unsigned char *data, opus_int32 len,
+                opus_int16 *pcm, int frame_size, int decode_fec);
+void opus_pcm_soft_clip(float *pcm, int frame_size, int channels, float *softclip_mem);
 const char *opus_strerror(int error);
 const char *opus_get_version_string(void);
 

@@ -251,3 +251,78 @@ def test_radiod_mesh_mode():
     assert rd.engine.groups[g].C % len(jax.devices()) == 0
     rd.step_block()
     assert np.isfinite(np.asarray(rd.chans[7777].last_info["baseband_power"])).all()
+
+
+def test_per_section_data_streams():
+    """A section's `data =` sends its channels' RTP and beacons to its OWN
+    multicast group (radio.c:705-754), from the same source port as
+    everything else (the stock-client session-matching discipline)."""
+    import os
+    import select
+    import socket
+    import time
+
+    from ka9q_radio_tpu.config import load_config
+    from ka9q_radio_tpu.runtime.radiod import Radiod
+    from ka9q_radio_tpu.net.multicast import resolve_dest, listen_socket
+    from ka9q_radio_tpu.net.status import decode_status
+
+    tag = f"psd-{os.getpid()}"
+    conf = f"""
+[global]
+hardware = sig_gen
+status = {tag}-st.local
+data = {tag}-pcm.local
+update = 2
+advertise = no
+sap = no
+[sig_gen]
+device = sig_gen
+samprate = 256k
+complex = yes
+carrier = 66k
+amplitude = -20
+[main]
+mode = usb
+samprate = 12k
+freq = 65k0
+[aux]
+mode = usb
+samprate = 12k
+freq = 65k5
+data = {tag}-aux.local
+"""
+    rd = Radiod(load_config(conf), use_network=True)
+    socks = {name: listen_socket(resolve_dest(f"{tag}-{name}.local", port))
+             for name, port in (("pcm", 5004), ("aux", 5004), ("aux-st", 0))}
+    socks["aux-st"] = listen_socket((resolve_dest(f"{tag}-aux.local", 5006)))
+    seen = {}  # stream -> {ssrc: source_port}
+    deadline = time.time() + 30
+    while time.time() < deadline and not (
+            65 in seen.get("pcm", {}) and 66 in seen.get("aux", {})
+            and 66 in seen.get("aux-st", {})):
+        rd.step_block()
+        r, _, _ = select.select(list(socks.values()), [], [], 0)
+        for sk in r:
+            name = next(k for k, v in socks.items() if v is sk)
+            pkt, addr = sk.recvfrom(65536)
+            if name == "aux-st":
+                try:
+                    _, fields, _ = decode_status(pkt)
+                except Exception:
+                    continue
+                ssrc = fields.get(1) or fields.get(18)  # COMMAND_TAG? OUTPUT_SSRC
+                from ka9q_radio_tpu.net.status import StatusType as T
+                ssrc = fields.get(T.OUTPUT_SSRC)
+                if ssrc is not None:
+                    seen.setdefault(name, {})[ssrc] = addr[1]
+            elif len(pkt) > 12:
+                ssrc = int.from_bytes(pkt[8:12], "big")
+                seen.setdefault(name, {})[ssrc] = addr[1]
+    assert 65 in seen.get("pcm", {}), seen  # [main] on the global stream
+    assert 66 in seen.get("aux", {}), seen  # [aux] on its own stream
+    assert 66 not in seen.get("pcm", {}), seen  # and NOT on the global one
+    assert 66 in seen.get("aux-st", {}), seen  # beacons on aux's :5006
+    # session-matching discipline is per stream: a client of the aux
+    # group must see audio and beacons from ONE source port
+    assert seen["aux"][66] == seen["aux-st"][66], seen
