@@ -207,6 +207,8 @@ def _build_group(name: str, settings: dict[str, Any], freqs: list[tuple[float, f
         kaiser_beta=float(s.get("kaiser-beta", 11.0)),
         encoding=str(s["encoding"]).lower() if "encoding" in s else None,
         data=str(s["data"]).strip() if s.get("data") else None,
+        update=abs(int(s["update"])) if "update" in s else None,
+        ttl=int(s["ttl"]) if "ttl" in s else None,
         filter2=int(s.get("filter2", 0) or 0),
         isb=parse_bool(s.get("conj", False)),
     )
@@ -369,7 +371,7 @@ def load_config(text_or_path: str, presets: dict[str, dict] | None = None) -> Ra
         for k in _GROUP_KEYS & set(sec):
             settings[k] = sec[k]
         # channel-only keys that ride the GroupSpec as host-edge hints
-        for k in ("ssrc", "encoding", "data"):
+        for k in ("ssrc", "encoding", "data", "update", "ttl"):
             if k in sec:
                 settings[k] = sec[k]
         groups.append(_build_group(name, settings, freqs))

@@ -49,22 +49,56 @@ def _is_ip(s: str) -> bool:
         return False
 
 
-def resolve_dest(name: str, default_port: int) -> tuple[str, int]:
+def resolve_dest(name: str, default_port: int, use_dns: bool = False) -> tuple[str, int]:
     """Stream name -> (ip, port). 'a.b.c.d:p' and bare IPs pass through;
     anything else hashes like the reference (so 'test-pcm.local' lands on
-    the same group a stock radiod would advertise)."""
+    the same group a stock radiod would advertise). `dns = yes` tries a
+    real lookup first, falling back to the hash (radio.c:739-742)."""
     name = name.strip()
+    port = default_port
     if ":" in name:
-        host, _, port = name.rpartition(":")
-        return (host if _is_ip(host) else make_maddr(host)), int(port)
+        name, _, p = name.rpartition(":")
+        port = int(p)
     if _is_ip(name):
-        return name, default_port
-    return make_maddr(name), default_port
+        return name, port
+    if use_dns:
+        try:
+            infos = socket.getaddrinfo(name, port, socket.AF_INET, socket.SOCK_DGRAM)
+            if infos:
+                return infos[0][4][0], port
+        except OSError:
+            pass
+    return make_maddr(name), port
 
 
-def output_socket(dest: tuple[str, int], ttl: int = 1, tos: int = 48 << 2) -> socket.socket:
-    """UDP sender socket, multicast-ready (mcast TTL/loopback, DSCP AF12
-    like radio.c:60)."""
+
+
+def _set_output_iface(s: socket.socket, iface: "str | None"):
+    """IP_MULTICAST_IF from an interface name or address (the `iface =`
+    key / -A flags; multicast.c:185-196 uses struct ip_mreqn)."""
+    if not iface:
+        return
+    import struct as _struct
+    addr, ifindex = "0.0.0.0", 0
+    try:
+        socket.inet_aton(iface)
+        addr = iface
+    except OSError:
+        try:
+            ifindex = socket.if_nametoindex(iface)
+        except OSError:
+            return
+    try:
+        s.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_IF,
+                     _struct.pack("=4s4si", socket.inet_aton("0.0.0.0"),
+                                  socket.inet_aton(addr), ifindex))
+    except OSError:
+        pass
+
+def output_socket(dest: tuple[str, int], ttl: int = 1, tos: int = 46 << 2,
+                  iface: "str | None" = None) -> socket.socket:
+    """UDP sender socket, multicast-ready (mcast TTL/loopback, DSCP EF
+    default like radio.c:60; `tos =` / `iface =` config overrides)."""
     s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     try:
         s.setsockopt(socket.IPPROTO_IP, socket.IP_TOS, tos)
@@ -74,11 +108,13 @@ def output_socket(dest: tuple[str, int], ttl: int = 1, tos: int = 48 << 2) -> so
     if ip.startswith("2") and int(ip.split(".")[0]) >= 224:
         s.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_TTL, max(ttl, 0))
         s.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_LOOP, 1)
+        _set_output_iface(s, iface)
     s.connect(dest)
     return s
 
 
-def output_socket_unconnected(dest: tuple[str, int], ttl: int = 1, tos: int = 48 << 2) -> socket.socket:
+def output_socket_unconnected(dest: tuple[str, int], ttl: int = 1, tos: int = 46 << 2,
+                              iface: "str | None" = None) -> socket.socket:
     """Like output_socket but UNCONNECTED (sendto per packet): one socket
     — hence ONE source port — can feed both the RTP port and the status
     port of a group. Stock ka9q clients (pcmrecord.c process_status:
@@ -94,6 +130,7 @@ def output_socket_unconnected(dest: tuple[str, int], ttl: int = 1, tos: int = 48
     if ip.startswith("2") and int(ip.split(".")[0]) >= 224:
         s.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_TTL, max(ttl, 0))
         s.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_LOOP, 1)
+        _set_output_iface(s, iface)
     return s
 
 

@@ -175,6 +175,8 @@ class GroupSpec:
     # streams each section to its own multicast group, radio.c:705-754)
     encoding: str | None = None
     data: str | None = None
+    update: int | None = None  # status beacon interval, blocks (modes.c:489)
+    ttl: int | None = None  # per-section multicast TTL (modes.c:509; 0 = loopback only)
 
     def __post_init__(self):
         if self.demod in ("am", "envelope"):

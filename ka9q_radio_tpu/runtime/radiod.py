@@ -209,7 +209,7 @@ class Radiod:
                 self.chans[ssrc] = _Chan(
                     group=gname, idx=i, ssrc=ssrc, freq=c.freq, low=c.low,
                     high=c.high, samprate=out_rate, channels=nch,
-                    encoding=genc, pt=pt,
+                    encoding=genc, pt=pt, update_every=spec.update,
                 )
                 if spec.demod == "wfm" and str(cfg.options.get("rds", "n")).lower() in ("y", "yes", "true", "1", "on"):
                     # companion RDS-baseband stream on ssrc+1 (rdsd-tpu
@@ -229,22 +229,28 @@ class Radiod:
         self.edges: dict[str, tuple[Any, list[_Chan]]] = {}
         if use_network:
             ttl = int(cfg.options.get("ttl", 1))
-            data_dest = resolve_dest(cfg.options.get("data", "127.0.0.1"), data_port)
-            stat_dest = resolve_dest(cfg.options.get("status", "127.0.0.1"), status_port)
+            use_dns = str(cfg.options.get("dns", "n")).lower() in ("y", "yes", "true", "1", "on")
+            self._use_dns = use_dns
+            data_dest = resolve_dest(cfg.options.get("data", "127.0.0.1"), data_port, use_dns)
+            stat_dest = resolve_dest(cfg.options.get("status", "127.0.0.1"), status_port, use_dns)
             # ONE unconnected socket for audio AND per-channel beacons:
             # stock clients (pcmrecord) match data<->status sessions by the
             # sender's source PORT, like the reference's shared Output_fd
-            self.data_sock = output_socket_unconnected(data_dest, ttl)
+            tos = int(self.cfg.options.get("tos", 46 << 2))
+            iface = self.cfg.options.get("iface") or None
+            self.data_sock = output_socket_unconnected(data_dest, ttl, tos, iface)
+            self._global_ttl = ttl
+            self._data_ttl_now = ttl
             self._data_dest = data_dest
             self._beacon_dest = (data_dest[0], DEFAULT_STAT_PORT)
-            self.status_sock = output_socket(stat_dest, ttl)
+            self.status_sock = output_socket(stat_dest, ttl, tos, iface)
             self.beacon_sock = self.data_sock
             self.status_in = listen_socket(stat_dest)
             if (self.agg_blocks == 0
                     and str(cfg.options.get("native-edge", "y")).lower() not in ("n", "no", "false", "0")):
                 self._setup_native_edges(data_dest, ttl)
             # RTCP on the data address's next port (rtp.h:7-10)
-            self.rtcp_sock = output_socket((data_dest[0], data_dest[1] + 1), ttl)
+            self.rtcp_sock = output_socket((data_dest[0], data_dest[1] + 1), ttl, tos, iface)
             # SAP/SDP session announcements (radio.c:1244-1366)
             self.sap = None
             self._sap_dest = data_dest
@@ -272,7 +278,7 @@ class Radiod:
                     # (radio.c:755-767 advertises each section's group)
                     for gname, g in self.engine.groups.items():
                         if g.spec.data:
-                            gd = self._group_data_dest(gname)
+                            gd, _ = self._group_data_dest(gname)
                             self.mdns.add_service(
                                 SVC_RTP, f"{inst}-{gname}", gd[1],
                                 {"data": g.spec.data, "addr": gd[0]})
@@ -329,7 +335,8 @@ class Radiod:
             gdest = (resolve_dest(spec.data, self._data_port) if spec.data
                      else data_dest)
             try:
-                edge = RtpEdge(gdest, C=g.C, nch=nch, ttl=ttl)
+                edge = RtpEdge(gdest, C=g.C, nch=nch,
+                               ttl=spec.ttl if spec.ttl is not None else ttl)
             except Exception:
                 return
             edge.ssrc[:] = [c.ssrc for c in group_chans]
@@ -365,10 +372,22 @@ class Radiod:
         d = self._group_dests.get(gname)
         if d is None:
             spec = self.engine.groups[gname].spec
-            d = (resolve_dest(spec.data, self._data_port) if spec.data
-                 else self._data_dest)
+            d = ((resolve_dest(spec.data, self._data_port,
+                               getattr(self, "_use_dns", False)) if spec.data
+                  else self._data_dest), spec.ttl)
             self._group_dests[gname] = d
         return d
+
+    def _set_data_ttl(self, ttl: "int | None"):
+        """Per-section `ttl =` on the shared data socket (the reference
+        splits ttl==0 loopback-only streams onto a second fd,
+        radio_status.c:124; one socket + setsockopt keeps our source-port
+        discipline intact)."""
+        import socket as _socket
+        want = ttl if ttl is not None else self._global_ttl
+        if want != self._data_ttl_now:
+            self.data_sock.setsockopt(_socket.IPPROTO_IP, _socket.IP_MULTICAST_TTL, want)
+            self._data_ttl_now = want
 
     def _send_data(self, pkt: bytes, sock=None, group: "str | None" = None):
         if sock is not None:  # per-channel OUTPUT_DATA_DEST redirect
@@ -378,9 +397,11 @@ class Radiod:
                 pass
             return
         if self.data_sock is not None:
+            dest, ttl = (self._group_data_dest(group) if group
+                         else (self._data_dest, None))
             try:
-                self.data_sock.sendto(
-                    pkt, self._group_data_dest(group) if group else self._data_dest)
+                self._set_data_ttl(ttl)
+                self.data_sock.sendto(pkt, dest)
             except OSError:
                 pass
         else:
@@ -410,7 +431,8 @@ class Radiod:
         if self.beacon_sock is not None:
             dest = self._beacon_dest
             if ch is not None and ch.group in self.engine.groups:
-                dest = (self._group_data_dest(ch.group)[0], DEFAULT_STAT_PORT)
+                gdest, _ = self._group_data_dest(ch.group)
+                dest = (gdest[0], DEFAULT_STAT_PORT)
             try:
                 self.beacon_sock.sendto(pkt, dest)
             except OSError:
@@ -558,10 +580,15 @@ class Radiod:
 
     @staticmethod
     def _spec_key(spec) -> tuple:
-        """Group identity = every GroupSpec field except name/channels."""
+        """Group identity = every GroupSpec field except name/channels —
+        and except `update`, which only seeds each static channel's beacon
+        cadence and must not keep a dynamic create out of a matching class
+        (data/ttl DO stay: they change where the group's shared edge
+        sends)."""
         d = dataclasses.asdict(spec)
         d.pop("name")
         d.pop("channels")
+        d.pop("update", None)
         return tuple(sorted((k, repr(v)) for k, v in d.items()))
 
     def _group_for_spec(self, template, default: str | None = None) -> str:
@@ -600,8 +627,9 @@ class Radiod:
         old_g, old_i = ch.group, ch.idx
         # the output stream sticks to the channel across restarts, like
         # chan->output.dest_socket in the reference
+        old_spec = self.engine.groups[old_g].spec
         template = dataclasses.replace(
-            template, data=self.engine.groups[old_g].spec.data)
+            template, data=old_spec.data, ttl=old_spec.ttl)
         gname = self._group_for_spec(template)
         lo = low if low is not None else ch.low
         hi = high if high is not None else ch.high

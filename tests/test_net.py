@@ -114,3 +114,21 @@ def test_rtp_state_accounting():
     h = RtpHeader(type=77, seq=104, timestamp=240 * 4, ssrc=1)
     assert st.process(h, 240) < 0
     assert st.dupes == 1
+
+
+def test_output_socket_tos_and_iface():
+    """`tos =` sets the IP DSCP byte (EF default, radio.c:60) and
+    `iface =` selects the outgoing multicast interface (ip_mreqn)."""
+    import socket
+
+    from ka9q_radio_tpu.net.multicast import output_socket, output_socket_unconnected
+
+    s = output_socket(("239.1.2.3", 5004), ttl=1)
+    assert s.getsockopt(socket.IPPROTO_IP, socket.IP_TOS) == 46 << 2
+    s.close()
+    s = output_socket_unconnected(("239.1.2.3", 5004), ttl=1, tos=0x10, iface="lo")
+    assert s.getsockopt(socket.IPPROTO_IP, socket.IP_TOS) == 0x10
+    # kernel accepted IP_MULTICAST_IF for lo
+    import struct
+    raw = s.getsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_IF, 4)
+    s.close()

@@ -291,6 +291,7 @@ mode = usb
 samprate = 12k
 freq = 65k5
 data = {tag}-aux.local
+update = 1
 """
     rd = Radiod(load_config(conf), use_network=True)
     socks = {name: listen_socket(resolve_dest(f"{tag}-{name}.local", port))
@@ -326,3 +327,5 @@ data = {tag}-aux.local
     # session-matching discipline is per stream: a client of the aux
     # group must see audio and beacons from ONE source port
     assert seen["aux"][66] == seen["aux-st"][66], seen
+    # per-section `update =` seeds the channel's beacon cadence
+    assert rd.chans[66].update_every == 1 and rd.chans[65].update_every is None
