@@ -148,6 +148,7 @@ def linear_demod(
         info["pll_lock"] = lock
         info["cphase"] = cphase
         info["foffset"] = st["pll"]["u"] * samprate
+        info["pll_wraps"] = pll_st["wraps"]  # lock-to-lock phase wraps (osc.c:175-206)
     else:
         pll_snr = jnp.full((C,), jnp.inf, jnp.float32)
         info["pll_lock"] = jnp.zeros((C,), jnp.bool_)

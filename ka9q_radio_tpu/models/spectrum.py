@@ -61,6 +61,11 @@ class SpectrumGeometry:
     def rbw(self) -> float:
         return self.samprate / self.fft_n
 
+    @property
+    def noise_bw(self) -> float:
+        """Window equivalent noise bandwidth, Hz (spectrum.c:608-614)."""
+        return window_noise_bandwidth(self.window) * self.rbw
+
 
 def spectrum_geometry(
     samprate: int,
@@ -158,6 +163,11 @@ class WideGeometry:
     @property
     def rbw(self) -> float:
         return self.samprate / self.fft_n
+
+    @property
+    def noise_bw(self) -> float:
+        """Window equivalent noise bandwidth, Hz (spectrum.c:608-614)."""
+        return window_noise_bandwidth(self.window) * self.rbw
 
 
 def wide_geometry(

@@ -286,6 +286,7 @@ class Radiod:
                 except Exception:
                     self.mdns = None
         self._sent: list[tuple[str, bytes]] = []  # (kind, pkt) when offline
+        self.output_errors = 0  # failed data sends (chan->output.errors)
         # [global] prealloc = <preset names>: build those dyn groups with
         # dyn-slots tombstoned spares at startup, so the first dynamic
         # creates in each preset never pay a compile (VERDICT: reference
@@ -389,6 +390,22 @@ class Radiod:
             self.data_sock.setsockopt(_socket.IPPROTO_IP, _socket.IP_MULTICAST_TTL, want)
             self._data_ttl_now = want
 
+    @staticmethod
+    def _edge_src_addr(edge):
+        """(addr, port) a native edge's packets leave from (cached)."""
+        src = getattr(edge, "_src_addr", None)
+        if src is None:
+            import os as _os
+            import socket as _socket
+            try:
+                s = _socket.socket(fileno=_os.dup(edge.fd))
+                src = s.getsockname()[:2]
+                s.close()
+            except OSError:
+                src = ()
+            edge._src_addr = src
+        return src
+
     def _send_data(self, pkt: bytes, sock=None, group: "str | None" = None):
         if sock is not None:  # per-channel OUTPUT_DATA_DEST redirect
             try:
@@ -403,7 +420,7 @@ class Radiod:
                 self._set_data_ttl(ttl)
                 self.data_sock.sendto(pkt, dest)
             except OSError:
-                pass
+                self.output_errors += 1
         else:
             self._sent.append(("data", pkt))
 
@@ -1096,9 +1113,55 @@ class Radiod:
             T.BASEBAND_POWER: power_to_dB(max(g("baseband_power"), 1e-30)),
             T.NOISE_DENSITY: power_to_dB(max(g("n0"), 1e-30)),
             T.OUTPUT_LEVEL: power_to_dB(max(g("output_power"), 1e-30)),
+            T.OUTPUT_ERRORS: self.output_errors,
+            T.OUTPUT_TTL: (spec.ttl if spec.ttl is not None
+                           else int(self.cfg.options.get("ttl", 1))),
+            # front-end coverage edges (the park/unpark bound, radio.c:1472)
+            T.FE_LOW_EDGE: 0.0 if self.engine.master.real else -self.engine.samprate / 2,
+            T.FE_HIGH_EDGE: self.engine.samprate / 2,
+            # frontend calibration/gain chain (zeros for synthetic/RTP FEs)
+            T.CALIBRATE: float(getattr(self.frontend, "calibrate", 0.0)),
+            T.RF_GAIN: float(getattr(self.frontend, "rf_gain", 0.0)),
+            T.LNA_GAIN: int(getattr(self.frontend, "lna_gain", 0)),
+            T.MIXER_GAIN: int(getattr(self.frontend, "mixer_gain", 0)),
+            T.IF_GAIN: int(getattr(self.frontend, "if_gain", 0)),
+            T.AD_OVER: int(getattr(self.frontend, "ad_over", 0)),
+            T.SAMPLES_SINCE_OVER: int(getattr(self.frontend, "samples_since_over",
+                                              self.blocks * self.engine.L)),
         }
+        # the channel's second (fine-tune) LO: Q32 increment at the group
+        # input rate (compute_tuning remainder, radio.c:1216-1241)
+        grp = self.engine.groups[ch.group]
+        inc = grp.host.get("inc_q32")
+        if inc is not None:
+            fields[T.SECOND_LO_FREQUENCY] = (
+                float(np.int64(np.int32(np.uint32(inc[ch.idx]))) / 2**32 * grp.fs_in))
+        # socket triplet: where data goes, where beacons go, and the ONE
+        # source socket both leave (the session-matching key)
+        if self.data_sock is not None:
+            gdest, _ = self._group_data_dest(ch.group)
+            fields[T.OUTPUT_DATA_DEST_SOCKET] = gdest
+            fields[T.STATUS_DEST_SOCKET] = (gdest[0], DEFAULT_STAT_PORT)
+            src = None
+            if ch.group in self.edges:
+                src = self._edge_src_addr(self.edges[ch.group][0])
+            elif ch.dest_sock is None:
+                try:
+                    src = self.data_sock.getsockname()
+                except OSError:
+                    pass
+            if src:
+                fields[T.OUTPUT_DATA_SOURCE_SOCKET] = (src[0], src[1])
         if spec.demod in ("fm", "wfm"):
             fields[T.FM_SNR] = power_to_dB(max(g("fm_snr"), 1e-30))
+            hd0 = self.engine.groups[ch.group].host["demod"]
+            if "deemph_rate" in hd0:
+                # host stores the one-pole alpha: a = 1 - exp(-1/(fs*tc))
+                a = float(hd0["deemph_rate"][ch.idx])
+                if 0.0 < a < 1.0:
+                    fields[T.DEEMPH_TC] = -1e6 / (ch.samprate * np.log(1.0 - a))
+            if "deemph_gain" in hd0:
+                fields[T.DEEMPH_GAIN] = voltage_to_dB(max(float(hd0["deemph_gain"][ch.idx]), 1e-15))
             fields[T.PEAK_DEVIATION] = g("pdeviation")
             fields[T.FREQ_OFFSET] = g("foffset")
             if "tone_deviation" in info:
@@ -1112,6 +1175,8 @@ class Radiod:
             geo = grp.wide_geo if grp.spectrum_wide else grp.spectrum_geo
             fields[T.RESOLUTION_BW] = geo.rbw
             fields[T.BIN_COUNT] = spec.bin_count
+            if getattr(geo, "noise_bw", None):
+                fields[T.NOISE_BW] = geo.noise_bw
             fields[T.SPECTRUM_FFT_N] = geo.fft_n
             fields[T.SPECTRUM_AVG] = geo.fft_avg
             if "bin_data" in info:
@@ -1147,6 +1212,10 @@ class Radiod:
             if spec.enable_pll:
                 fields[T.PLL_LOCK] = bool(np.asarray(info["pll_lock"][ch.idx])) if "pll_lock" in info else False
                 fields[T.FREQ_OFFSET] = g("foffset")
+                if "cphase" in info:
+                    fields[T.PLL_PHASE] = g("cphase")
+                if "pll_wraps" in info:
+                    fields[T.PLL_WRAPS] = int(np.asarray(info["pll_wraps"][ch.idx]))
         host_d0 = self.engine.groups[ch.group].host["demod"]
         fields[T.SNR_SQUELCH] = (bool(host_d0["snr_squelch_enable"][ch.idx])
                                  if "snr_squelch_enable" in host_d0 else spec.snr_squelch)
@@ -1154,6 +1223,10 @@ class Radiod:
             fields[T.PRESET] = ch.preset
         if spec.filter2:
             fields[T.FILTER2] = spec.filter2
+            f2n = getattr(self.engine.groups[ch.group], "f2_N", 0)
+            if f2n:
+                fields[T.FILTER2_BLOCKSIZE] = self.engine.groups[ch.group].olen
+                fields[T.FILTER2_FIR_LENGTH] = f2n - self.engine.groups[ch.group].olen + 1
             fields[T.FILTER2_KAISER_BETA] = (ch.filter2_beta if ch.filter2_beta is not None
                                              else spec.filter2_kaiser_beta or spec.kaiser_beta)
         if spec.isb:
@@ -1163,6 +1236,7 @@ class Radiod:
         if ch.encoding in (Encoding.OPUS, Encoding.OPUS_VOIP):
             fields[T.OPUS_BIT_RATE] = ch.opus_bitrate
             fields[T.OPUS_DTX] = ch.opus_dtx
+            fields[T.OPUS_FEC] = False
             if ch.opus_app:
                 fields[T.OPUS_APPLICATION] = ch.opus_app
         host_d = self.engine.groups[ch.group].host["demod"]

@@ -329,3 +329,53 @@ update = 1
     assert seen["aux"][66] == seen["aux-st"][66], seen
     # per-section `update =` seeds the channel's beacon cadence
     assert rd.chans[66].update_every == 1 and rd.chans[65].update_every is None
+
+
+def test_status_covers_reference_dump_keys():
+    """Beacons carry the radio_status.c:706-915 dump fields clients render:
+    socket triplet, FE edges, second-LO, de-emphasis, PLL phase/wraps,
+    filter2 geometry, spectrum noise bandwidth."""
+    from ka9q_radio_tpu.config import load_config
+    from ka9q_radio_tpu.net.status import StatusType as T, decode_status
+
+    conf = """
+[global]
+hardware = sig_gen
+mode = usb
+[sig_gen]
+device = sig_gen
+samprate = 256k
+complex = yes
+carrier = 66k
+amplitude = -20
+[sam]
+mode = sam
+freq = 66k0
+[nbfm]
+mode = pm
+freq = 70k0
+[sweep]
+mode = spectrum
+freq = 64k0
+resolution-bw = 1000
+bin-count = 16
+[cw]
+mode = cwu
+freq = 65k0
+"""
+    rd = Radiod(load_config(conf), use_network=False)
+    rd.step_block()
+    by_ssrc = {c.ssrc: c for c in rd.chans.values()}
+    _, sam, _ = decode_status(rd.encode_channel_status(by_ssrc[66]))
+    for k in (T.FE_LOW_EDGE, T.FE_HIGH_EDGE, T.SECOND_LO_FREQUENCY,
+              T.PLL_PHASE, T.PLL_WRAPS, T.OUTPUT_TTL, T.OUTPUT_ERRORS):
+        assert k in sam, k
+    assert sam[T.FE_LOW_EDGE] == -128_000.0 and sam[T.FE_HIGH_EDGE] == 128_000.0
+    # second LO = fine-tune remainder, bounded by one bin spacing
+    assert abs(sam[T.SECOND_LO_FREQUENCY]) <= rd.engine.samprate / rd.engine.master.N + 1e-6
+    _, fm, _ = decode_status(rd.encode_channel_status(by_ssrc[70]))
+    assert T.DEEMPH_TC in fm and 100.0 < fm[T.DEEMPH_TC] < 1000.0  # ~530 us
+    _, sw, _ = decode_status(rd.encode_channel_status(by_ssrc[64]))
+    assert T.NOISE_BW in sw and sw[T.NOISE_BW] > sw[T.RESOLUTION_BW]
+    _, cw, _ = decode_status(rd.encode_channel_status(by_ssrc[65]))
+    assert T.FILTER2_BLOCKSIZE in cw and T.FILTER2_FIR_LENGTH in cw  # cwu has filter2
