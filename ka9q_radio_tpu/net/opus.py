@@ -71,6 +71,14 @@ class OpusEncoder:
             lib.opus_encoder_ctl(ctypes.c_void_p(self._enc), OPUS_SET_INBAND_FEC, ctypes.c_int32(1))
             lib.opus_encoder_ctl(ctypes.c_void_p(self._enc), OPUS_SET_PACKET_LOSS_PERC, ctypes.c_int32(fec_pct))
 
+    def bandwidth(self) -> int:
+        """Current encoder audio bandwidth (OPUS_GET_BANDWIDTH ctl) — the
+        reference emits it in status (radio_status.c OPUS_BANDWIDTH)."""
+        lib = _load()
+        bw = ctypes.c_int32(0)
+        lib.opus_encoder_ctl(ctypes.c_void_p(self._enc), 4009, ctypes.byref(bw))
+        return int(bw.value)
+
     def encode(self, pcm: np.ndarray) -> bytes:
         """pcm: float32 [frames, channels] (or [frames] mono upmixed)."""
         lib = _load()

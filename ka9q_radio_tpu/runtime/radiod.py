@@ -1121,6 +1121,7 @@ class Radiod:
             T.FE_HIGH_EDGE: self.engine.samprate / 2,
             # frontend calibration/gain chain (zeros for synthetic/RTP FEs)
             T.CALIBRATE: float(getattr(self.frontend, "calibrate", 0.0)),
+            T.RF_LEVEL_CAL: float(getattr(self.frontend, "rf_level_cal", 0.0)),
             T.RF_GAIN: float(getattr(self.frontend, "rf_gain", 0.0)),
             T.LNA_GAIN: int(getattr(self.frontend, "lna_gain", 0)),
             T.MIXER_GAIN: int(getattr(self.frontend, "mixer_gain", 0)),
@@ -1237,6 +1238,11 @@ class Radiod:
             fields[T.OPUS_BIT_RATE] = ch.opus_bitrate
             fields[T.OPUS_DTX] = ch.opus_dtx
             fields[T.OPUS_FEC] = False
+            if ch.opus_encoder is not None:
+                try:
+                    fields[T.OPUS_BANDWIDTH] = ch.opus_encoder.bandwidth()
+                except OSError:
+                    pass
             if ch.opus_app:
                 fields[T.OPUS_APPLICATION] = ch.opus_app
         host_d = self.engine.groups[ch.group].host["demod"]
