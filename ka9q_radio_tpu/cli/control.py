@@ -179,6 +179,8 @@ def render_panel(f: dict, width: int = 78) -> list[str]:
         f"ssrc {g(T.OUTPUT_SSRC)}  {g(T.DESCRIPTION)}",
         "== Tuning " + "=" * (width - 10),
         f"  freq {freq:,.3f} Hz  {band}   shift {g(T.SHIFT_FREQUENCY)}  preset {g(T.PRESET)}",
+        f"  2nd LO {g(T.SECOND_LO_FREQUENCY, '{:+.3f}')} Hz   "
+        f"coverage [{g(T.FE_LOW_EDGE, '{:,.0f}')}, {g(T.FE_HIGH_EDGE, '{:,.0f}')}] Hz",
         "== Signal " + "=" * (width - 10),
         f"  if {g(T.IF_POWER, '{:.1f}')} dBFS   baseband {g(T.BASEBAND_POWER, '{:.1f}')} dB   "
         f"N0 {g(T.NOISE_DENSITY, '{:.1f}')} dB/Hz",
@@ -190,12 +192,17 @@ def render_panel(f: dict, width: int = 78) -> list[str]:
         "== Demodulator " + "=" * (width - 15),
         f"  {demod}   pll {g(T.PLL_ENABLE)}/{g(T.PLL_SQUARE)} bw {g(T.PLL_BW)}   agc {g(T.AGC_ENABLE)}   "
         f"sq [{g(T.SQUELCH_OPEN, '{:.1f}')}/{g(T.SQUELCH_CLOSE, '{:.1f}')}] dB",
+        f"  pll phase {g(T.PLL_PHASE, '{:+.3f}')} rad wraps {g(T.PLL_WRAPS)}   "
+        f"deemph {g(T.DEEMPH_TC, '{:.0f}')} us {g(T.DEEMPH_GAIN, '{:+.1f}')} dB   "
+        f"offset {g(T.FREQ_OFFSET, '{:+.1f}')} Hz",
         "== Output " + "=" * (width - 10),
         f"  {g(T.OUTPUT_SAMPRATE)} Hz x{g(T.OUTPUT_CHANNELS)} {enc}   pt {g(T.RTP_PT)}   "
         f"pkts {g(T.OUTPUT_DATA_PACKETS)}   ssrc {g(T.OUTPUT_SSRC)}",
         "== RTP/Status " + "=" * (width - 14),
         f"  beacons {g(T.OUTPUT_METADATA_PACKETS)}   cmds {g(T.CMD_CNT)}   "
         f"interval {g(T.STATUS_INTERVAL)}   input {g(T.INPUT_SAMPRATE)} sps",
+        f"  data {g(T.OUTPUT_DATA_DEST_SOCKET)} <- src {g(T.OUTPUT_DATA_SOURCE_SOCKET)}   "
+        f"ttl {g(T.OUTPUT_TTL)}   errs {g(T.OUTPUT_ERRORS)}",
     ]
     return [ln[:width] for ln in lines]
 
