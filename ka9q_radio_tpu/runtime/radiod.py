@@ -250,7 +250,7 @@ class Radiod:
                     and str(cfg.options.get("native-edge", "y")).lower() not in ("n", "no", "false", "0")):
                 self._setup_native_edges(data_dest, ttl)
             # RTCP on the data address's next port (rtp.h:7-10)
-            self.rtcp_sock = output_socket((data_dest[0], data_dest[1] + 1), ttl, tos, iface)
+            self.rtcp_sock = output_socket_unconnected((data_dest[0], data_dest[1] + 1), ttl, tos, iface)
             # SAP/SDP session announcements (radio.c:1244-1366)
             self.sap = None
             self._sap_dest = data_dest
@@ -1335,6 +1335,16 @@ class Radiod:
                         ch.channels))
         self.sap.announce(self.description, self._sap_dest[0], self._sap_dest[1],
                           pts, self._sap_ttl)
+        # per-section `data =` streams get their own session announcements
+        for gname, g in self.engine.groups.items():
+            if not g.spec.data:
+                continue
+            gdest, _ = self._group_data_dest(gname)
+            gpts = [(pt, e, r, c) for pt, e, r, c in pts
+                    if any(ch.group == gname and ch.pt == pt for ch in self.chans.values())]
+            if gpts:
+                self.sap.announce(f"{self.description}/{gname}", gdest[0], gdest[1],
+                                  gpts, self._sap_ttl)
 
     def _send_rtcp(self):
         if self.rtcp_sock is None:
@@ -1347,8 +1357,11 @@ class Radiod:
                 build_sr(ch.ssrc, ch.rtp_timestamp, ch.data_packets, 0),
                 build_sdes(ch.ssrc, f"{self.description} ssrc {ch.ssrc}"),
             )
+            # RTCP rides each channel's own stream group on port+1
+            # (radio.c:1244-1435 sends per channel to its dest socket)
+            gdest, _ = self._group_data_dest(ch.group)
             try:
-                self.rtcp_sock.send(pkt)
+                self.rtcp_sock.sendto(pkt, (gdest[0], gdest[1] + 1))
             except OSError:
                 pass
 
