@@ -45,6 +45,9 @@ def main(argv=None) -> int:
     ap.add_argument("--radio", required=True)
     ap.add_argument("--ssrc", type=int, required=True)
     ap.add_argument("--count", type=int, default=1)
+    ap.add_argument("--frequency", "-f", help="retune the spectrum channel first")
+    ap.add_argument("--bins", "-b", type=int, help="set bin count")
+    ap.add_argument("--bin-width", "-w", type=float, help="set resolution bandwidth, Hz")
     ap.add_argument("--interval", type=float, default=1.0)
     ap.add_argument("--timeout", type=float, default=2.0)
     args = ap.parse_args(argv)
@@ -52,6 +55,23 @@ def main(argv=None) -> int:
     dest = resolve_dest(args.radio, DEFAULT_STAT_PORT)
     rx = listen_socket(dest)
     tx = output_socket(dest)
+
+    # configure/create the sweep first (powers.c -f/-b/-w: unknown SSRC +
+    # PRESET=spectrum creates a dynamic spectrum channel server-side)
+    setup = {}
+    if args.frequency is not None:
+        from ..utils.parse import parse_frequency
+        setup[T.RADIO_FREQUENCY] = parse_frequency(args.frequency, True)
+        setup[T.PRESET] = "spectrum"
+    if args.bins is not None:
+        setup[T.BIN_COUNT] = args.bins
+    if args.bin_width is not None:
+        setup[T.RESOLUTION_BW] = args.bin_width
+    if setup:
+        setup[T.OUTPUT_SSRC] = args.ssrc
+        setup[T.COMMAND_TAG] = random.getrandbits(31)
+        tx.send(encode_status(setup, cmd=True))
+        time.sleep(0.2)  # let the sweep accumulate frames
 
     for k in range(args.count):
         f = poll_once(tx, rx, args.ssrc, args.timeout)

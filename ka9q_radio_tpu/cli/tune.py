@@ -27,6 +27,12 @@ def main(argv=None) -> int:
     ap.add_argument("--squelch-open", type=float)
     ap.add_argument("--squelch-close", type=float)
     ap.add_argument("--shift", type=float)
+    ap.add_argument("--mode", "-m", help="preset name (usb/lsb/am/nfm/...)")
+    ap.add_argument("--samprate", "-r", help="output sample rate")
+    ap.add_argument("--encoding", "-e", help="s16be/s16le/f32le/opus/...")
+    ap.add_argument("--agc", type=int, choices=(0, 1))
+    ap.add_argument("--lifetime", "-t", type=float,
+                    help="dynamic channel idle lifetime, seconds")
     ap.add_argument("--timeout", type=float, default=2.0)
     args = ap.parse_args(argv)
 
@@ -42,6 +48,17 @@ def main(argv=None) -> int:
         fields[T.GAIN] = args.gain
     if args.headroom is not None:
         fields[T.HEADROOM] = args.headroom
+    if args.mode is not None:
+        fields[T.PRESET] = args.mode
+    if args.samprate is not None:
+        fields[T.OUTPUT_SAMPRATE] = int(round(parse_frequency(args.samprate)))
+    if args.encoding is not None:
+        from ..net.rtp import Encoding
+        fields[T.OUTPUT_ENCODING] = int(Encoding[args.encoding.upper()])
+    if args.agc is not None:
+        fields[T.AGC_ENABLE] = bool(args.agc)
+    if args.lifetime is not None:
+        fields[T.LIFETIME] = int(args.lifetime * 50)  # blocks (20 ms)
     if args.squelch_open is not None:
         fields[T.SQUELCH_OPEN] = args.squelch_open
     if args.squelch_close is not None:

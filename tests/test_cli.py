@@ -273,3 +273,79 @@ freq = 32k0
         except subprocess.TimeoutExpired:
             p.kill()
             p.wait(5)
+
+
+def test_client_flag_parity(tmp_path):
+    """Reference flag surface on the clients: tune --mode/--samprate/
+    --lifetime create and shape a dynamic channel; powers -f/-b/-w create
+    a spectrum sweep from nothing (powers.c); metadump --all polls the
+    all-channel dump and --ssrc filters it."""
+    import io
+    import threading
+    import time
+    from contextlib import redirect_stdout
+
+    from ka9q_radio_tpu.config import load_config
+    from ka9q_radio_tpu.runtime.radiod import Radiod
+    from ka9q_radio_tpu.cli import tune as tune_cli, powers as powers_cli, metadump as md_cli
+
+    tag = f"flags-{os.getpid()}"
+    conf = f"""
+[global]
+hardware = sig_gen
+status = {tag}-st.local
+data = {tag}-pcm.local
+advertise = no
+sap = no
+dyn-slots = 2
+[sig_gen]
+device = sig_gen
+samprate = 512k
+complex = yes
+carrier = 51k
+amplitude = -20
+[hf]
+mode = usb
+samprate = 12k
+freq = 50k0
+"""
+    rd = Radiod(load_config(conf), use_network=True)
+    for _ in range(2):
+        rd.step_block()
+    stop = threading.Event()
+    th = threading.Thread(target=lambda: [rd.step_block() for _ in iter(lambda: stop.is_set(), True)],
+                          daemon=True)
+    th.start()
+    try:
+        radio = f"{tag}-st.local"
+        deadline = time.time() + 30
+        # tune creates + shapes a dynamic channel
+        while time.time() < deadline and 900 not in rd.chans:
+            tune_cli.main(["--radio", radio, "--ssrc", "900", "-f", "49k5",
+                           "-m", "am", "-r", "24k", "--lifetime", "60",
+                           "--timeout", "1"])
+        ch = rd.chans[900]
+        assert ch.preset == "am" and ch.samprate == 24_000
+        assert ch.lifetime_init == 60 * 50
+        # powers creates a spectrum sweep from nothing and prints bins
+        buf = io.StringIO()
+        rc = 1
+        while time.time() < deadline and rc != 0:
+            with redirect_stdout(buf):
+                rc = powers_cli.main(["--radio", radio, "--ssrc", "901",
+                                      "-f", "51k0", "-b", "24", "-w", "500",
+                                      "--count", "1", "--timeout", "2"])
+        assert rc == 0
+        line = [l for l in buf.getvalue().splitlines() if "," in l][-1]
+        assert int(line.split(",")[5]) == 24  # our bin count
+        assert rd.chans[901].preset == "spectrum"
+        # metadump --all sees both channels' dumps, --ssrc filters
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            md_cli.main(["--radio", radio, "--all", "--ssrc", "900",
+                         "--count", "2", "--timeout", "5"])
+        out = buf.getvalue()
+        assert "OUTPUT_SSRC = 900" in out and "OUTPUT_SSRC = 901" not in out
+    finally:
+        stop.set()
+        th.join(timeout=5)
