@@ -103,6 +103,7 @@ class Radiod:
     ):
         self.cfg = cfg
         self._group_dests: dict[str, tuple] = {}  # per-section `data =` cache
+        self._use_dns = str(cfg.options.get("dns", "n")).lower() in ("y", "yes", "true", "1", "on")
         # persisted XLA compilation cache — the analog of FFTW wisdom
         # (docs/FFTW3.md:25-53): restarts reuse compiled programs
         cache_dir = cfg.options.get("wisdom", "/tmp/ka9q_radio_tpu_xla_cache")
@@ -229,10 +230,8 @@ class Radiod:
         self.edges: dict[str, tuple[Any, list[_Chan]]] = {}
         if use_network:
             ttl = int(cfg.options.get("ttl", 1))
-            use_dns = str(cfg.options.get("dns", "n")).lower() in ("y", "yes", "true", "1", "on")
-            self._use_dns = use_dns
-            data_dest = resolve_dest(cfg.options.get("data", "127.0.0.1"), data_port, use_dns)
-            stat_dest = resolve_dest(cfg.options.get("status", "127.0.0.1"), status_port, use_dns)
+            data_dest = resolve_dest(cfg.options.get("data", "127.0.0.1"), data_port, self._use_dns)
+            stat_dest = resolve_dest(cfg.options.get("status", "127.0.0.1"), status_port, self._use_dns)
             # ONE unconnected socket for audio AND per-channel beacons:
             # stock clients (pcmrecord) match data<->status sessions by the
             # sender's source PORT, like the reference's shared Output_fd
@@ -333,11 +332,10 @@ class Radiod:
                 continue
             group_chans.sort(key=lambda c: c.idx)
             nch = group_chans[0].channels
-            gdest = (resolve_dest(spec.data, self._data_port) if spec.data
-                     else data_dest)
+            gdest, gttl = self._group_data_dest(gname)
             try:
                 edge = RtpEdge(gdest, C=g.C, nch=nch,
-                               ttl=spec.ttl if spec.ttl is not None else ttl)
+                               ttl=gttl if gttl is not None else ttl)
             except Exception:
                 return
             edge.ssrc[:] = [c.ssrc for c in group_chans]
@@ -373,9 +371,8 @@ class Radiod:
         d = self._group_dests.get(gname)
         if d is None:
             spec = self.engine.groups[gname].spec
-            d = ((resolve_dest(spec.data, self._data_port,
-                               getattr(self, "_use_dns", False)) if spec.data
-                  else self._data_dest), spec.ttl)
+            d = ((resolve_dest(spec.data, self._data_port, self._use_dns)
+                  if spec.data else self._data_dest), spec.ttl)
             self._group_dests[gname] = d
         return d
 
