@@ -62,10 +62,10 @@ gcc -rdynamic -pthread -o radiod $(for f in $RADIOD_SRCS; do echo "$f.o"; done) 
 
 # the reference's own CLIENTS, to drive against OUR daemon (interop in
 # the consumer direction: a stock ka9q user pointing stock tools at us)
-for f in tune metadump powers dump; do
+for f in tune metadump powers dump pcmcat; do
   gcc $CFLAGS -c "$SRC/$f.c" -o "$f.o"
 done
-for exe in tune metadump powers; do
+for exe in tune metadump powers pcmcat; do
   gcc -pthread -o "$exe" "$exe.o" dump.o status.o decode_status.o misc.o \
     multicast.o rtp.o config.o iniparser_shim.o \
     -L"$BUILD/lib" -Wl,-rpath,/lib/x86_64-linux-gnu -lopus -lbsd -lm
@@ -78,7 +78,7 @@ for exe in pcmrecord wd-record; do
     multicast.o rtp.o config.o iniparser_shim.o \
     -L"$BUILD/lib" -Wl,-rpath,/lib/x86_64-linux-gnu -lopus -logg -lbsd -lm
 done
-echo "built: $BUILD/{tune,metadump,powers,pcmrecord,wd-record}"
+echo "built: $BUILD/{tune,metadump,powers,pcmcat,pcmrecord,wd-record}"
 
 # the stock MONITOR, headless build (-q --pipe): curses/portaudio/alsa are
 # link-time-only on that path, provided by no-op stubs; libsamplerate's

@@ -425,6 +425,36 @@ def test_reference_monitor_plays_our_audio(our_radiod, tmp_path):
         assert band > 100 * floor, f"{tone} Hz session missing from the mix"
 
 
+def test_reference_pcmcat_pipes_our_audio(our_radiod, tmp_path):
+    """The STOCK `pcmcat` pipes our RTP stream's PCM to stdout (it
+    byte-swaps s16be by payload type automatically)."""
+    if not os.path.exists(os.path.join(BUILD, "pcmcat")):
+        pytest.skip("reference pcmcat not built")
+    rd, tag = our_radiod
+    data_addr = resolve_dest(f"{tag}-pcm.local", 5004)[0]
+    with open(tmp_path / "cat.err", "w") as err:
+        proc = subprocess.Popen([os.path.join(BUILD, "pcmcat"), "-s", "50", data_addr],
+                                stdout=subprocess.PIPE, stderr=err)
+        try:
+            deadline = time.time() + 20
+            out = b""
+            while time.time() < deadline and len(out) < 2 * 12_000 * 3:
+                chunk = proc.stdout.read(4096)
+                if not chunk:
+                    break
+                out += chunk
+        finally:
+            proc.terminate()
+            proc.wait(5)
+    # stock pcmcat only byteswaps the STATIC PTs 10/11 (pcmcat.c:221-228);
+    # dynamic PTs pass through big-endian
+    pcm = np.frombuffer(out, ">i2").astype(np.float64)
+    assert pcm.size > 12_000 * 2
+    A = np.abs(np.fft.rfft(pcm * np.hanning(pcm.size)))
+    f = np.fft.rfftfreq(pcm.size, 1 / 12_000)
+    assert abs(f[np.argmax(A)] - 1000.0) < 5  # the 12k USB session's tone
+
+
 def test_reference_wd_record_records_our_audio(our_radiod, tmp_path):
     """The STOCK wsprdaemon recorder (`wd-record`, 2.7k LoC) consumes our
     daemon's stream and writes a WAV."""
