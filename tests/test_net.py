@@ -132,3 +132,41 @@ def test_output_socket_tos_and_iface():
     import struct
     raw = s.getsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_IF, 4)
     s.close()
+
+
+def test_status_decoder_robust_to_garbage():
+    """The TLV decoder must survive hostile/truncated datagrams — the
+    daemon's control socket is an open UDP port (radio_status.c drops
+    malformed packets; it must never crash or hang on them)."""
+    import numpy as np
+
+    from ka9q_radio_tpu.net.status import StatusType as T, encode_status, decode_status
+
+    rng = np.random.default_rng(3)
+    good = encode_status({T.OUTPUT_SSRC: 50, T.RADIO_FREQUENCY: 1e6,
+                          T.DESCRIPTION: "x" * 200,
+                          T.BIN_DATA: [1.0] * 64}, cmd=True)
+    for _ in range(500):
+        pkt = bytes(rng.integers(0, 256, rng.integers(0, 120), dtype=np.uint8))
+        try:
+            decode_status(pkt)
+        except Exception:
+            pass  # rejecting is fine; crashing the interpreter is not
+    # truncations of a real packet
+    for n in range(len(good)):
+        try:
+            decode_status(good[:n])
+        except Exception:
+            pass
+    # bit flips
+    for _ in range(300):
+        b = bytearray(good)
+        i = int(rng.integers(0, len(b)))
+        b[i] ^= int(rng.integers(1, 256))
+        try:
+            decode_status(bytes(b))
+        except Exception:
+            pass
+    # and the intact packet still decodes
+    _, f, _ = decode_status(good)
+    assert f[T.OUTPUT_SSRC] == 50
