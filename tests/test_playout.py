@@ -239,3 +239,33 @@ def test_monitor_session_renderer():
     assert any("7" in ln and "MUTE" in ln for ln in lines)
     assert any("23" in ln for ln in lines)
     assert lines[0].startswith(" ") and "ssrc" in lines[0]
+
+
+def test_playout_robust_to_hostile_rtp():
+    """Playout sessions face an open UDP port: random headers (huge
+    timestamp jumps, bogus payload sizes, wild sequence numbers) must
+    neither crash nor blow up the ring accounting."""
+    import numpy as np
+
+    from ka9q_radio_tpu.net.playout import PlayoutSession
+    from ka9q_radio_tpu.net.rtp import RtpHeader
+
+    from ka9q_radio_tpu.net.rtp import Encoding, encode_samples
+
+    rng = np.random.default_rng(11)
+    sp = PlayoutSession(1, 12_000, 1, Encoding.S16BE, 48_000)
+    head = 0
+    for k in range(300):
+        hdr = RtpHeader(type=122, seq=int(rng.integers(0, 1 << 16)),
+                        timestamp=int(rng.integers(0, 1 << 32)),
+                        ssrc=1, marker=bool(rng.integers(0, 2)))
+        n = int(rng.integers(0, 700))
+        payload = encode_samples(
+            (rng.integers(-500, 500, n) / 32768.0).astype(np.float32), Encoding.S16BE)
+        try:
+            sp.ingest(hdr, payload, head)
+        except Exception as e:
+            raise AssertionError(f"playout crashed on packet {k}: {e}")
+        out = sp.pull(head, 960)
+        assert out is None or (out.shape[0] == 960 and np.isfinite(out).all())
+        head += 960
