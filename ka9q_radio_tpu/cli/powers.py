@@ -48,6 +48,8 @@ def main(argv=None) -> int:
     ap.add_argument("--frequency", "-f", help="retune the spectrum channel first")
     ap.add_argument("--bins", "-b", type=int, help="set bin count")
     ap.add_argument("--bin-width", "-w", type=float, help="set resolution bandwidth, Hz")
+    ap.add_argument("--details", "-d", action="store_true",
+                    help="one 'bin frequency dB' line per bin (powers.c -d)")
     ap.add_argument("--interval", type=float, default=1.0)
     ap.add_argument("--timeout", type=float, default=2.0)
     args = ap.parse_args(argv)
@@ -88,10 +90,15 @@ def main(argv=None) -> int:
         hi = lo + rbw * n
         now = datetime.datetime.now(datetime.timezone.utc)
         db = 10.0 * np.log10(np.maximum(bins, 1e-30))
-        print(
-            f"{now:%Y-%m-%d},{now:%H:%M:%S},{lo:.0f},{hi:.0f},{rbw:.2f},{n},"
-            + ",".join(f"{x:.2f}" for x in db)
-        )
+        if args.details:
+            print()
+            for i, x in enumerate(db):
+                print(f"{i} {lo + i * rbw:.6f} {x:.2f}")
+        else:
+            print(
+                f"{now:%Y-%m-%d},{now:%H:%M:%S},{lo:.0f},{hi:.0f},{rbw:.2f},{n},"
+                + ",".join(f"{x:.2f}" for x in db)
+            )
         if k + 1 < args.count:
             time.sleep(args.interval)
     return 0
