@@ -30,11 +30,23 @@ def _warm_one(config: str, wisdom: str) -> int:
     # with different options would miss the cache at radiod start)
     cfg.options["wisdom"] = wisdom
     t0 = time.monotonic()
-    rd = Radiod(cfg, use_network=False)
+    # construction transfers initial params h2d; the tunnel flakes in
+    # bouts — retry with backoff like bench.py's init
+    for attempt in range(6):
+        try:
+            rd = Radiod(cfg, use_network=False)
+            break
+        except Exception:
+            if attempt == 5:
+                raise
+            time.sleep(15.0)
     # Radiod sets a 0.5 s persistence floor; a warmer wants EVERY program
     # written, so lower it after construction, before the compiling step
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    rd.step_block()
+    for _ in range(10):  # tunnel flakes drop blocks; warm until one lands
+        if rd.step_block() is not None:
+            break
+        time.sleep(5.0)
     eng = rd.engine
     print(f"compiled master N={eng.master.N} + {sum(g.C for g in eng.groups.values())} "
           f"channels in {time.monotonic() - t0:.1f}s; cache at {wisdom}", file=sys.stderr)

@@ -1466,14 +1466,14 @@ class Radiod:
         if self.rtcp_sock is not None and self.blocks % self.rtcp_every == self.rtcp_every - 1:
             self._send_rtcp()
             self._send_sap()
+        if block is None and self.frontend is None and self.source_state is None:
+            raise RuntimeError("no front end configured and no block given")
         try:
             if block is None:
                 if self.frontend is not None:
                     block = self.frontend.read_block(self.engine.L)
-                elif self.source_state is not None:
-                    self.source_state, block = self._siggen(self.source_state)
                 else:
-                    raise RuntimeError("no front end configured and no block given")
+                    self.source_state, block = self._siggen(self.source_state)
             first = self.blocks == 0
             self.state, out = self.step(self.state, self.params, block)
             self.blocks += 1
@@ -1481,9 +1481,10 @@ class Radiod:
             host_out = jax.device_get(out)
             if first:
                 self._log_cold_start(time.monotonic() - _t0)
-        except RuntimeError:
-            raise
         except Exception:
+            # NOTE: jax backend errors subclass RuntimeError — do NOT add
+            # an `except RuntimeError: raise` above this or tunnel flakes
+            # kill the daemon instead of dropping the block
             # transient backend/tunnel error anywhere in the device section:
             # drop this block but keep the stream alive (the reference's
             # analog: USB transfer loss accounting, rx888.c:675-688)

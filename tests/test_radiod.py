@@ -379,3 +379,48 @@ freq = 65k0
     assert T.NOISE_BW in sw and sw[T.NOISE_BW] > sw[T.RESOLUTION_BW]
     _, cw, _ = decode_status(rd.encode_channel_status(by_ssrc[65]))
     assert T.FILTER2_BLOCKSIZE in cw and T.FILTER2_FIR_LENGTH in cw  # cwu has filter2
+
+
+def test_backend_flake_drops_block_not_daemon():
+    """jax backend errors SUBCLASS RuntimeError (JaxRuntimeError): a
+    transient tunnel flake in the device section must count a block drop
+    and keep serving, never kill the daemon (rx888.c:675-688 analog)."""
+    import jax
+
+    from ka9q_radio_tpu.config import load_config
+
+    rd = Radiod(load_config("""
+[global]
+hardware = sig_gen
+mode = usb
+[sig_gen]
+device = sig_gen
+samprate = 128k
+complex = yes
+carrier = 33k
+[hf]
+mode = usb
+samprate = 8k
+freq = 32k0
+"""), use_network=False)
+    rd.step_block()
+    real_step = rd.step
+    calls = {"n": 0}
+
+    def flaky(st, pa, blk):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise jax.errors.JaxRuntimeError("UNIMPLEMENTED: TPU backend error")
+        return real_step(st, pa, blk)
+
+    rd.step = flaky
+    assert rd.step_block() is None  # dropped, not raised
+    assert rd.block_drops == 1
+    out = rd.step_block()  # next block flows again
+    assert out is not None
+    assert np.all(np.isfinite(np.asarray(out["hf"]["audio"])))
+    # the config error is still a hard error
+    rd.step = real_step
+    rd.frontend = rd.source_state = None
+    with pytest.raises(RuntimeError):
+        rd.step_block()
