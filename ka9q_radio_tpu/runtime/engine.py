@@ -200,10 +200,11 @@ class _Group:
 
     def __init__(self, spec: GroupSpec, master: MasterConfig, samprate: float, blocktime: float,
                  use_matmul: bool = False):
-        # host->device placement for params leaves; sharded engines override
-        # this (Engine.__init__) so retune/set_edges surgery preserves the
-        # channel-axis sharding and stays recompile-free under a mesh
-        self.put = jnp.asarray
+        # host->device placement for params leaves; sharded engines set
+        # `placement` (Engine.__init__) so retune/set_edges surgery
+        # preserves the channel-axis sharding and stays recompile-free
+        # under a mesh
+        self.placement = None  # leaf -> sharding, or None = default device
         self.spec = spec
         self.master = master
         self.use_matmul = use_matmul
@@ -359,7 +360,7 @@ class _Group:
             p["demod"] = {}
             self.host = p
             self.pristine_demod = {}
-            return jax.tree.map(self.put, p)
+            return self.put_tree(p)
         if spec.demod == "wfm":
             # de-emphasis runs at the audio rate (modes.c:408-412)
             tc = (spec.deemph_tc_us if spec.deemph_tc_us is not None else DEFAULTS["wfm_deemph_tc_us"]) * 1e-6
@@ -400,7 +401,23 @@ class _Group:
         # pristine copy of build-time demod defaults (tombstoned dynamic
         # slots are restored from this on reuse)
         self.pristine_demod = {k: np.copy(v) for k, v in d.items()}
-        return jax.tree.map(self.put, p)
+        return self.put_tree(p)
+
+    def put(self, a):
+        """One leaf host->device (params surgery on retune/set_edges)."""
+        a = np.asarray(a)
+        if self.placement is None:
+            return jnp.asarray(a)
+        return jax.device_put(a, self.placement(a))
+
+    def put_tree(self, tree):
+        """A whole params tree in ONE batched h2d transfer — each
+        leaf-wise device_put is a separate RPC over the TPU tunnel and a
+        separate chance to hit a transfer-flake bout."""
+        if self.placement is None:
+            return jax.device_put(tree)
+        return jax.device_put(tree, jax.tree.map(
+            lambda a: self.placement(np.asarray(a)), tree))
 
     def retune(self, params: dict[str, Any], idx: int, freq: float) -> dict[str, Any]:
         """New params pytree with channel idx retuned to freq (set_freq,
@@ -615,17 +632,15 @@ class Engine:
                         f"group {name}: C={g.C} not divisible by mesh size {D} "
                         "(pad the channel list for even sharding)")
 
-                def _mk_put(C):
-                    def put(a):
-                        a = np.asarray(a)
-                        return jax.device_put(
-                            a, chan if (a.ndim >= 1 and a.shape[0] == C) else repl)
-                    return put
+                def _mk_placement(C):
+                    def placement(a):
+                        return chan if (a.ndim >= 1 and a.shape[0] == C) else repl
+                    return placement
 
-                g.put = _mk_put(g.C)
+                g.placement = _mk_placement(g.C)
                 # re-place the initial params with mesh shardings so retune
                 # surgery (which reuses g.put) never changes input shardings
-                g.params = jax.tree.map(g.put, g.host)
+                g.params = g.put_tree(g.host)
         # adaptive spur notches on master bins (radio.c:662-683,
         # filter.c:441-453): per spur, a slow complex one-pole tracks the
         # coherent bin value and subtracts it; DC always included
@@ -686,7 +701,7 @@ class Engine:
                 o = og.host["demod"].get(key)
                 if o is not None and arr.shape[1:] == o.shape[1:]:
                     arr[:n] = o[:n]
-        return {name: jax.tree.map(g.put, g.host) for name, g in self.groups.items()}
+        return {name: g.put_tree(g.host) for name, g in self.groups.items()}
 
     def step(self, state, params, block):
         """One block: [L] input samples -> per-group audio + status info.
