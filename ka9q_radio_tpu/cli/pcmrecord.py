@@ -97,7 +97,7 @@ class Session:
         d = self.args.dir
         if self.args.subdirs:
             d = os.path.join(d, str(self.ssrc), *time.strftime("%Y/%m/%d", time.gmtime(wall)).split("/"))
-            os.makedirs(d, exist_ok=True)
+        os.makedirs(d, exist_ok=True)
         return os.path.join(d, name)
 
     def _open_file(self, epoch: float, now: float | None = None):

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import select
+import sys
 import time
 from typing import Any, Callable
 
@@ -49,6 +50,20 @@ _GPS_EPOCH = 315964800  # 1980-01-06 UTC in unix time
 
 def _gps_time_ns() -> int:
     return int((time.time() - _GPS_EPOCH + GPS_UTC_OFFSET) * 1e9)
+
+
+def _backend_flake(e: BaseException) -> bool:
+    """True for transient device/tunnel errors (the axon TPU tunnel flakes
+    in bouts: UNIMPLEMENTED/UNAVAILABLE backend errors on transfers and
+    eager ops). Python-level bugs (TypeError, KeyError, ...) never match."""
+    if isinstance(e, jax.errors.JaxRuntimeError):
+        return True
+    if isinstance(e, (RuntimeError, ValueError)):
+        s = str(e)
+        return ("backend error" in s or "DEADLINE_EXCEEDED" in s
+                or s.startswith(("UNIMPLEMENTED", "UNAVAILABLE", "INTERNAL",
+                                 "RESOURCE_EXHAUSTED", "ABORTED")))
+    return False
 
 
 @dataclasses.dataclass
@@ -161,6 +176,14 @@ class Radiod:
         self.update_every = int(cfg.options.get("update", 25))  # blocks (modes.c:56)
         self.blocks = 0
         self.block_drops = 0  # blocks lost to transient device errors
+        # tunnel-bout tolerance: the daemon only dies if NO block lands for
+        # `fail-deadline` seconds (0 = never) — the analog of the reference
+        # riding out USB stalls with loss accounting (rx888.c:675-688)
+        # rather than exiting on the first bad transfer burst
+        self.fail_deadline = float(cfg.options.get("fail-deadline", 600.0))
+        self._last_good = time.monotonic()
+        self._drop_burst = 0
+        self.command_drops = 0  # control commands lost to device flakes
         self.spectrum_byte = str(cfg.options.get("spectrum-format", "")).lower() == "byte"
         self.spectrum_base = float(cfg.options.get("spectrum-base", -120.0))
         self.spectrum_step = float(cfg.options.get("spectrum-step", 0.5))
@@ -456,7 +479,12 @@ class Radiod:
 
     # ------------------------------------------------------------- control
     def poll_commands(self, budget: int = 16):
-        """Drain pending control packets (radio_status.c:38-111)."""
+        """Drain pending control packets (radio_status.c:38-111).
+
+        A tunnel flake while applying a command (dynamic create, params
+        surgery, rebuild) drops THAT command — morally a lost UDP packet
+        the client retries — instead of killing the daemon; _rebuild's
+        atomic swap guarantees the engine is still coherent afterwards."""
         if self.status_in is None:
             return
         for _ in range(budget):
@@ -467,7 +495,15 @@ class Radiod:
                 pkt, _addr = self.status_in.recvfrom(65536)
             except OSError:
                 return
-            self.handle_packet(pkt)
+            try:
+                self.handle_packet(pkt)
+            except Exception as e:
+                if not _backend_flake(e):
+                    raise
+                self.command_drops += 1
+                print(f"command dropped (device flake #{self.command_drops}): "
+                      f"{type(e).__name__}: {str(e).splitlines()[0][:120]}",
+                      file=sys.stderr, flush=True)
 
     def handle_packet(self, pkt: bytes):
         try:
@@ -766,7 +802,10 @@ class Radiod:
         self.free_slots.setdefault(ch.group, []).append(ch.idx)
 
     def _rebuild(self, specs):
-        """Recompile-path channel table change, carrying state across."""
+        """Recompile-path channel table change, carrying state across.
+        Everything device-side is computed into locals FIRST and the
+        daemon fields swapped together at the end, so a tunnel flake
+        mid-rebuild leaves the old engine/state/params fully intact."""
         old = self.engine
         new_eng = Engine(samprate=self.cfg.samprate, real=self.cfg.real,
                          groups=specs, blocktime=self.cfg.blocktime,
@@ -774,8 +813,11 @@ class Radiod:
                          use_matmul=self.engine.use_matmul,
                          spurs=self._spurs, mesh=self._mesh)
         new_init = jax.jit(new_eng.init_state)()
-        self.state = jax.jit(migrate_state)(self.state, new_init)
-        self.params = new_eng.adopt_host_params(old)
+        new_state = jax.jit(migrate_state)(self.state, new_init)
+        new_params = new_eng.adopt_host_params(old)
+        jax.block_until_ready((new_state, new_params))  # surface flakes now
+        self.state = new_state
+        self.params = new_params
         self.engine = new_eng
         self.step = jax.jit(new_eng.step, donate_argnums=0)
         self._group_dests.clear()
@@ -1479,9 +1521,14 @@ class Radiod:
             self.blocks += 1
             beacon = True  # per-channel cadence checked in _beacon_due
             host_out = jax.device_get(out)
+            if self._drop_burst:
+                print(f"recovered after {self._drop_burst} dropped blocks",
+                      file=sys.stderr, flush=True)
+                self._drop_burst = 0
+            self._last_good = time.monotonic()
             if first:
                 self._log_cold_start(time.monotonic() - _t0)
-        except Exception:
+        except Exception as e:
             # NOTE: jax backend errors subclass RuntimeError — do NOT add
             # an `except RuntimeError: raise` above this or tunnel flakes
             # kill the daemon instead of dropping the block
@@ -1490,8 +1537,15 @@ class Radiod:
             # analog: USB transfer loss accounting, rx888.c:675-688)
             self.blocks += 1
             self.block_drops += 1
-            if self.block_drops > 100 and self.block_drops > self.blocks // 2:
-                raise  # persistently broken — surface it
+            self._drop_burst += 1
+            if self._drop_burst == 1 or self._drop_burst % 100 == 0:
+                print(f"block drop #{self.block_drops} "
+                      f"(burst {self._drop_burst}): {type(e).__name__}: "
+                      f"{str(e).splitlines()[0][:120]}",
+                      file=sys.stderr, flush=True)
+            if (self.fail_deadline > 0
+                    and time.monotonic() - self._last_good > self.fail_deadline):
+                raise  # nothing has landed for fail-deadline s — surface it
             # if the error poisoned the carried state (donated buffers),
             # reinitialize it — the in-process analog of a systemd restart
             try:

@@ -349,3 +349,55 @@ freq = 50k0
     finally:
         stop.set()
         th.join(timeout=5)
+
+
+def test_showsig_polls_channel(daemon, capsys):
+    """show-sig-tpu polls the channel and prints live levels
+    (show-sig.c poll loop)."""
+    from ka9q_radio_tpu.cli.showsig import main
+
+    rc = main(["--radio", f"test-{_UNIQ}.local", "--ssrc", "200",
+               "--count", "2", "--interval", "0.2", "--timeout", "5"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if "Hz" in l]
+    assert len(lines) == 2
+    # the -20 dBFS carrier at 201k lands in the 200k USB channel: real
+    # signal levels, not zeros
+    assert "200000 Hz" in lines[0]
+    assert "n0" in lines[0] and "bb" in lines[0]
+    bb = float(lines[0].split("bb")[1].split("dB")[0])
+    n0 = float(lines[0].split("n0")[1].split("dB/Hz")[0])
+    assert bb > n0, (bb, n0)  # baseband power above the noise density
+
+
+def test_showpkt_accounts_drops_and_dupes(capsys):
+    """show-pkt-tpu counts packets/drops/dupes per SSRC from a live RTP
+    stream (show-pkt.c loss stats)."""
+    import threading
+    from ka9q_radio_tpu.cli.showpkt import main
+    from ka9q_radio_tpu.net.rtp import RtpHeader, Encoding, encode_samples
+    from ka9q_radio_tpu.net.multicast import resolve_dest, output_socket
+
+    stream = f"showpkt-{_UNIQ}.local"
+    th = threading.Thread(
+        target=main, args=([ "--data", stream, "--interval", "0.5",
+                             "--duration", "3"],), daemon=True)
+    th.start()
+    time.sleep(0.6)
+    tx = output_socket(resolve_dest(stream, 5004))
+    payload = encode_samples(np.zeros(240, np.float32), Encoding.S16BE)
+    seqs = [0, 1, 2, 5, 5, 6]  # 3,4 lost => 2 drops; second 5 is a dup
+    ts = 0
+    for s in seqs:
+        tx.send(RtpHeader(type=11, seq=s, timestamp=s * 240, ssrc=77).pack() + payload)
+        time.sleep(0.02)
+    th.join(timeout=5)
+    tx.close()
+    lines = [l for l in capsys.readouterr().out.splitlines() if "ssrc" in l]
+    assert lines, "show-pkt printed nothing"
+    last = lines[-1]
+    assert "77" in last
+    # 6 packets seen, 2 dropped, 1 dup
+    assert "pkts        6" in last.replace("pkts  ", "pkts ") or "6" in last.split("pkts")[1].split("drops")[0]
+    assert int(last.split("drops")[1].split("dupes")[0]) == 2
+    assert int(last.split("dupes")[1].split("bytes")[0]) == 1

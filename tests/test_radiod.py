@@ -1,4 +1,6 @@
 """radiod daemon: config -> engine -> RTP/TLV, command handling, retune."""
+import time
+
 import numpy as np
 import pytest
 
@@ -424,3 +426,116 @@ freq = 32k0
     rd.frontend = rd.source_state = None
     with pytest.raises(RuntimeError):
         rd.step_block()
+
+
+def test_fail_deadline_rides_out_long_bursts():
+    """The daemon must survive arbitrarily long flake bursts while blocks
+    still land occasionally, and die only after `fail-deadline` seconds
+    with NO good block (tunnel-bout policy; rx888.c:675-688 analog)."""
+    import jax
+
+    from ka9q_radio_tpu.config import load_config
+
+    rd = Radiod(load_config("""
+[global]
+hardware = sig_gen
+mode = usb
+fail-deadline = 0.2
+[sig_gen]
+device = sig_gen
+samprate = 128k
+complex = yes
+carrier = 33k
+[hf]
+mode = usb
+samprate = 8k
+freq = 32k0
+"""), use_network=False)
+    assert rd.fail_deadline == 0.2
+    rd.step_block()
+    real_step = rd.step
+
+    def always_flaky(st, pa, blk):
+        raise jax.errors.JaxRuntimeError("UNIMPLEMENTED: TPU backend error")
+
+    rd.step = always_flaky
+    # a burst longer than the old 100-drop budget: survives while within
+    # the deadline window
+    rd._last_good = time.monotonic()
+    for _ in range(120):
+        rd._last_good = time.monotonic()  # pretend blocks landed recently
+        assert rd.step_block() is None
+    assert rd.block_drops >= 120
+    # deadline exceeded with no good block -> surfaces the error
+    rd._last_good = time.monotonic() - 1.0
+    with pytest.raises(Exception):
+        rd.step_block()
+    # a good block resets the burst accounting
+    rd.step = real_step
+    rd._last_good = time.monotonic() - 1.0
+    assert rd.step_block() is not None
+    assert rd._drop_burst == 0
+
+
+def test_command_flake_drops_command_not_daemon():
+    """A device flake while APPLYING a control command (create/rebuild/
+    surgery) drops that command like a lost UDP packet — the daemon
+    survives, the engine stays coherent, and a client retry succeeds."""
+    import os
+    import select
+
+    import jax
+
+    from ka9q_radio_tpu.net.multicast import resolve_dest, output_socket
+
+    tag = f"cmdflake-{os.getpid()}"
+    rd = Radiod(load_config(f"""
+[global]
+hardware = sig_gen
+mode = usb
+status = {tag}-st.local
+data = {tag}-pcm.local
+ttl = 0
+[sig_gen]
+device = sig_gen
+samprate = 128k
+complex = yes
+carrier = 33k
+[hf]
+mode = usb
+samprate = 8k
+freq = 32k0
+"""), use_network=True)
+    rd.step_block()
+    eng_before = rd.engine
+    ssrc = next(iter(rd.chans))
+    orig_apply = rd.apply_command
+    calls = {"n": 0}
+
+    def flaky_apply(ch, fields):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise jax.errors.JaxRuntimeError("UNAVAILABLE: TPU backend error")
+        return orig_apply(ch, fields)
+
+    rd.apply_command = flaky_apply
+    tx = output_socket(resolve_dest(f"{tag}-st.local", 5006))
+    cmd = encode_status({T.OUTPUT_SSRC: ssrc, T.COMMAND_TAG: 7,
+                         T.RADIO_FREQUENCY: 31_000.0}, cmd=True)
+    tx.send(cmd)
+    deadline = time.monotonic() + 5
+    while rd.command_drops == 0 and time.monotonic() < deadline:
+        rd.poll_commands()
+        time.sleep(0.02)
+    assert rd.command_drops == 1
+    assert rd.chans[ssrc].freq == 32_000.0  # command lost, state coherent
+    assert rd.engine is eng_before
+    # the retry lands
+    tx.send(cmd)
+    deadline = time.monotonic() + 5
+    while rd.chans[ssrc].freq != 31_000.0 and time.monotonic() < deadline:
+        rd.poll_commands()
+        time.sleep(0.02)
+    assert rd.chans[ssrc].freq == 31_000.0
+    assert rd.step_block() is not None or rd.step_block() is not None
+    tx.close()
