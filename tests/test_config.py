@@ -127,3 +127,65 @@ def test_bandplan_lookup():
     assert band_name(162_475_000) == "WX"
     assert band_name(999) == ""
     assert power_limit(7_100_000) == "amateur"
+
+
+def test_config_fuzz_never_crashes_uncleanly():
+    """Hostile config text must either load or raise a clean ValueError /
+    configparser error — never TypeError/KeyError/etc. (config_validate
+    reports, radio.c:88-118; the reference exits with a message)."""
+    import configparser
+    import random
+
+    base = """
+[global]
+hardware = sig_gen
+mode = usb
+[sig_gen]
+device = sig_gen
+samprate = 512k
+complex = yes
+carrier = 101k
+[usb]
+mode = usb
+samprate = 12k
+freq = 100k3
+"""
+    # OSError: a no-newline garbage string is treated as a config *path*
+    # (missing-file errors are clean CLI errors too)
+    ok = (ValueError, configparser.Error, OSError)
+    rng = random.Random(1234)
+
+    def attempt(text):
+        try:
+            load_config(text)
+        except ok:
+            pass
+
+    # pure garbage
+    for _ in range(40):
+        attempt("".join(chr(rng.randrange(32, 127)) for _ in range(rng.randrange(0, 300))))
+    # random binary-ish garbage with newlines and brackets
+    for _ in range(40):
+        attempt("".join(rng.choice("[]=\n#;ab:0 \t") for _ in range(rng.randrange(0, 400))))
+    # mutated valid configs: byte flips, deletions, duplications
+    for _ in range(120):
+        t = list(base)
+        for _ in range(rng.randrange(1, 6)):
+            i = rng.randrange(len(t))
+            op = rng.random()
+            if op < 0.4:
+                t[i] = chr(rng.randrange(32, 127))
+            elif op < 0.7:
+                del t[i]
+            else:
+                t.insert(i, rng.choice("[]=\nkmg0123456789.-"))
+        attempt("".join(t))
+    # hostile values in every slot of a valid skeleton
+    hostile = ["", "-", "nan", "inf", "-inf", "1e309", "0x41", "999999999k",
+               "yes no", "\x00", "🦊", "1/0", "None", "[global]", "=", "m", "k9"]
+    for v in hostile:
+        attempt(base.replace("12k", v))
+        attempt(base.replace("100k3", v))
+        attempt(base.replace("usb", v))
+        attempt(base.replace("512k", v))
+        attempt(base.replace("yes", v))
