@@ -1,0 +1,112 @@
+"""Live end-to-end drive of the PRODUCTION daemon on the real TPU.
+
+Opt-in (`KA9Q_TPU_LIVE=1 pytest tests/test_tpu_live.py`): the default
+suite runs CPU-only, but this test starts `radiod-tpu` as a subprocess
+on the ambient (axon TPU) platform and drives it with the stock client
+flow over multicast loopback — the same procedure as the reference's
+operational verification (SURVEY §4: radiod against sig_gen, checked
+via the status protocol and recorded audio).
+
+Axon notes (see CLAUDE.md): each uncached jit remote-compiles in
+30-90 s, and during a compile-service outage an uncached program
+poisons its process — so this test allows a long startup budget and
+skips (rather than fails) if the daemon never lands a block.
+"""
+import os
+import select
+import signal
+import subprocess
+import sys
+import time
+import wave
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("KA9Q_TPU_LIVE"),
+    reason="live-TPU drive is opt-in: set KA9Q_TPU_LIVE=1",
+)
+
+UNIQ = os.getpid()
+CONF = f"""
+[global]
+hardware = sig_gen
+status = tpulive-{UNIQ}-st.local
+data = tpulive-{UNIQ}-pcm.local
+update = 10
+ttl = 0
+fail-deadline = 0
+wisdom = /tmp/ka9q_radio_tpu_xla_cache
+
+[sig_gen]
+device = sig_gen
+samprate = 512k
+complex = yes
+carrier = 101k
+amplitude = -20
+noise = -140
+
+[usb]
+mode = usb
+samprate = 12k
+freq = 100k3
+"""
+
+# clients must NOT grab the TPU: CPU platform, no axon registration
+CLIENT_ENV = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
+
+
+def test_tpu_daemon_end_to_end(tmp_path):
+    conf = tmp_path / "live.conf"
+    conf.write_text(CONF)
+    log = open(tmp_path / "radiod.log", "wb")
+    rd = subprocess.Popen(
+        ["radiod-tpu", str(conf), "-v"], stdout=log, stderr=log)
+    try:
+        # wait for audio to actually flow (compile can take minutes cold)
+        from ka9q_radio_tpu.net.multicast import resolve_dest, listen_socket
+        rx = listen_socket(resolve_dest(f"tpulive-{UNIQ}-pcm.local", 5004))
+        deadline = time.monotonic() + 420
+        got = False
+        while time.monotonic() < deadline and not got:
+            if rd.poll() is not None:
+                pytest.fail("radiod-tpu exited during startup — see radiod.log")
+            r, _, _ = select.select([rx], [], [], 2.0)
+            got = bool(r)
+        rx.close()
+        if not got:
+            pytest.skip("no blocks landed in 7 min — tunnel outage, not a bug")
+
+        # record 8 s and find the 700 Hz beat of the 101 kHz carrier in
+        # the 100.3 kHz USB channel
+        rec = tmp_path / "rec"
+        subprocess.run(
+            [sys.executable, "-m", "ka9q_radio_tpu.cli.pcmrecord",
+             "--data", f"tpulive-{UNIQ}-pcm.local", "--dir", str(rec),
+             "--duration", "8"],
+            env=CLIENT_ENV, timeout=60, check=True)
+        wavs = sorted(rec.glob("*_ssrc100.wav"))
+        assert wavs, "pcmrecord captured nothing"
+        w = wave.open(str(wavs[-1]))
+        x = np.frombuffer(w.readframes(w.getnframes()), np.int16).astype(np.float64)
+        x = x[x.size // 4:]
+        assert x.size > 12_000
+        spec = np.abs(np.fft.rfft(x * np.hanning(x.size)))
+        peak = np.argmax(spec) * 12_000 / x.size
+        assert abs(peak - 700.0) < 30.0, peak
+
+        # live retune (+300 Hz) through tune-tpu; the daemon must apply it
+        out = subprocess.run(
+            [sys.executable, "-m", "ka9q_radio_tpu.cli.tune",
+             "--radio", f"tpulive-{UNIQ}-st.local", "--ssrc", "100",
+             "-f", "100k6", "--timeout", "30"],
+            env=CLIENT_ENV, timeout=90, capture_output=True, text=True)
+        assert "100600" in out.stdout, out.stdout
+    finally:
+        rd.send_signal(signal.SIGINT)
+        try:
+            rd.wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            rd.kill()
+        log.close()
