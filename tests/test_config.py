@@ -129,6 +129,32 @@ def test_bandplan_lookup():
     assert power_limit(7_100_000) == "amateur"
 
 
+def test_runtime_global_keys_validate_clean():
+    """Every [global] key the runtime reads must be known to the validator
+    (a documented key must not warn 'unknown key' — config_validate analog,
+    radio.c:282)."""
+    cfg = load_config("""
+[global]
+hardware = sig_gen
+mode = usb
+mesh = no
+fail-deadline = 0
+dyn-slots = 2
+prealloc = usb
+wisdom = /tmp/x
+[sig_gen]
+device = sig_gen
+samprate = 512k
+complex = yes
+[ch]
+mode = usb
+samprate = 12k
+freq = 100k0
+""")
+    bad = [w for w in cfg.warnings if "unknown key" in w]
+    assert not bad, bad
+
+
 def test_config_fuzz_never_crashes_uncleanly():
     """Hostile config text must either load or raise a clean ValueError /
     configparser error — never TypeError/KeyError/etc. (config_validate

@@ -539,3 +539,19 @@ freq = 32k0
     assert rd.chans[ssrc].freq == 31_000.0
     assert rd.step_block() is not None or rd.step_block() is not None
     tx.close()
+
+
+def test_realtime_pacing(radiod):
+    """P7 analog: `run(realtime=True)` paces blocks to the wall clock the
+    way the reference's A/D stream does (sig_gen.c:269-363 paces itself;
+    SCHED_FIFO keeps the chain ahead of it). The run must take at least
+    the RF time it emitted and keep per-block compute stats."""
+    rd = radiod
+    bt = rd.cfg.blocktime
+    t0 = time.monotonic()
+    rd.run(nblocks=8, realtime=True)
+    elapsed = time.monotonic() - t0
+    assert elapsed >= 8 * bt * 0.9, (elapsed, bt)
+    # tracing/profiling stats are live (main.c:151-188 analog)
+    assert rd.t_min <= rd.t_avg <= rd.t_max
+    assert rd.t_max < 8 * bt + 5.0

@@ -56,13 +56,19 @@ freq = 100k3
 # clients must NOT grab the TPU: CPU platform, no axon registration
 CLIENT_ENV = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
 
+# the daemon MUST: strip the CPU forcing tests/conftest.py exported into
+# this process's environ (and its 8-host-device XLA flag) so the subprocess
+# comes up on the ambient axon platform
+DAEMON_ENV = {k: v for k, v in os.environ.items()
+              if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+
 
 def test_tpu_daemon_end_to_end(tmp_path):
     conf = tmp_path / "live.conf"
     conf.write_text(CONF)
     log = open(tmp_path / "radiod.log", "wb")
     rd = subprocess.Popen(
-        ["radiod-tpu", str(conf), "-v"], stdout=log, stderr=log)
+        ["radiod-tpu", str(conf), "-v"], stdout=log, stderr=log, env=DAEMON_ENV)
     try:
         # wait for audio to actually flow (compile can take minutes cold)
         from ka9q_radio_tpu.net.multicast import resolve_dest, listen_socket
