@@ -5,8 +5,19 @@
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+
+def _parse_restart(v) -> float | None:
+    """`restart =` global key: no/yes/<seconds>. None = don't restart."""
+    s = str(v).strip().lower()
+    if s in ("", "no", "n", "false", "off", "never"):
+        return None
+    if s in ("yes", "y", "true", "on", "always"):
+        return 10.0
+    return max(0.0, float(s))
 
 
 def main(argv=None) -> int:
@@ -37,12 +48,43 @@ def main(argv=None) -> int:
     cfg = load_config(args.config)
     for w in cfg.warnings:
         print(f"config: {w}", file=sys.stderr)
-    rd = Radiod(cfg, use_network=not args.no_network)
+
+    # `restart = yes|<sec>`: on a fatal failure (fail-deadline exceeded, or
+    # a startup that can't land a compile), re-exec a FRESH interpreter —
+    # the analog of the reference's systemd `Restart=always` units
+    # (service/radiod@.service). A fresh process matters beyond crash
+    # hygiene: a failed remote compile poisons its jax process permanently
+    # (even cached programs then fail), while a new interpreter runs the
+    # warmed compilation cache fine. Only armed for real CLI invocations
+    # (argv is None) — programmatic main(argv) callers get the exception.
+    restart_sec = _parse_restart(cfg.options.get("restart", "no"))
+
+    def _fatal(e: BaseException):
+        if restart_sec is None or argv is not None:
+            raise e
+        n = int(os.environ.get("KA9Q_RESTART_COUNT", "0")) + 1
+        print(f"radiod-tpu: fatal: {type(e).__name__}: "
+              f"{str(e).splitlines()[0][:200] if str(e) else ''} — "
+              f"restart #{n} in {restart_sec:.0f}s",
+              file=sys.stderr, flush=True)
+        time.sleep(restart_sec)
+        os.environ["KA9Q_RESTART_COUNT"] = str(n)
+        # module invocation is invariant to how generation 0 was launched
+        # (console script, python -m, -c wrapper); execv keeps our environ
+        os.execv(sys.executable,
+                 [sys.executable, "-m", "ka9q_radio_tpu.cli.radiod"] + sys.argv[1:])
+
+    try:
+        rd = Radiod(cfg, use_network=not args.no_network)
+    except KeyboardInterrupt:
+        return 0
+    except Exception as e:
+        _fatal(e)
+        raise
     # unconditional banner (main.c prints version/config on startup);
     # also the cue that the SIGUSR1/2 verbosity handlers are armed
     print(f"radiod-tpu: {len(rd.chans)} channels ready", file=sys.stderr, flush=True)
     if args.checkpoint:
-        import os
         if os.path.exists(args.checkpoint) and rd.load_checkpoint(args.checkpoint):
             print(f"resumed from {args.checkpoint} at block {rd.blocks}", file=sys.stderr)
     if _Verb.level:
@@ -68,6 +110,9 @@ def main(argv=None) -> int:
                 last_ckpt = time.monotonic()
     except KeyboardInterrupt:
         pass
+    except Exception as e:
+        _fatal(e)
+        raise
     if _Verb.level:
         dt = time.monotonic() - t0
         print(f"{rd.blocks} blocks in {dt:.2f}s "

@@ -141,7 +141,7 @@ _GLOBAL_KEYS = {
     "advertise", "rds", "native-edge", "description", "rtcp-interval",
     "spectrum-format", "spectrum-base", "spectrum-step", "iface", "matmul", "sap",
     "fft-threads", "fft-plan-level", "dns", "tos", "spurs",
-    "mesh", "fail-deadline", "dyn-slots", "prealloc",
+    "mesh", "fail-deadline", "dyn-slots", "prealloc", "restart",
 }
 
 _GROUP_KEYS = {

@@ -401,3 +401,47 @@ def test_showpkt_accounts_drops_and_dupes(capsys):
     assert "pkts        6" in last.replace("pkts  ", "pkts ") or "6" in last.split("pkts")[1].split("drops")[0]
     assert int(last.split("drops")[1].split("dupes")[0]) == 2
     assert int(last.split("dupes")[1].split("bytes")[0]) == 1
+
+def test_radiod_restart_on_fatal(tmp_path):
+    """`restart = 0` re-execs the daemon in a fresh interpreter on a fatal
+    error (systemd Restart=always analog; also the only recovery from a
+    compile-poisoned jax process). A feeder-less config is fatal on the
+    first block, so each generation prints its banner then restarts."""
+    import subprocess
+    import sys
+    import threading
+    import time
+
+    conf = tmp_path / "restart.conf"
+    conf.write_text("""
+[global]
+hardware = feeder
+restart = 0
+[feeder]
+samprate = 128k
+complex = yes
+[hf]
+mode = usb
+samprate = 8k
+freq = 32k0
+""")
+    env = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+           "KA9Q_RESTART_COUNT": "0"}
+    p = subprocess.Popen(
+        [sys.executable, "-m", "ka9q_radio_tpu.cli.radiod", str(conf)],
+        env=env, stderr=subprocess.PIPE, text=True)
+    lines = []
+    t = threading.Thread(target=lambda: [lines.append(l) for l in p.stderr], daemon=True)
+    t.start()
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline and not any("restart #2" in l for l in lines):
+            if p.poll() is not None:
+                break
+            time.sleep(0.5)
+        restarts = [l for l in lines if "restart #" in l]
+        assert any("restart #2" in l for l in restarts), lines[-6:]
+        assert sum("channels ready" in l for l in lines) >= 2, lines[-6:]
+    finally:
+        p.kill()
+        p.wait(5)
