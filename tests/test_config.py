@@ -215,3 +215,40 @@ freq = 100k3
         attempt(base.replace("usb", v))
         attempt(base.replace("512k", v))
         attempt(base.replace("yes", v))
+
+
+def test_service_units_reference_real_tools():
+    """Every ExecStart in service/*.service must invoke a console script
+    this package installs, with long flags its argparse actually defines
+    (deploy-artifact analog of the reference's service/ templates)."""
+    import configparser
+    import glob
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    scripts = {}  # name -> module path
+    for line in open(os.path.join(root, "pyproject.toml")):
+        m = re.match(r'([\w-]+) = "([\w.]+):\w+"', line.strip())
+        if m:
+            scripts[m.group(1)] = m.group(2)
+    assert scripts, "pyproject console scripts parse failed"
+
+    units = glob.glob(os.path.join(root, "service", "*.service"))
+    assert len(units) >= 6
+    for unit in units:
+        cp = configparser.ConfigParser(strict=False, interpolation=None)
+        cp.read(unit)
+        assert cp.has_section("Service") and cp.has_section("Install"), unit
+        for key in ("ExecStart", "ExecStartPre"):
+            if not cp.has_option("Service", key):
+                continue
+            cmd = cp.get("Service", key).lstrip("-").split()
+            tool = os.path.basename(cmd[0])
+            assert tool in scripts, f"{unit}: unknown tool {tool}"
+            src = open(os.path.join(
+                root, scripts[tool].replace(".", os.sep) + ".py")).read()
+            for arg in cmd[1:]:
+                if arg.startswith("--"):
+                    flag = arg.split("=")[0]
+                    assert f'"{flag}"' in src, f"{unit}: {tool} lacks {flag}"

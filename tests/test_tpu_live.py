@@ -36,7 +36,8 @@ status = tpulive-{UNIQ}-st.local
 data = tpulive-{UNIQ}-pcm.local
 update = 10
 ttl = 0
-fail-deadline = 0
+fail-deadline = 45
+restart = 5
 wisdom = /tmp/ka9q_radio_tpu_xla_cache
 
 [sig_gen]
