@@ -38,7 +38,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from .fft import plan_split
 
@@ -98,7 +98,7 @@ class DigitMaster:
             return jnp.fft.fft(Bt, axis=1)  # C[k1_local, k2]
 
         fn = shard_map(body, mesh=self.mesh, in_specs=P(ax, None),
-                       out_specs=P(ax, None), check_rep=False)
+                       out_specs=P(ax, None), check_vma=False)
         return fn(x.reshape(n1, n2)).astype(jnp.complex64)
 
     # -- gathers -------------------------------------------------------------
@@ -128,7 +128,7 @@ class DigitMaster:
         out_spec = P(ax, *([None] * (idx.ndim - 1))) if scatter else P(*([None] * idx.ndim))
         fn = shard_map(body, mesh=self.mesh,
                        in_specs=(P(ax, None), P(*([None] * idx.ndim))),
-                       out_specs=out_spec, check_rep=False)
+                       out_specs=out_spec, check_vma=False)
         return fn(Zd, idx.astype(jnp.int32))
 
     def notch(self, Zd, bins: np.ndarray, track):
@@ -147,7 +147,7 @@ class DigitMaster:
             return zl
 
         fn = shard_map(body, mesh=self.mesh, in_specs=(P(ax, None), P()),
-                       out_specs=P(ax, None), check_rep=False)
+                       out_specs=P(ax, None), check_vma=False)
         return fn(Zd, track)
 
 

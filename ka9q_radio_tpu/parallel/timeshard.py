@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.filterbank import MasterConfig
 
@@ -62,5 +62,5 @@ def batch_master_fft(cfg: MasterConfig, tail, blocks, mesh: Mesh, axis: str = "c
         return new_tail, F[None].astype(jnp.complex64)
 
     fn = shard_map(body, mesh=mesh, in_specs=(P(), P(axis, None)),
-                   out_specs=(P(), P(axis, None)), check_rep=False)
+                   out_specs=(P(), P(axis, None)), check_vma=False)
     return fn(tail, blocks)
