@@ -148,11 +148,12 @@ def fm_demod(
     if threshold_extension_available:
         devmax_frac = FM_DEFAULTS["devmax"] / samprate
         clamped = jnp.clip(phase, -devmax_frac, devmax_frac)
-        p = jnp.abs(bb) ** 2
+        p = bb.real * bb.real + bb.imag * bb.imag
         w = jnp.where(p > 0, p / (p + FM_DEFAULTS["beta"] * noise[:, None]), 0.0)
         # first sample pairs with the PREVIOUS block's last sample, whose
         # weight derives from the carried phase_memory (fm.c:220-226)
-        p_prev0 = jnp.abs(state["phase_memory"]) ** 2
+        pm = state["phase_memory"]
+        p_prev0 = pm.real * pm.real + pm.imag * pm.imag
         w_prev0 = jnp.where(p_prev0 > 0, p_prev0 / (p_prev0 + FM_DEFAULTS["beta"] * noise), 0.0)
         w_prev = jnp.concatenate([w_prev0[:, None], w[:, :-1]], axis=1)
         ext = clamped * w * w_prev

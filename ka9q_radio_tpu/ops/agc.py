@@ -64,7 +64,7 @@ def agc_block(
     gain = state["gain"]
     hang = state["hangcount"]
 
-    power = jnp.abs(bb) ** 2  # [C, N]
+    power = bb.real * bb.real + bb.imag * bb.imag  # [C, N] (no sqrt-then-square)
     # 2 ms sub-block peak RMS amplitude (linear.c:227-245)
     sps = min(max(int(round(N * 0.002 / blocktime)), 1), N)
     nslices = max(N // sps, 1)  # degenerate short blocks: one slice

@@ -7,13 +7,16 @@ bins around each channel, find the 10% quantile, average the bins below
 exponential-distribution correction factor for the truncated mean.
 
 The reference quickselects per channel per block on a CPU thread; here the
-whole channel group does one batched sort on [C, nbins] — sorts are cheap on
-TPU relative to the FFTs, and the result feeds squelch/AGC/SNR exactly as in
-the reference.
+whole channel group needs only the NQ-quantile VALUE, so we take the k
+smallest energies per row with `lax.top_k` (k = floor(NQ*(nbins-1))+2)
+instead of fully sorting [C, nbins] — identical results (only the values
+are used, so ties are irrelevant) at a fraction of the bitonic-sort passes.
+The result feeds squelch/AGC/SNR exactly as in the reference.
 """
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 __all__ = ["NQ", "N_CUTOFF", "POWER_ALPHA", "MIN_NOISE_BINS", "noise_correction", "estimate_noise", "gather_noise_bins"]
@@ -70,14 +73,19 @@ def estimate_noise(energies, master_bins: int, samprate: float):
     Returns [C] float32 N0 estimates.
     """
     nbins = energies.shape[-1]
-    srt = jnp.sort(energies, axis=-1)
-    # linear-interpolated NQ quantile (radio.c quantile())
+    # linear-interpolated NQ quantile (radio.c quantile()) from the k
+    # smallest values only — top_k of the negated energies; bit-identical
+    # to a full sort since only order statistics i and i+1 are read
     pos = NQ * (nbins - 1)
     i = int(np.floor(pos))
     frac = pos - i
-    q = srt[..., i] * (1.0 - frac) + srt[..., min(i + 1, nbins - 1)] * frac
+    k = min(i + 2, nbins)
+    neg_small, _ = jax.lax.top_k(-energies, k)
+    q = (-neg_small[..., i]) * (1.0 - frac) + (-neg_small[..., min(i + 1, k - 1)]) * frac
     thresh = N_CUTOFF * q
     mask = energies <= thresh[..., None]
     count = jnp.maximum(jnp.sum(mask, axis=-1), 1)
     mean = jnp.sum(jnp.where(mask, energies, 0.0), axis=-1) / count
-    return (mean * noise_correction() / (master_bins * samprate)).astype(jnp.float32)
+    # float() so the bins*rate product stays a Python float: as an int it
+    # can exceed int32 range and jax (x64 off) rejects the weak-typed scalar
+    return (mean * noise_correction() / (float(master_bins) * float(samprate))).astype(jnp.float32)
