@@ -62,3 +62,30 @@ def test_window_clamped_at_band_edges():
     n0 = estimate_noise(e, cfg.bins, FS)
     assert np.all(np.isfinite(np.asarray(n0)))
     assert np.all(np.asarray(n0) > 0)
+
+
+def test_topk_quantile_matches_full_sort():
+    """estimate_noise's top_k order statistics must be bit-identical to a
+    full sort (only the quantile VALUES are read, so ties are irrelevant)."""
+    from ka9q_radio_tpu.ops.noise import NQ, N_CUTOFF, noise_correction
+
+    def sort_reference(energies, master_bins, samprate):
+        nbins = energies.shape[-1]
+        srt = jnp.sort(energies, axis=-1)
+        pos = NQ * (nbins - 1)
+        i = int(np.floor(pos))
+        frac = pos - i
+        q = srt[..., i] * (1.0 - frac) + srt[..., min(i + 1, nbins - 1)] * frac
+        thresh = N_CUTOFF * q
+        mask = energies <= thresh[..., None]
+        count = jnp.maximum(jnp.sum(mask, axis=-1), 1)
+        mean = jnp.sum(jnp.where(mask, energies, 0.0), axis=-1) / count
+        return (mean * noise_correction() / (float(master_bins) * float(samprate))).astype(jnp.float32)
+
+    rng = np.random.default_rng(7)
+    for C, W in [(16, 1000), (3, 300), (2, 11), (1, 5)]:
+        e = rng.exponential(1e-7, (C, W)).astype(np.float32)
+        e[0, : min(3, W)] = 0.0  # ties at the bottom
+        a = np.asarray(estimate_noise(jnp.asarray(e), 1_620_001, 129.6e6))
+        b = np.asarray(sort_reference(jnp.asarray(e), 1_620_001, 129.6e6))
+        np.testing.assert_array_equal(a, b)
