@@ -106,6 +106,16 @@ def main() -> None:
         noise = jax.random.normal(key, (K, eng.L, 2), jnp.float32) * 1e-3
         blocks = (noise[..., 0] + 1j * noise[..., 1]).astype(jnp.complex64)
 
+    # R repetitions of the K-block scan inside ONE dispatch (the carried
+    # state differs each pass, so no two iterations are CSE-able): R*K=512
+    # blocks per dispatch keeps the device busy tens of ms, amortizing the
+    # tunnel's per-dispatch latency across 512 blocks. Each timing span is
+    # closed by a d2h fetch of the scalar checksum: over the axon tunnel,
+    # block_until_ready can return BEFORE device execution completes (a
+    # phantom barrier that once inflated this bench ~10-50x), but a value
+    # fetch cannot.
+    R = 64
+
     def run_k(state, params, blocks):
         def body(carry, blk):
             st, acc = carry
@@ -116,10 +126,16 @@ def main() -> None:
                 acc = acc + jnp.sum(g["audio"])
             return (st, acc), None
 
-        (state, acc), _ = jax.lax.scan(body, (state, jnp.float32(0)), blocks)
+        def rep(_, carry):
+            carry, _ = jax.lax.scan(body, carry, blocks)
+            return carry
+
+        state, acc = jax.lax.fori_loop(0, R, rep, (state, jnp.float32(0)))
         return state, acc
 
-    runk = jax.jit(run_k, donate_argnums=0)
+    # no donation: a span retry after a failed d2h fetch must be able
+    # to reuse the same state buffers
+    runk = jax.jit(run_k)
 
     # compile + warmup; the remote-TPU tunnel can throw transient
     # UNIMPLEMENTED backend errors in bouts — retry with backoff
@@ -137,16 +153,24 @@ def main() -> None:
     state, acc = runk(state, params, blocks)
     jax.block_until_ready(acc)
 
-    # best of 3 spans: the tunnel's dispatch jitter only ever ADDS time,
-    # so the minimum is the robust estimate of sustained device throughput
-    iters = 8
+    # best of 4 spans: tunnel jitter only ever ADDS time, so the minimum
+    # is the robust estimate of sustained device throughput; float(acc) is
+    # the strict execution barrier (see above)
     dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, acc = runk(state, params, blocks)
-        jax.block_until_ready(acc)
-        dt = min(dt, (time.perf_counter() - t0) / (iters * K))
+    for _ in range(4):
+        for attempt in range(6):
+            try:
+                t0 = time.perf_counter()
+                new_state, acc = runk(state, params, blocks)
+                checksum = float(acc)
+                el = time.perf_counter() - t0
+                state = new_state
+                break
+            except Exception:
+                if attempt == 5:
+                    raise
+                time.sleep(15.0)
+        dt = min(dt, el / (R * K))
 
     sps = eng.L / dt  # sustained front-end samples/s
     msps = sps / 1e6
