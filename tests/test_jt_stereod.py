@@ -33,9 +33,14 @@ def _stream_tone(dest, seconds, fs=12_000, ssrc=4, freq=700.0, realtime=False):
     tx.close()
 
 
-def test_jt_decoded_cycle_clips(tmp_path):
+def test_jt_decoded_cycle_clips(tmp_path, monkeypatch):
     """Clips are UTC-cycle aligned and the decoder hook fires per clip."""
     from ka9q_radio_tpu.cli.jt_decoded import main
+
+    # the spawned {exec} child is a python interpreter: skip the multi-second
+    # axon pool registration at its interpreter start or it can miss the
+    # marker deadline (same trap as test_pcmrecord2)
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "")
 
     stream = f"jt-{UNIQ}.local"
     marker = tmp_path / "decoded.txt"
@@ -53,7 +58,7 @@ def test_jt_decoded_cycle_clips(tmp_path):
     clips = sorted(tmp_path.glob("*.wav"))
     assert clips, "no clips written"
     # a completed 7.5 s FT4 cycle spawned the decoder with the clip path
-    deadline = time.monotonic() + 5
+    deadline = time.monotonic() + 15
     while time.monotonic() < deadline and not marker.exists():
         time.sleep(0.2)
     assert marker.exists()
