@@ -80,17 +80,21 @@ def main() -> None:
         eng = _E(samprate=eng.samprate, real=eng.master.real,
                  groups=eng.specs, blocktime=eng.blocktime, use_matmul=True)
 
+    import os
+
+    give_up = time.monotonic() + float(os.environ.get("KA9Q_BENCH_RETRY_S", "720"))
+
     def _init_state():
-        # the tunnel can flake on any first dispatch — retry with backoff
-        for attempt in range(6):
+        # the tunnel can flake on any first dispatch — retry until deadline
+        while True:
             try:
                 st = jax.jit(eng.init_state)()
                 jax.block_until_ready(st)
                 return st
             except Exception:
-                if attempt == 5:
+                if time.monotonic() > give_up:
                     raise
-                time.sleep(15.0)
+                time.sleep(20.0)
 
     state = _init_state()
     params = eng.init_params()
@@ -137,40 +141,37 @@ def main() -> None:
     # to reuse the same state buffers
     runk = jax.jit(run_k)
 
-    # compile + warmup; the remote-TPU tunnel can throw transient
-    # UNIMPLEMENTED backend errors in bouts — retry with backoff
-    for attempt in range(6):
-        try:
-            state, acc = runk(state, params, blocks)
-            jax.block_until_ready(acc)
-            break
-        except Exception:
-            if attempt == 5:
-                raise
-            time.sleep(15.0)
-            state = _init_state()
-            params = eng.init_params()
-    state, acc = runk(state, params, blocks)
-    jax.block_until_ready(acc)
-
-    # best of 4 spans: tunnel jitter only ever ADDS time, so the minimum
-    # is the robust estimate of sustained device throughput; float(acc) is
-    # the strict execution barrier (see above)
-    dt = float("inf")
-    for _ in range(4):
-        for attempt in range(6):
+    # The tunnel's UNIMPLEMENTED bouts can outlast any fixed attempt count,
+    # so every device interaction retries under one shared TIME budget
+    # (default 12 min, KA9Q_BENCH_RETRY_S to override); persistent failures
+    # rebuild state/params in case buffers were lost with the bout.
+    def timed_span():
+        nonlocal state, params
+        while True:
             try:
                 t0 = time.perf_counter()
                 new_state, acc = runk(state, params, blocks)
-                checksum = float(acc)
+                float(acc)  # strict d2h execution barrier
                 el = time.perf_counter() - t0
                 state = new_state
-                break
+                return el
             except Exception:
-                if attempt == 5:
+                if time.monotonic() > give_up:
                     raise
-                time.sleep(15.0)
-        dt = min(dt, el / (R * K))
+                time.sleep(20.0)
+                try:
+                    state = _init_state()
+                    params = eng.init_params()
+                except Exception:
+                    pass
+
+    timed_span()  # compile
+    timed_span()  # warmup (steady-state buffers)
+
+    # best of 4 spans: tunnel jitter only ever ADDS time, so the minimum
+    # is the robust estimate of sustained device throughput; the span is
+    # closed by a d2h value fetch (see above)
+    dt = min(timed_span() for _ in range(4)) / (R * K)
 
     sps = eng.L / dt  # sustained front-end samples/s
     msps = sps / 1e6
