@@ -98,6 +98,10 @@ class RadiodConfig:
     options: dict[str, str]  # remaining [global] keys (status/data names, ttl...)
     warnings: list = dataclasses.field(default_factory=list)  # unknown keys etc.
     source_path: "str | None" = None  # file the config came from (fft.log)
+    # front-end center frequency (the reference's Frontend.frequency,
+    # `frequency =` in the hardware section): dial RF maps to IF =
+    # freq - center. 0 (default) = direct/baseband addressing.
+    center: float = 0.0
 
 
 def _expand_freqs(sec: dict[str, str]) -> list[tuple[float, float]]:
@@ -133,7 +137,7 @@ def _expand_freqs(sec: dict[str, str]) -> list[tuple[float, float]]:
 _CHANNEL_ONLY_KEYS = {
     "mode", "preset", "ssrc", "freq", "raster", "except", "tone", "pl",
     "ctcss", "filter2", "encoding", "block", "update", "ttl", "data",
-    "lifetime", "prio",
+    "lifetime", "prio", "disable",
 }
 _GLOBAL_KEYS = {
     "hardware", "status", "data", "mode", "preset", "ttl", "blocktime",
@@ -240,7 +244,7 @@ def _build_group(name: str, settings: dict[str, Any], freqs: list[tuple[float, f
     return GroupSpec(**kw)
 
 
-def _build_source(sec: dict[str, str]) -> SigGenConfig:
+def _build_source(sec: dict[str, str], center: float = 0.0) -> SigGenConfig:
     from ..utils.units import dB_to_power
 
     real = parse_bool(sec.get("real", "y")) and not parse_bool(sec.get("complex", "n"))
@@ -264,7 +268,9 @@ def _build_source(sec: dict[str, str]) -> SigGenConfig:
     return SigGenConfig(
         samprate=fs,
         real=real,
-        carrier_hz=parse_frequency(sec.get("carrier", "10m0")),
+        # the generator works in IF: a carrier dialed at RF c lands at
+        # c - center (sig_gen.c:224 offsets by frontend->frequency)
+        carrier_hz=parse_frequency(sec.get("carrier", "10m0")) - center,
         amplitude=float(10.0 ** (amp_db / 20.0)),
         noise_n0=n0,
         am_depth=0.3 if str(sec.get("modulation", "")).lower() == "am" else 0.0,
@@ -312,13 +318,18 @@ def load_config(text_or_path: str, presets: dict[str, dict] | None = None) -> Ra
     source = None
     samprate = 0.0
     real = True
+    center = 0.0
     if hw_name:
         if hw_name not in ini:
             raise ValueError(f"hardware section [{hw_name}] missing")
         hw = ini[hw_name]
         device = hw.get("device", hw_name).strip().strip('"').lower()
+        # `frequency =` is the front-end center (Frontend.frequency): dial
+        # RF maps to IF = freq - center (for network/file ingest, the
+        # center the STREAM was captured at)
+        center = float(parse_frequency(hw.get("frequency", 0.0))) if "frequency" in hw else 0.0
         if device == "sig_gen":
-            source = _build_source(hw)
+            source = _build_source(hw, center)
             samprate, real = source.samprate, source.real
         elif device == "file":
             samprate = parse_frequency(hw.get("samprate", "0"))
@@ -353,6 +364,8 @@ def load_config(text_or_path: str, presets: dict[str, dict] | None = None) -> Ra
             continue
         if "device" in sec:
             continue  # another hardware section
+        if parse_bool(str(sec.get("disable", "no"))):
+            continue  # disable = yes keeps the section on file (radio.c:541)
         freqs = _expand_freqs(sec)
         if not freqs:
             continue  # pure template/disabled section
@@ -387,4 +400,5 @@ def load_config(text_or_path: str, presets: dict[str, dict] | None = None) -> Ra
         options={k: v for k, v in g.items() if k not in ("blocktime", "overlap", "hardware")},
         warnings=warnings,
         source_path=source_path,
+        center=center,
     )

@@ -199,7 +199,7 @@ class _Group:
     """Host-side compiled geometry + initial params for one GroupSpec."""
 
     def __init__(self, spec: GroupSpec, master: MasterConfig, samprate: float, blocktime: float,
-                 use_matmul: bool = False):
+                 use_matmul: bool = False, center: float = 0.0):
         # host->device placement for params leaves; sharded engines set
         # `placement` (Engine.__init__) so retune/set_edges surgery
         # preserves the channel-axis sharding and stays recompile-free
@@ -210,6 +210,9 @@ class _Group:
         self.use_matmul = use_matmul
         self.fs_in = samprate
         self.blocktime = blocktime
+        # front-end center: dial RF -> IF is freq - center (the reference's
+        # Frontend.frequency, radio.c:1479: second_LO = frequency - freq)
+        self.center = float(center)
         r = int(spec.samprate)
         fs = int(round(samprate))
         N, L = master.N, master.L
@@ -265,7 +268,7 @@ class _Group:
         incs = np.zeros(self.C, np.int32)
         adjs = np.zeros(self.C, np.int32)
         for i, f in enumerate(freqs):
-            shift, rem, ok = compute_tuning(N, fs, float(f))
+            shift, rem, ok = compute_tuning(N, fs, float(f) - self.center)
             if not ok:
                 raise ValueError(f"freq {f} outside front-end coverage")
             shifts[i] = shift
@@ -424,7 +427,7 @@ class _Group:
         radio.c:1140-1175). Pure host-side array surgery — the jitted step
         sees only new tensor values, so NO recompilation happens."""
         N, L, fs = self.master.N, self.master.L, self.fs_in
-        shift, rem, ok = compute_tuning(N, fs, float(freq))
+        shift, rem, ok = compute_tuning(N, fs, float(freq) - self.center)
         if not ok:
             raise ValueError(f"freq {freq} outside front-end coverage")
         self.host["shifts"][idx] = np.int32(shift)
@@ -597,6 +600,7 @@ class Engine:
         spurs: "Sequence[float] | None" = None,
         mesh=None,
         shard_axis: str = "c",
+        center: float = 0.0,
     ):
         """mesh: a jax.sharding.Mesh to run multi-chip. The master FFT runs
         as the distributed digit-order transform (parallel.master, two
@@ -607,6 +611,9 @@ class Engine:
         self.master = MasterConfig.from_rate(samprate, blocktime, overlap, real)
         self.samprate = float(samprate)
         self.blocktime = blocktime
+        # front-end center frequency: dial RF maps to IF = freq - center
+        # (Frontend.frequency; 0 for direct-sampling real streams)
+        self.center = float(center)
         self.mesh = mesh
         self.shard_axis = shard_axis
         self.digit = None
@@ -618,7 +625,8 @@ class Engine:
         names = [g.name for g in groups]
         if len(set(names)) != len(names):
             raise ValueError("duplicate group names")
-        self.groups = {g.name: _Group(g, self.master, self.samprate, blocktime, use_matmul)
+        self.groups = {g.name: _Group(g, self.master, self.samprate, blocktime, use_matmul,
+                                      center=self.center)
                        for g in groups}
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

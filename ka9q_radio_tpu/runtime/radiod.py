@@ -154,6 +154,7 @@ class Radiod:
             samprate=cfg.samprate, real=cfg.real, groups=cfg.groups,
             blocktime=cfg.blocktime, overlap=cfg.overlap,
             use_matmul=use_matmul, spurs=spurs, mesh=self._mesh,
+            center=getattr(cfg, "center", 0.0),
         )
         # initial state built INSIDE jit: remote-TPU tunnels (axon) are
         # unreliable for eager device ops; compiled programs are the solid path
@@ -811,7 +812,8 @@ class Radiod:
                          groups=specs, blocktime=self.cfg.blocktime,
                          overlap=self.cfg.overlap,
                          use_matmul=self.engine.use_matmul,
-                         spurs=self._spurs, mesh=self._mesh)
+                         spurs=self._spurs, mesh=self._mesh,
+                         center=self.engine.center)
         new_init = jax.jit(new_eng.init_state)()
         new_state = jax.jit(migrate_state)(self.state, new_init)
         new_params = new_eng.adopt_host_params(old)
@@ -1155,9 +1157,12 @@ class Radiod:
             T.OUTPUT_ERRORS: self.output_errors,
             T.OUTPUT_TTL: (spec.ttl if spec.ttl is not None
                            else int(self.cfg.options.get("ttl", 1))),
-            # front-end coverage edges (the park/unpark bound, radio.c:1472)
+            # front-end coverage edges, IF-relative like the reference's
+            # min_IF/max_IF (the park/unpark bound, radio.c:1472), and the
+            # front-end center (radio_status.c:746)
             T.FE_LOW_EDGE: 0.0 if self.engine.master.real else -self.engine.samprate / 2,
             T.FE_HIGH_EDGE: self.engine.samprate / 2,
+            T.FIRST_LO_FREQUENCY: self.engine.center,
             # frontend calibration/gain chain (zeros for synthetic/RTP FEs)
             T.CALIBRATE: float(getattr(self.frontend, "calibrate", 0.0)),
             T.RF_LEVEL_CAL: float(getattr(self.frontend, "rf_level_cal", 0.0)),
