@@ -39,6 +39,9 @@ __all__ = [
     "MasterConfig",
     "master_init",
     "master_fft",
+    "master_transform",
+    "split_fft",
+    "plan_split_single",
     "gather_bins",
     "channelize",
     "finish_channelize",
@@ -57,11 +60,21 @@ class MasterConfig:
     L: new samples consumed per block (ilen = samprate * blocktime)
     M: impulse-response length; M-1 samples of context carried between blocks
     real: True for real A/D streams (rx888 etc.), False for complex IQ
+    split: (n1, n2) four-step Cooley-Tukey plan for the forward transform,
+        or None for XLA's monolithic FFT. On TPU the monolithic kernel
+        collapses at radiod sizes (measured 275 ms for the N=3,240,000
+        rof3240000 transform on v5e vs 6 ms for the same transform as
+        batched 1800-point FFTs + twiddle + transpose — a 45x difference),
+        so from_rate() plans a split automatically for large N. The split
+        transform is the single-device form of parallel/fft.py's six-step;
+        the reference hits the same wall and solves it with FFTW wisdom
+        (docs/FFTW3.md:4-7,57-61).
     """
 
     L: int
     M: int
     real: bool = True
+    split: "tuple[int, int] | None" = None
 
     @property
     def N(self) -> int:
@@ -78,11 +91,86 @@ class MasterConfig:
         return 1 + self.L // (self.M - 1)
 
     @classmethod
-    def from_rate(cls, samprate: float, blocktime: float = 0.02, overlap: int = 5, real: bool = True):
-        """Size L, M from sample rate and block time (radio.c:644-652)."""
+    def from_rate(cls, samprate: float, blocktime: float = 0.02, overlap: int = 5, real: bool = True,
+                  fft: str = "auto"):
+        """Size L, M from sample rate and block time (radio.c:644-652).
+
+        fft: "auto" plans a four-step split when it pays (large N),
+        "split" forces it (error if N has no usable factorization),
+        "monolithic" forces XLA's one-shot FFT.
+        """
         L = int(round(samprate * blocktime))
         M = L // (overlap - 1) + 1
-        return cls(L=L, M=M, real=real)
+        N = L + M - 1
+        split = None
+        if fft == "auto":
+            split = plan_split_single(N) if N >= _SPLIT_MIN_N else None
+        elif fft == "split":
+            split = plan_split_single(N)
+            if split is None:
+                raise ValueError(f"fft=split: N={N} has no usable n1*n2 factorization")
+        elif fft != "monolithic":
+            raise ValueError(f"fft={fft!r}: expected auto|split|monolithic")
+        return cls(L=L, M=M, real=real, split=split)
+
+
+# below this, XLA's monolithic FFT is fine and bit-stability with the
+# historical path is preserved; above it, the four-step split wins by an
+# order of magnitude on TPU (see MasterConfig.split)
+_SPLIT_MIN_N = 1 << 18
+
+
+def plan_split_single(N: int) -> "tuple[int, int] | None":
+    """Pick N = n1*n2 near-square for the single-device four-step FFT.
+
+    None when no balanced factorization exists (prime-ish N) or when the
+    twiddle exponent k1*b could exceed f32's exact-integer range 2^24
+    (then the product k1*b, up to ~N, is no longer exact; a 3-factor
+    decomposition would be needed — same bound as parallel.master).
+    """
+    if N >= 1 << 24:
+        return None
+    n1 = next((d for d in range(int(np.sqrt(N)), 0, -1) if N % d == 0), 1)
+    n2 = N // n1
+    if n1 < 32 or n2 // n1 > 64:
+        return None  # too lopsided for the batched-FFT shape to help
+    return (n1, n2)
+
+
+def split_fft(z, n1: int, n2: int):
+    """FFT_{n1*n2} over the last axis via the four-step (Bailey) algorithm.
+
+    z: [..., n1*n2] complex64. View A[a, b] = z[a*n2 + b]; then
+    X[k1 + n1*k2] = FFT_{n2,b}( W_N^{b*k1} * FFT_{n1,a}(A)[k1, b] )[k2],
+    returned in natural order (one transpose). The batched n1/n2-point
+    FFTs map onto the TPU far better than one giant kernel. k1*b < 2^24
+    (guaranteed by plan_split_single) keeps the f32 twiddle phase exact;
+    mod-N reduction keeps its magnitude small.
+    """
+    N = n1 * n2
+    lead = z.shape[:-1]
+    A = z.reshape(*lead, n1, n2)
+    A1 = jnp.fft.fft(A, axis=-2)
+    k1 = jnp.arange(n1, dtype=jnp.float32)[:, None]
+    b = jnp.arange(n2, dtype=jnp.float32)[None, :]
+    phase = jnp.mod(k1 * b, np.float32(N))
+    tw = jnp.exp(np.complex64(-2j * np.pi / N) * phase).astype(jnp.complex64)
+    C = jnp.fft.fft(A1 * tw, axis=-1)  # C[..., k1, k2]
+    return jnp.swapaxes(C, -1, -2).reshape(*lead, N)
+
+
+def master_transform(cfg: MasterConfig, x):
+    """Forward transform of one assembled [..., N] window -> [..., bins]."""
+    if cfg.split is None:
+        return (jnp.fft.rfft(x) if cfg.real else jnp.fft.fft(x)).astype(jnp.complex64)
+    n1, n2 = cfg.split
+    if cfg.real:
+        # zero-imag complex four-step, keep the N/2+1 non-negative bins.
+        # (A packed half-length rfft exists but its Hermitian unpack is a
+        # full-length gather that costs more than the 2x it saves.)
+        F = split_fft(x.astype(jnp.complex64), n1, n2)
+        return F[..., : cfg.bins]
+    return split_fft(x, n1, n2)
 
 
 def master_init(cfg: MasterConfig):
@@ -107,12 +195,12 @@ def master_fft(cfg: MasterConfig, state, block):
       window [previous M-1 samples | block].
     """
     x = jnp.concatenate([state["tail"], block])
-    F = jnp.fft.rfft(x) if cfg.real else jnp.fft.fft(x)
+    F = master_transform(cfg, x)
     new_state = {
         "tail": x[cfg.L :],
         "jobnum": state["jobnum"] + 1,
     }
-    return new_state, F.astype(jnp.complex64)
+    return new_state, F
 
 
 def _signed_bins(n_bins: int) -> jnp.ndarray:

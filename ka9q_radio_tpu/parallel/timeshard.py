@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.filterbank import MasterConfig
+from ..ops.filterbank import MasterConfig, master_transform
 
 __all__ = ["batch_master_fft"]
 
@@ -55,11 +55,11 @@ def batch_master_fft(cfg: MasterConfig, tail, blocks, mesh: Mesh, axis: str = "c
         prev = jax.lax.ppermute(my_halo, axis, [(i, (i + 1) % D) for i in range(D)])
         prev = jnp.where(d == 0, tail_l, prev)
         x = jnp.concatenate([prev, blk[0]])
-        F = jnp.fft.rfft(x) if cfg.real else jnp.fft.fft(x)
+        F = master_transform(cfg, x)  # same plan as master_fft (bit-match)
         # the last device's halo becomes the next batch's carried context
         new_tail = jax.lax.psum(
             jnp.where(d == D - 1, my_halo, jnp.zeros_like(my_halo)), axis)
-        return new_tail, F[None].astype(jnp.complex64)
+        return new_tail, F[None]
 
     fn = shard_map(body, mesh=mesh, in_specs=(P(), P(axis, None)),
                    out_specs=(P(), P(axis, None)), check_vma=False)

@@ -601,6 +601,7 @@ class Engine:
         mesh=None,
         shard_axis: str = "c",
         center: float = 0.0,
+        fft: str = "auto",
     ):
         """mesh: a jax.sharding.Mesh to run multi-chip. The master FFT runs
         as the distributed digit-order transform (parallel.master, two
@@ -608,7 +609,7 @@ class Engine:
         group's bin gather reads only local shards + one psum_scatter over
         the channel axis. Every group's channel count must divide the mesh
         size. The single-device path is unchanged when mesh is None."""
-        self.master = MasterConfig.from_rate(samprate, blocktime, overlap, real)
+        self.master = MasterConfig.from_rate(samprate, blocktime, overlap, real, fft=fft)
         self.samprate = float(samprate)
         self.blocktime = blocktime
         # front-end center frequency: dial RF maps to IF = freq - center

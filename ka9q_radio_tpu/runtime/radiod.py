@@ -28,6 +28,7 @@ from typing import Any, Callable
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from ..config.loader import RadiodConfig
 from ..net.status import StatusType as T, PacketType, encode_status, decode_status
@@ -155,6 +156,7 @@ class Radiod:
             blocktime=cfg.blocktime, overlap=cfg.overlap,
             use_matmul=use_matmul, spurs=spurs, mesh=self._mesh,
             center=getattr(cfg, "center", 0.0),
+            fft=str(cfg.options.get("fft", "auto")).lower(),
         )
         # initial state built INSIDE jit: remote-TPU tunnels (axon) are
         # unreliable for eager device ops; compiled programs are the solid path
@@ -813,7 +815,8 @@ class Radiod:
                          overlap=self.cfg.overlap,
                          use_matmul=self.engine.use_matmul,
                          spurs=self._spurs, mesh=self._mesh,
-                         center=self.engine.center)
+                         center=self.engine.center,
+                         fft=str(self.cfg.options.get("fft", "auto")).lower())
         new_init = jax.jit(new_eng.init_state)()
         new_state = jax.jit(migrate_state)(self.state, new_init)
         new_params = new_eng.adopt_host_params(old)
@@ -1418,10 +1421,20 @@ class Radiod:
         import json
         import jax.tree_util as jtu
 
+        def fetch(leaf):
+            # complex64 d2h is unavailable over the axon tunnel (transfers
+            # of complex dtypes fail UNIMPLEMENTED); split to an f32 pair
+            # inside jit and recombine on the host
+            if jnp.iscomplexobj(leaf):
+                pair = jax.jit(lambda a: jnp.stack([a.real, a.imag], -1))(leaf)
+                h = np.asarray(pair)
+                return (h[..., 0] + 1j * h[..., 1]).astype(np.complex64)
+            return np.asarray(leaf)
+
         leaves = jtu.tree_flatten_with_path(self.state)[0]
         arrs = {}
         for kp, leaf in leaves:
-            arrs[jtu.keystr(kp)] = np.asarray(leaf)
+            arrs[jtu.keystr(kp)] = fetch(leaf)
         if self.source_state is not None:
             # sig_gen phase + PRNG (key arrays serialize via key_data)
             arrs["__src_phase__"] = np.asarray(self.source_state["phase"])

@@ -1,0 +1,99 @@
+"""Four-step split master FFT: exactness vs the monolithic transform.
+
+On TPU the monolithic large FFT is ~45x slower than the same transform as
+batched small FFTs (see MasterConfig.split); these tests pin the split
+path's numerics so the speedup never costs correctness.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ka9q_radio_tpu.ops.filterbank import (
+    MasterConfig, master_init, master_fft, master_transform,
+    split_fft, plan_split_single,
+)
+from ka9q_radio_tpu.runtime import ChannelSpec, GroupSpec, Engine
+
+
+@pytest.mark.parametrize("n1,n2", [(60, 60), (32, 125), (540, 600)])
+def test_split_fft_matches_numpy(n1, n2):
+    N = n1 * n2
+    rng = np.random.default_rng(3)
+    z = (rng.standard_normal(N) + 1j * rng.standard_normal(N)).astype(np.complex64)
+    got = np.asarray(split_fft(jnp.asarray(z), n1, n2))
+    want = np.fft.fft(z.astype(np.complex128))
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / scale < 2e-6
+
+
+def test_split_fft_batched():
+    n1, n2 = 36, 50
+    rng = np.random.default_rng(5)
+    z = (rng.standard_normal((3, n1 * n2)) + 1j * rng.standard_normal((3, n1 * n2))).astype(np.complex64)
+    got = np.asarray(split_fft(jnp.asarray(z), n1, n2))
+    want = np.fft.fft(z.astype(np.complex128), axis=-1)
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-6
+
+
+def test_plan_split_single():
+    assert plan_split_single(3_240_000) == (1800, 1800)
+    assert plan_split_single(1 << 24) is None  # twiddle exactness bound
+    assert plan_split_single(7919 * 2) is None  # hopelessly lopsided
+    n1, n2 = plan_split_single(1_620_000)
+    assert n1 * n2 == 1_620_000 and n1 <= n2
+
+
+@pytest.mark.parametrize("real", [True, False])
+def test_master_transform_split_vs_monolithic(real):
+    # forced split at a small N (auto only kicks in at >= 2^18)
+    mono = MasterConfig.from_rate(512_000, real=real, fft="monolithic")
+    split = MasterConfig.from_rate(512_000, real=real, fft="split")
+    assert split.split is not None and mono.split is None
+    assert split.N == mono.N
+    rng = np.random.default_rng(11)
+    if real:
+        x = rng.standard_normal(split.N).astype(np.float32)
+    else:
+        x = (rng.standard_normal(split.N) + 1j * rng.standard_normal(split.N)).astype(np.complex64)
+    a = np.asarray(master_transform(mono, jnp.asarray(x)))
+    b = np.asarray(master_transform(split, jnp.asarray(x)))
+    assert a.shape == b.shape
+    scale = np.max(np.abs(a))
+    assert np.max(np.abs(a - b)) / scale < 2e-6
+
+
+def test_flagship_auto_plans_split():
+    cfg = MasterConfig.from_rate(129_600_000, real=True)
+    assert cfg.split == (1800, 1800)
+    assert cfg.N == 3_240_000
+    # small rates stay monolithic (bit-stability of the historical path)
+    assert MasterConfig.from_rate(1_024_000, real=False).split is None
+
+
+def test_engine_audio_split_vs_monolithic():
+    """Same RF scene through fft=split and fft=monolithic engines: the
+    demodulated audio must agree to f32 roundoff. (AGC off: its threshold
+    decisions can legitimately diverge on sub-roundoff power deltas.)"""
+    FS = 2_048_000
+
+    def run(fft):
+        eng = Engine(samprate=FS, real=False, fft=fft, groups=[GroupSpec(
+            name="g", demod="linear", samprate=16_000, agc=False,
+            channels=(ChannelSpec(freq=300_000.0, low=50.0, high=3000.0,
+                                  gain_db=20.0),))])
+        state = jax.jit(eng.init_state)()
+        params = eng.init_params()
+        step = jax.jit(eng.step)
+        outs = []
+        n = eng.L
+        for b in range(6):
+            t = (b * n + np.arange(n)) / FS
+            x = (0.5 * np.exp(2j * np.pi * 300_700.0 * t)).astype(np.complex64)
+            state, out = step(state, params, jnp.asarray(x))
+            outs.append(np.asarray(out["g"]["audio"][0]))
+        return np.concatenate(outs)
+
+    a = run("monolithic")
+    b = run("split")
+    assert np.max(np.abs(a - b)) < 1e-4 * max(1.0, np.max(np.abs(a)))
