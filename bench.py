@@ -82,33 +82,49 @@ def main() -> None:
 
     import os
 
-    give_up = time.monotonic() + float(os.environ.get("KA9Q_BENCH_RETRY_S", "720"))
+    # shared across self-re-execs (see __main__): a poisoned jax client
+    # never recovers in-process, so the last-resort retry is a fresh
+    # interpreter with the remaining time budget
+    now = time.time()
+    deadline = float(os.environ.setdefault(
+        "KA9Q_BENCH_DEADLINE",
+        str(now + float(os.environ.get("KA9Q_BENCH_RETRY_S", "720")))))
+    give_up = time.monotonic() + max(60.0, deadline - now)
 
-    def _init_state():
-        # the tunnel can flake on any first dispatch — retry until deadline
+    def _init_state(max_fails: int = 4):
+        # the tunnel can flake on any first dispatch — a few in-process
+        # retries, then raise (a poisoned client needs the __main__ re-exec)
+        fails = 0
         while True:
             try:
                 st = jax.jit(eng.init_state)()
                 jax.block_until_ready(st)
                 return st
             except Exception:
-                if time.monotonic() > give_up:
+                fails += 1
+                if fails >= max_fails or time.monotonic() > give_up:
                     raise
                 time.sleep(20.0)
 
     state = _init_state()
     params = eng.init_params()
-    key = jax.random.PRNGKey(0)
     # time K chained blocks per dispatch (lax.scan over DISTINCT random
     # blocks — no loop-invariant input for the compiler to exploit) so
     # host<->device round trips don't pollute the measurement; audio is
-    # folded into a checksum so nothing is dead-code-eliminated
+    # folded into a checksum so nothing is dead-code-eliminated.
+    # Built INSIDE jit: eager device ops (notably complex construction)
+    # poison the axon tunnel client.
     K = 8
-    if eng.master.real:
-        blocks = jax.random.normal(key, (K, eng.L), jnp.float32) * 1e-3
-    else:
+
+    @jax.jit
+    def _mkblocks():
+        key = jax.random.PRNGKey(0)
+        if eng.master.real:
+            return jax.random.normal(key, (K, eng.L), jnp.float32) * 1e-3
         noise = jax.random.normal(key, (K, eng.L, 2), jnp.float32) * 1e-3
-        blocks = (noise[..., 0] + 1j * noise[..., 1]).astype(jnp.complex64)
+        return (noise[..., 0] + 1j * noise[..., 1]).astype(jnp.complex64)
+
+    blocks = _mkblocks()
 
     # R repetitions of the K-block scan inside ONE dispatch (the carried
     # state differs each pass, so no two iterations are CSE-able): R*K=512
@@ -147,6 +163,7 @@ def main() -> None:
     # rebuild state/params in case buffers were lost with the bout.
     def timed_span():
         nonlocal state, params
+        fails = 0
         while True:
             try:
                 t0 = time.perf_counter()
@@ -156,7 +173,10 @@ def main() -> None:
                 state = new_state
                 return el
             except Exception:
-                if time.monotonic() > give_up:
+                fails += 1
+                # 4 consecutive failures = likely a poisoned client, which
+                # in-process retry cannot fix: raise so __main__ re-execs
+                if fails >= 4 or time.monotonic() > give_up:
                     raise
                 time.sleep(20.0)
                 try:
@@ -188,4 +208,18 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        # a poisoned jax client (one bad compile/transfer can wedge the
+        # axon tunnel state for the process lifetime) only recovers in a
+        # fresh interpreter: re-exec with the remaining shared time budget
+        import os
+        import sys
+
+        deadline = float(os.environ.get("KA9Q_BENCH_DEADLINE", "0"))
+        if not deadline or time.time() + 30.0 > deadline:
+            raise
+        time.sleep(20.0)
+        argv = [os.path.abspath(sys.argv[0])] + sys.argv[1:]
+        os.execv(sys.executable, [sys.executable] + argv)
