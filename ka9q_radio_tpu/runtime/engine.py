@@ -68,6 +68,7 @@ from ..models.spectrum import (
     wide_geometry, wide_init, wide_accumulate, wide_extract,
 )
 from ..utils.units import dB_to_power, dB_to_voltage
+from ..utils.xfer import device_put_safe
 
 __all__ = ["ChannelSpec", "GroupSpec", "Engine", "DEFAULTS"]
 
@@ -407,20 +408,18 @@ class _Group:
         return self.put_tree(p)
 
     def put(self, a):
-        """One leaf host->device (params surgery on retune/set_edges)."""
-        a = np.asarray(a)
-        if self.placement is None:
-            return jnp.asarray(a)
-        return jax.device_put(a, self.placement(a))
+        """One leaf host->device (params surgery on retune/set_edges).
+        Complex leaves travel as f32 pairs + jitted on-device rebuild —
+        complex64 crossing the host boundary wedges the axon client
+        (utils/xfer.py)."""
+        return device_put_safe(np.asarray(a), self.placement)
 
     def put_tree(self, tree):
         """A whole params tree in ONE batched h2d transfer — each
         leaf-wise device_put is a separate RPC over the TPU tunnel and a
-        separate chance to hit a transfer-flake bout."""
-        if self.placement is None:
-            return jax.device_put(tree)
-        return jax.device_put(tree, jax.tree.map(
-            lambda a: self.placement(np.asarray(a)), tree))
+        separate chance to hit a transfer-flake bout. Complex-safe, see
+        put()."""
+        return device_put_safe(tree, self.placement)
 
     def retune(self, params: dict[str, Any], idx: int, freq: float) -> dict[str, Any]:
         """New params pytree with channel idx retuned to freq (set_freq,

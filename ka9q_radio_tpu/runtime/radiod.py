@@ -36,6 +36,7 @@ from ..net.rtp import RtpHeader, Encoding, PayloadRegistry, encode_samples
 from ..net.multicast import (resolve_dest, output_socket, output_socket_unconnected,
                              listen_socket, DEFAULT_RTP_PORT, DEFAULT_STAT_PORT)
 from ..utils.units import power_to_dB, dB_to_power, dB_to_voltage, voltage_to_dB
+from ..utils.xfer import device_put_safe
 from .engine import Engine, migrate_state
 from .source import siggen_init, siggen_block
 
@@ -1464,7 +1465,9 @@ class Radiod:
             key = jtu.keystr(kp)
             if key not in z or z[key].shape != leaf.shape:
                 return False
-            new.append(jax.device_put(z[key].astype(np.asarray(leaf).dtype)))
+            new.append(z[key].astype(leaf.dtype))
+        # one batched complex-safe transfer (see utils/xfer.py)
+        new = device_put_safe(new)
         self.state = jtu.tree_unflatten(jtu.tree_structure(self.state), new)
         if self.source_state is not None and "__src_phase__" in z:
             key = self.source_state["key"]
@@ -1534,6 +1537,10 @@ class Radiod:
                     block = self.frontend.read_block(self.engine.L)
                 else:
                     self.source_state, block = self._siggen(self.source_state)
+            if isinstance(block, np.ndarray) and np.iscomplexobj(block):
+                # complex64 h2d wedges the axon client; pair-transfer +
+                # on-device rebuild instead (utils/xfer.py)
+                block = device_put_safe(block)
             first = self.blocks == 0
             self.state, out = self.step(self.state, self.params, block)
             self.blocks += 1
