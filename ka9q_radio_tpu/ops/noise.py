@@ -22,6 +22,7 @@ import jax.numpy as jnp
 __all__ = ["NQ", "N_CUTOFF", "POWER_ALPHA", "MIN_NOISE_BINS", "noise_correction", "estimate_noise", "gather_noise_bins"]
 
 NQ = 0.10  # quantile assumed noise-only (radio.c:74)
+_TILE = 128  # noise-window gather granularity (TPU lane width)
 N_CUTOFF = 1.5  # averaging threshold multiplier (radio.c:75)
 POWER_ALPHA = 0.10  # per-block EMA smoothing of N0 (radio.c:73)
 MIN_NOISE_BINS = 1000  # widen the window for narrow channels (radio.c:77)
@@ -42,23 +43,47 @@ def gather_noise_bins(F, shifts, nbins: int, real_master: bool, master_N: int):
 
     Returns [C, nbins] float32 bin energies |F|^2.
     """
+    # square the WHOLE master once, then gather f32 energies: half the
+    # gather bytes, and the |F|^2 computation is shared across all groups
+    # reading the same master (XLA CSEs the identical expression)
+    E = (F.real * F.real + F.imag * F.imag).astype(jnp.float32)
+    m_bins = master_N // 2 + 1 if real_master else master_N
+
+    # Tile-aligned windows: the windows are contiguous runs, so gathering
+    # whole _TILE-bin rows (one gather of [C, ntiles] row indices with
+    # 128-wide slices) is ~an order of magnitude faster on TPU than a
+    # [C, nbins] per-element gather. The window start shifts down by up to
+    # _TILE-1 bins and the length rounds up to a tile multiple — immaterial
+    # to the estimator (the reference's window placement is itself a
+    # heuristic "~nbins around the channel", radio.c:1845-1872).
+    T = _TILE
+    ntiles = -(-nbins // T)
+    if real_master and m_bins >= ntiles * T:
+        pad = (-m_bins) % T
+        rows = jnp.pad(E, (0, pad)).reshape(-1, T)
+        lo = jnp.abs(shifts) - (ntiles * T) // 2
+        lo_t = jnp.clip(lo, 0, m_bins - ntiles * T) // T  # window never enters the pad
+        tidx = lo_t[:, None] + jnp.arange(ntiles, dtype=jnp.int32)[None, :]
+        return rows[tidx].reshape(shifts.shape[0], ntiles * T)
+    if not real_master and m_bins % T == 0 and m_bins >= ntiles * T:
+        rows = E.reshape(-1, T)
+        # clamp inside the signed band (stop at the Nyquist edge like the
+        # reference, radio.c:1869-1875), then wrap through DC via mod
+        lo = jnp.clip(shifts - (ntiles * T) // 2,
+                      -(m_bins // 2), (m_bins - 1) // 2 - (ntiles * T - 1))
+        lo_t = jnp.floor_divide(lo, T)
+        tidx = jnp.mod(lo_t[:, None] + jnp.arange(ntiles, dtype=jnp.int32)[None, :],
+                       m_bins // T)
+        return rows[tidx].reshape(shifts.shape[0], ntiles * T)
+
+    # fallback: per-element gather (small/odd masters)
     k = jnp.arange(nbins, dtype=jnp.int32)[None, :]
     if real_master:
-        m_bins = master_N // 2 + 1
         lo = jnp.abs(shifts) - nbins // 2
         lo = jnp.clip(lo, 0, max(m_bins - nbins, 0))[:, None]
-        idx = lo + k
-        vals = F[jnp.clip(idx, 0, m_bins - 1)]
-    else:
-        # keep the window inside the signed band: clamp like the real case
-        # (the reference stops collecting at the Nyquist edge,
-        # radio.c:1869-1875 — zeros in the sort would corrupt the quantile)
-        m_bins = master_N
-        lo = jnp.clip(shifts - nbins // 2, -(m_bins // 2), (m_bins - 1) // 2 - (nbins - 1))[:, None]
-        idx = jnp.mod(lo + k, m_bins)
-        vals = F[idx]
-    v = vals.astype(jnp.complex64)
-    return (v.real * v.real + v.imag * v.imag).astype(jnp.float32)
+        return E[jnp.clip(lo + k, 0, m_bins - 1)]
+    lo = jnp.clip(shifts - nbins // 2, -(m_bins // 2), (m_bins - 1) // 2 - (nbins - 1))[:, None]
+    return E[jnp.mod(lo + k, m_bins)]
 
 
 def estimate_noise(energies, master_bins: int, samprate: float):
