@@ -78,7 +78,8 @@ def main() -> None:
     if use_matmul:
         from ka9q_radio_tpu.runtime.engine import Engine as _E
         eng = _E(samprate=eng.samprate, real=eng.master.real,
-                 groups=eng.specs, blocktime=eng.blocktime, use_matmul=True)
+                 groups=eng.specs, blocktime=eng.blocktime, use_matmul=True,
+                 use_tiled=False)  # compare the plain-matmul lowering, not tiled
 
     import os
 

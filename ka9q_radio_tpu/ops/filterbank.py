@@ -166,8 +166,10 @@ def master_transform(cfg: MasterConfig, x):
     n1, n2 = cfg.split
     if cfg.real:
         # zero-imag complex four-step, keep the N/2+1 non-negative bins.
-        # (A packed half-length rfft exists but its Hermitian unpack is a
-        # full-length gather that costs more than the 2x it saves.)
+        # (The packed half-length rfft was measured SLOWER on v5e even
+        # with a gather-free flip-based Hermitian unpack — 9.1 vs 7.1
+        # ms/block at N=3.24M: the unpack's extra full-length passes cost
+        # more HBM traffic than the halved transform saves.)
         F = split_fft(x.astype(jnp.complex64), n1, n2)
         return F[..., : cfg.bins]
     return split_fft(x, n1, n2)
@@ -284,6 +286,134 @@ def finish_channelize(fd, olen: int, isb: bool = False):
         )
     bb = jnp.fft.ifft(fd, axis=-1)
     return bb[:, n_bins - olen :].astype(jnp.complex64)
+
+
+# ---------------------------------------------------------------------------
+# Tiled-matmul channelizer
+#
+# gather_bins() is a [C, n_bins] per-element gather — measured ~4.6 ms/block
+# for 1000 channels on a 1.62M-bin master (v5e), the hottest stage after the
+# split FFT fix. But every channel's slice is a CONTIGUOUS run of master
+# bins, so instead:
+#
+#   1. gather whole _CTILE-bin tile rows covering each slice (one gather of
+#      [C, ntiles] row indices with wide slices — near-free),
+#   2. multiply a host-prepared PADDED response laid out in the tile frame
+#      (the within-tile offset o_c is folded into the padding),
+#   3. one [C, S] x [S, olen] complex matmul with a SHARED natural-order
+#      IDFT matrix (MXU),
+#   4. per-channel phase ramp e^{2pi i s_c t / n} correcting the offset
+#      (s_c is an int param -> retunes stay pure data, no recompile), with
+#      a conjugate select for inverted (negative-shift real-master) slices.
+#
+# Derivation: bb[t] = (1/n) sum_k F[shift+signed(k)] resp[k] e^{2pi i k t/n}
+# with m = signed(k) + n//2 (natural order), F[lo+m] = cover[o+m]:
+#   upright:  bb[t] = e^{-2pi i o t/n} * (cover .* rpad  @ E')[t]
+#   inverted: bb[t] = conj((cover .* r~pad @ E')[t]) * e^{2pi i (o+c1-n//2)t/n}
+# where E'[j, t] = e^{2pi i (j - n//2) t / n} / n, c1 = ceil(n/2)-1, and
+# r~pad is the conjugated index-reversed response. Validity zeroing (slices
+# poking past DC/Nyquist, filter.c:777-859) is baked into the padding.
+# ---------------------------------------------------------------------------
+
+_CTILE = 128  # channel-slice gather granularity (TPU lane width)
+
+
+def tile_plan(n_bins: int) -> int:
+    """Number of _CTILE rows covering an n_bins slice at any offset."""
+    return -(-n_bins // _CTILE) + 1
+
+
+def tiled_idft_matrix(n_bins: int, olen: int, S: int) -> np.ndarray:
+    """[S, olen] natural-order IDFT producing the LAST olen samples.
+
+    E'[j, t] = exp(2j pi (j - n//2) t / n) / n for t in [n-olen, n);
+    rows j >= n are never touched (padding guarantees rpad[j] = 0 there
+    only when the offset pushes them past the slice), but the matrix is
+    defined for all j so one shared constant serves every offset.
+    """
+    j = np.arange(S, dtype=np.float64)[:, None]
+    t = np.arange(n_bins - olen, n_bins, dtype=np.float64)[None, :]
+    return (np.exp(2j * np.pi * ((j - n_bins // 2) * t % n_bins) / n_bins) / n_bins).astype(np.complex64)
+
+
+def build_tile_params(responses: np.ndarray, shifts: np.ndarray, real_master: bool,
+                      master_N: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side tile-frame layout of channel responses (numpy).
+
+    responses: [C, n_bins] complex64 FFT-order responses.
+    shifts: [C] int32 coarse bin shifts.
+    Returns (resp_tiles [C, S] c64, tile_lo [C] i32, slope [C] i32): the
+    padded responses (validity-zeroed, conj-reversed for inverted slices),
+    each channel's first tile row, and the phase-ramp slope s_c.
+    """
+    C, n = responses.shape
+    T = _CTILE
+    S = tile_plan(n) * T
+    m_bins = master_N // 2 + 1 if real_master else master_N
+    n_rows = -(-m_bins // T) if real_master else m_bins // T
+    resp_tiles = np.zeros((C, S), np.complex64)
+    tile_lo = np.zeros(C, np.int32)
+    slope = np.zeros(C, np.int32)
+    m = np.arange(n)
+    c1 = (n + 1) // 2 - 1  # ceil(n/2) - 1
+    # natural-order response: resp_nat[m] = resp[(m - n//2) mod n]
+    for c in range(C):
+        sh = int(shifts[c])
+        inverted = real_master and sh < 0
+        if not inverted:
+            lo = sh - n // 2
+            vals = responses[c][(m - n // 2) % n]
+            bins = lo + m
+        else:
+            lo = -sh - c1  # ascending window of the mirrored slice
+            vals = np.conj(responses[c][(c1 - m) % n])
+            bins = lo + m  # mirrored master bin index (>= 0 side)
+        if real_master:
+            valid = (bins >= 0) & (bins < m_bins)
+        else:
+            half = master_N // 2
+            valid = (bins >= -half) & (bins <= (master_N - 1) // 2)
+        lt = lo >> 7 if T == 128 else lo // T  # floor division
+        if real_master:
+            lt = min(max(lt, 0), max(n_rows - S // T, 0))
+        o = lo - lt * T
+        j = o + m
+        ok = valid & (j >= 0) & (j < S)
+        resp_tiles[c, j[ok]] = np.where(ok, vals, 0)[ok]
+        tile_lo[c] = lt
+        slope[c] = (o + c1 - n // 2) if inverted else -o
+    return resp_tiles, tile_lo, slope
+
+
+def tiled_channelize(F, resp_tiles, tile_lo, slope, shifts, E: np.ndarray,
+                     n_bins: int, olen: int, real_master: bool, master_N: int):
+    """Device-side tiled channelizer (see module comment above).
+
+    F: [m_bins] complex64; resp_tiles/tile_lo/slope from build_tile_params
+    (as device params); E: numpy [S, olen] from tiled_idft_matrix (embedded
+    constant). Returns [C, olen] complex64 == channelize(...) output.
+    """
+    T = _CTILE
+    S = resp_tiles.shape[-1]
+    ntiles = S // T
+    m_bins = master_N // 2 + 1 if real_master else master_N
+    if real_master:
+        pad = (-m_bins) % T
+        rows = jnp.pad(F, (0, pad)).reshape(-1, T)
+        tidx = tile_lo[:, None] + jnp.arange(ntiles, dtype=jnp.int32)[None, :]
+        tidx = jnp.clip(tidx, 0, rows.shape[0] - 1)
+    else:
+        rows = F.reshape(-1, T)  # m_bins % T == 0 (caller-gated)
+        tidx = jnp.mod(tile_lo[:, None] + jnp.arange(ntiles, dtype=jnp.int32)[None, :],
+                       rows.shape[0])
+    cover = rows[tidx].reshape(resp_tiles.shape[0], S)
+    Y = ((cover * resp_tiles) @ jnp.asarray(E)).astype(jnp.complex64)
+    inverted = (shifts < 0)[:, None] if real_master else jnp.zeros((shifts.shape[0], 1), bool)
+    Y = jnp.where(inverted, jnp.conj(Y), Y)
+    t_abs = jnp.arange(n_bins - olen, n_bins, dtype=jnp.int32)[None, :]
+    ph = jnp.mod(slope[:, None] * t_abs, np.int32(n_bins)).astype(jnp.float32)
+    ramp = jnp.exp(np.complex64(2j * np.pi / n_bins) * ph).astype(jnp.complex64)
+    return (Y * ramp).astype(jnp.complex64)
 
 
 def idft_matrix(n_bins: int, olen: int) -> np.ndarray:

@@ -202,16 +202,37 @@ class DigitSpectrum:
 
     def gather_noise(self, shifts, nbins: int):
         """gather_noise_bins equivalent: [C, nbins] bin energies around each
-        channel (window clamping per radio.c:1845-1875)."""
+        channel (window clamping per radio.c:1845-1875).
+
+        The window PLACEMENT must mirror ops.noise.gather_noise_bins
+        bin-for-bin (including its tile-aligned rounding) so a sharded
+        engine's N0 matches the single-chip engine exactly
+        (test_sharded_engine holds this)."""
+        from ..ops.noise import _TILE as T
+
         dm = self.dm
-        k = jnp.arange(nbins, dtype=jnp.int32)[None, :]
+        ntiles = -(-nbins // T)
+        W = ntiles * T
         if self.real:
             m_bins = dm.N // 2 + 1
-            lo = jnp.clip(jnp.abs(shifts) - nbins // 2, 0, max(m_bins - nbins, 0))[:, None]
-            idx = jnp.clip(lo + k, 0, m_bins - 1)
+            if m_bins >= W:
+                lo = jnp.abs(shifts) - W // 2
+                lo = (jnp.clip(lo, 0, m_bins - W) // T) * T
+                idx = lo[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+            else:
+                k = jnp.arange(nbins, dtype=jnp.int32)[None, :]
+                lo = jnp.clip(jnp.abs(shifts) - nbins // 2, 0, max(m_bins - nbins, 0))[:, None]
+                idx = jnp.clip(lo + k, 0, m_bins - 1)
         else:
             m_bins = dm.N
-            lo = jnp.clip(shifts - nbins // 2, -(m_bins // 2), (m_bins - 1) // 2 - (nbins - 1))[:, None]
-            idx = jnp.mod(lo + k, m_bins)
+            if m_bins % T == 0 and m_bins >= W:
+                lo = jnp.clip(shifts - W // 2,
+                              -(m_bins // 2), (m_bins - 1) // 2 - (W - 1))
+                lo = jnp.floor_divide(lo, T) * T
+                idx = jnp.mod(lo[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :], m_bins)
+            else:
+                k = jnp.arange(nbins, dtype=jnp.int32)[None, :]
+                lo = jnp.clip(shifts - nbins // 2, -(m_bins // 2), (m_bins - 1) // 2 - (nbins - 1))[:, None]
+                idx = jnp.mod(lo + k, m_bins)
         v = dm.take(self.Zd, idx)
         return (v.real * v.real + v.imag * v.imag).astype(jnp.float32)

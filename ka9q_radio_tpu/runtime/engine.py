@@ -49,6 +49,11 @@ from ..ops.filterbank import (
     block_phase_adjust_q32,
     gather_bins,
     idft_matrix,
+    build_tile_params,
+    tile_plan,
+    tiled_idft_matrix,
+    tiled_channelize,
+    _CTILE,
 )
 from ..ops.filter_design import design_bandpass_response, response_to_device_order
 from ..ops.noise import gather_noise_bins, estimate_noise, POWER_ALPHA, MIN_NOISE_BINS
@@ -200,7 +205,7 @@ class _Group:
     """Host-side compiled geometry + initial params for one GroupSpec."""
 
     def __init__(self, spec: GroupSpec, master: MasterConfig, samprate: float, blocktime: float,
-                 use_matmul: bool = False, center: float = 0.0):
+                 use_matmul: bool = False, center: float = 0.0, use_tiled: bool = True):
         # host->device placement for params leaves; sharded engines set
         # `placement` (Engine.__init__) so retune/set_edges surgery
         # preserves the channel-axis sharding and stays recompile-free
@@ -260,6 +265,29 @@ class _Group:
                     spec.spectrum_window, spec.spectrum_window_param,
                     spec.fft_avg, spec.spectrum_overlap,
                 )
+        # tiled-matmul channelizer (ops/filterbank.py module comment): the
+        # per-element bin gather becomes a 128-wide tile-row gather + one
+        # MXU matmul against a shared IDFT constant. Gated to geometries
+        # where it is exact and the embedded constant stays small:
+        #   * complex masters must tile evenly (m_bins % 128 == 0);
+        #   * slope*t stays in int32 (n_bins < ~46k);
+        #   * the [S, olen] IDFT constant must be modest (wideband slaves
+        #     like WFM's 9600-bin composite would embed a ~600 MB matrix).
+        # Beam keeps its mirror-combining gather; wide spectrum never
+        # channelizes; sharded engines use the distributed gather instead.
+        self.tiled = (
+            use_tiled
+            and not spec.beam
+            and not (spec.demod == "spectrum" and self.spectrum_wide)
+            and (master.real or master.N % _CTILE == 0)
+            and self.n_bins * self.n_bins < 2**31
+        )
+        if self.tiled:
+            S = tile_plan(self.n_bins) * _CTILE
+            if S * self.olen * 8 > (32 << 20):
+                self.tiled = False
+            else:
+                self.tile_E = tiled_idft_matrix(self.n_bins, self.olen, S)
         self.params = self._build_params()
 
     # -- retunable params ---------------------------------------------------
@@ -345,6 +373,9 @@ class _Group:
             "inc_q32": i32(incs),
             "adj_q32": i32(adjs),
         }
+        if self.tiled:
+            rt, tl, sl = build_tile_params(resp, shifts, self.master.real, self.master.N)
+            p["resp_tiles"], p["tile_lo"], p["slope"] = rt, tl, sl
         if self.f2_N:
             p["responses2"] = np.stack([self._design_f2(c.low, c.high) for c in chans])
         if spec.beam:
@@ -421,6 +452,16 @@ class _Group:
         put()."""
         return device_put_safe(tree, self.placement)
 
+    def _refresh_tile_row(self, idx: int) -> None:
+        """Recompute one channel's tile-frame layout from the host mirrors
+        (after a shift or response change)."""
+        rt, tl, sl = build_tile_params(
+            self.host["responses"][idx : idx + 1], self.host["shifts"][idx : idx + 1],
+            self.master.real, self.master.N)
+        self.host["resp_tiles"][idx] = rt[0]
+        self.host["tile_lo"][idx] = tl[0]
+        self.host["slope"][idx] = sl[0]
+
     def retune(self, params: dict[str, Any], idx: int, freq: float) -> dict[str, Any]:
         """New params pytree with channel idx retuned to freq (set_freq,
         radio.c:1140-1175). Pure host-side array surgery — the jitted step
@@ -432,8 +473,12 @@ class _Group:
         self.host["shifts"][idx] = np.int32(shift)
         self.host["inc_q32"][idx] = rev_to_q32(-rem / self.spec.samprate)
         self.host["adj_q32"][idx] = block_phase_adjust_q32(shift, L, N)
+        keys = ["shifts", "inc_q32", "adj_q32"]
+        if self.tiled:
+            self._refresh_tile_row(idx)
+            keys += ["resp_tiles", "tile_lo", "slope"]
         p = dict(params)
-        for k in ("shifts", "inc_q32", "adj_q32"):
+        for k in keys:
             p[k] = self.put(self.host[k])
         return p
 
@@ -445,6 +490,9 @@ class _Group:
         self.host["responses"][idx] = self._design_main(low, high, kaiser_beta)
         p = dict(params)
         p["responses"] = self.put(self.host["responses"])
+        if self.tiled:
+            self._refresh_tile_row(idx)
+            p["resp_tiles"] = self.put(self.host["resp_tiles"])
         if self.f2_N:
             self.host["responses2"][idx] = self._design_f2(low, high, filter2_kaiser_beta)
             p["responses2"] = self.put(self.host["responses2"])
@@ -505,6 +553,10 @@ class _Group:
                 bb = ((fd * params["responses"]) @ self.idft).astype(jnp.complex64)
             else:
                 bb = finish_channelize(fd * params["responses"], self.olen)
+        elif self.tiled:
+            bb = tiled_channelize(F, params["resp_tiles"], params["tile_lo"], params["slope"],
+                                  params["shifts"], self.tile_E, self.n_bins, self.olen,
+                                  m.real, m.N)
         elif self.use_matmul and not self.spec.isb:
             fd = gather_bins(F, params["shifts"], self.n_bins, m.real, m.N) * params["responses"]
             bb = (fd @ self.idft).astype(jnp.complex64)
@@ -601,6 +653,7 @@ class Engine:
         shard_axis: str = "c",
         center: float = 0.0,
         fft: str = "auto",
+        use_tiled: bool = True,
     ):
         """mesh: a jax.sharding.Mesh to run multi-chip. The master FFT runs
         as the distributed digit-order transform (parallel.master, two
@@ -626,7 +679,7 @@ class Engine:
         if len(set(names)) != len(names):
             raise ValueError("duplicate group names")
         self.groups = {g.name: _Group(g, self.master, self.samprate, blocktime, use_matmul,
-                                      center=self.center)
+                                      center=self.center, use_tiled=use_tiled and mesh is None)
                        for g in groups}
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -702,9 +755,17 @@ class Engine:
             if og is None:
                 continue
             n = min(g.C, og.C)
-            for key in ("shifts", "inc_q32", "adj_q32", "responses", "responses2"):
-                if key in g.host and key in og.host:
+            for key in ("shifts", "inc_q32", "adj_q32", "responses", "responses2",
+                        "resp_tiles", "tile_lo", "slope"):
+                if (key in g.host and key in og.host
+                        and g.host[key].shape[1:] == og.host[key].shape[1:]):
                     g.host[key][:n] = og.host[key][:n]
+            if g.tiled and ("resp_tiles" not in og.host
+                            or g.host["resp_tiles"].shape[1:] != og.host["resp_tiles"].shape[1:]):
+                # old engine had no (compatible) tile layout: rebuild the
+                # adopted rows from the copied shifts/responses
+                for i in range(n):
+                    g._refresh_tile_row(i)
             for key, arr in g.host["demod"].items():
                 o = og.host["demod"].get(key)
                 if o is not None and arr.shape[1:] == o.shape[1:]:

@@ -319,8 +319,15 @@ freq = 50k0
     try:
         radio = f"{tag}-st.local"
         deadline = time.time() + 30
-        # tune creates + shapes a dynamic channel
-        while time.time() < deadline and 900 not in rd.chans:
+        # tune creates + shapes a dynamic channel. Poll for the APPLIED
+        # state, not mere existence: the channel registers in rd.chans
+        # before apply_command finishes the restart-class samprate move
+        # (wire clients can't observe that window — the status reply is
+        # sent after apply — but this in-process peek can).
+        def _applied():
+            ch = rd.chans.get(900)
+            return ch is not None and ch.samprate == 24_000
+        while time.time() < deadline and not _applied():
             tune_cli.main(["--radio", radio, "--ssrc", "900", "-f", "49k5",
                            "-m", "am", "-r", "24k", "--lifetime", "60",
                            "--timeout", "1"])

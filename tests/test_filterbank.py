@@ -213,3 +213,66 @@ def test_engine_matmul_option():
         s2, o2 = st2(s2, p2, b)
     a1, a2 = np.asarray(o1["usb"]["audio"]), np.asarray(o2["usb"]["audio"])
     assert np.max(np.abs(a1 - a2)) < 2e-3
+
+
+@pytest.mark.parametrize("real_master", [True, False])
+def test_tiled_channelizer_matches_reference_path(real_master):
+    """tiled_channelize == channelize across all four gather cases
+    (upright/inverted real-master slices incl. DC/Nyquist clamping;
+    complex-master wrap through DC), odd and even slave sizes."""
+    from ka9q_radio_tpu.ops.filterbank import (
+        build_tile_params, tile_plan, tiled_idft_matrix, tiled_channelize, _CTILE,
+    )
+
+    rng = np.random.default_rng(3)
+    N = 8192  # complex master tiles evenly (8192 % 128 == 0)
+    m_bins = N // 2 + 1 if real_master else N
+    for n_bins, olen in ((160, 128), (163, 130)):
+        F = (rng.standard_normal(m_bins) + 1j * rng.standard_normal(m_bins)).astype(np.complex64)
+        if real_master:
+            shifts = np.array([1000, -1000, 30, N // 2 - 30, 0, -30], np.int32)
+        else:
+            shifts = np.array([0, 1000, -1000, N // 2 - 10, -(N // 2) + 10, 5], np.int32)
+        C = len(shifts)
+        resp = (rng.standard_normal((C, n_bins)) + 1j * rng.standard_normal((C, n_bins))).astype(np.complex64)
+        want = np.asarray(channelize(jnp.asarray(F), jnp.asarray(resp), jnp.asarray(shifts),
+                                     olen, real_master, N))
+        rt, tl, sl = build_tile_params(resp, shifts, real_master, N)
+        E = tiled_idft_matrix(n_bins, olen, tile_plan(n_bins) * _CTILE)
+        got = np.asarray(tiled_channelize(jnp.asarray(F), jnp.asarray(rt), jnp.asarray(tl),
+                                          jnp.asarray(sl), jnp.asarray(shifts), E,
+                                          n_bins, olen, real_master, N))
+        np.testing.assert_allclose(got, want, rtol=0, atol=3e-4 * np.max(np.abs(want)))
+
+
+def test_engine_tiled_default_matches_plain():
+    """The default (tiled) engine equals Engine(use_tiled=False) end-to-end,
+    including after a retune and a filter hot-swap (the tile rows are
+    host-refreshed params, never a recompile)."""
+    import jax
+    from ka9q_radio_tpu.runtime import ChannelSpec, GroupSpec, Engine
+
+    groups = [GroupSpec(name="usb", demod="linear", samprate=8000,
+                        channels=tuple(ChannelSpec(freq=20_000.0 + 3000 * i, low=50, high=2700)
+                                       for i in range(4)))]
+    e1 = Engine(samprate=128_000, groups=groups, real=True, use_tiled=False)
+    e2 = Engine(samprate=128_000, groups=groups, real=True)
+    assert e2.groups["usb"].tiled
+    rng = np.random.default_rng(1)
+    x = (0.3 * np.cos(2 * np.pi * 21_000.0 * np.arange(6 * e1.L) / 128_000)
+         + 0.01 * rng.standard_normal(6 * e1.L)).astype(np.float32)
+    s1, p1 = jax.jit(e1.init_state)(), e1.init_params()
+    s2, p2 = jax.jit(e2.init_state)(), e2.init_params()
+    st1, st2 = jax.jit(e1.step), jax.jit(e2.step)
+    for k in range(6):
+        if k == 2:  # retune channel 1 (shift + tile row move together)
+            p1 = e1.retune(p1, "usb", 1, 26_500.0)
+            p2 = e2.retune(p2, "usb", 1, 26_500.0)
+        if k == 4:  # hot-swap channel 0's filter
+            p1 = e1.set_edges(p1, "usb", 0, 100.0, 2000.0)
+            p2 = e2.set_edges(p2, "usb", 0, 100.0, 2000.0)
+        b = jnp.asarray(x[k * e1.L : (k + 1) * e1.L])
+        s1, o1 = st1(s1, p1, b)
+        s2, o2 = st2(s2, p2, b)
+        a1, a2 = np.asarray(o1["usb"]["audio"]), np.asarray(o2["usb"]["audio"])
+        assert np.max(np.abs(a1 - a2)) < 2e-3, k
