@@ -71,15 +71,16 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    args = [a for a in sys.argv[1:] if a != "--matmul"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     use_matmul = "--matmul" in sys.argv
+    no_tiled = "--no-tiled" in sys.argv  # ablate the tiled channelizer
     config = args[0] if args else "rx888"
     eng, FS, baseline = build_engine(config)
-    if use_matmul:
+    if use_matmul or no_tiled:
         from ka9q_radio_tpu.runtime.engine import Engine as _E
         eng = _E(samprate=eng.samprate, real=eng.master.real,
-                 groups=eng.specs, blocktime=eng.blocktime, use_matmul=True,
-                 use_tiled=False)  # compare the plain-matmul lowering, not tiled
+                 groups=eng.specs, blocktime=eng.blocktime, use_matmul=use_matmul,
+                 use_tiled=False)  # compare the plain-matmul/gather lowering
 
     import os
 

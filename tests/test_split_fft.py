@@ -11,7 +11,7 @@ import pytest
 
 from ka9q_radio_tpu.ops.filterbank import (
     MasterConfig, master_init, master_fft, master_transform,
-    split_fft, plan_split_single,
+    split_fft, plan_split_single, split_fft_mxu, plan_split_mxu,
 )
 from ka9q_radio_tpu.runtime import ChannelSpec, GroupSpec, Engine
 
@@ -44,6 +44,50 @@ def test_plan_split_single():
     assert n1 * n2 == 1_620_000 and n1 <= n2
 
 
+@pytest.mark.parametrize("facs", [(12, 15, 20), (9, 200), (36, 50), (18, 36, 50)])
+def test_split_fft_mxu_matches_numpy(facs):
+    """The MXU matmul cascade == numpy FFT (complex and real-f32 input;
+    the real path exercises the two-real-matmul first stage)."""
+    N = int(np.prod(facs))
+    rng = np.random.default_rng(7)
+    z = (rng.standard_normal(N) + 1j * rng.standard_normal(N)).astype(np.complex64)
+    got = np.asarray(jax.jit(lambda w: split_fft_mxu(w, facs))(jnp.asarray(z)))
+    want = np.fft.fft(z.astype(np.complex128))
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 2e-6
+    x = rng.standard_normal(N).astype(np.float32)
+    got_r = np.asarray(jax.jit(lambda w: split_fft_mxu(w, facs))(jnp.asarray(x)))
+    want_r = np.fft.fft(x.astype(np.float64))
+    assert np.max(np.abs(got_r - want_r)) / np.max(np.abs(want_r)) < 2e-6
+
+
+def test_plan_split_mxu():
+    facs = plan_split_mxu(3_240_000)
+    assert facs is not None and int(np.prod(facs)) == 3_240_000
+    assert all(8 <= f <= 512 for f in facs)
+    # MXU cost (factors padded to the 128 lane width) beats the naive
+    # near-square split's two ~1800-point stages
+    assert sum(-(-f // 128) * 128 for f in facs) <= 512
+    assert plan_split_mxu(7919) is None  # prime
+    two = plan_split_mxu(512 * 512)
+    assert two is not None and int(np.prod(two)) == 512 * 512
+
+
+@pytest.mark.parametrize("real", [True, False])
+def test_master_transform_mxu_vs_monolithic(real):
+    mono = MasterConfig.from_rate(512_000, real=real, fft="monolithic")
+    mx = MasterConfig.from_rate(512_000, real=real, fft="mxu")
+    assert mx.mxu is not None and mx.N == mono.N
+    rng = np.random.default_rng(13)
+    if real:
+        x = rng.standard_normal(mx.N).astype(np.float32)
+    else:
+        x = (rng.standard_normal(mx.N) + 1j * rng.standard_normal(mx.N)).astype(np.complex64)
+    a = np.asarray(master_transform(mono, jnp.asarray(x)))
+    b = np.asarray(master_transform(mx, jnp.asarray(x)))
+    assert a.shape == b.shape
+    assert np.max(np.abs(a - b)) / np.max(np.abs(a)) < 2e-6
+
+
 @pytest.mark.parametrize("real", [True, False])
 def test_master_transform_split_vs_monolithic(real):
     # forced split at a small N (auto only kicks in at >= 2^18)
@@ -65,10 +109,12 @@ def test_master_transform_split_vs_monolithic(real):
 
 def test_flagship_auto_plans_split():
     cfg = MasterConfig.from_rate(129_600_000, real=True)
-    assert cfg.split == (1800, 1800)
+    assert cfg.mxu is not None and int(np.prod(cfg.mxu)) == 3_240_000
+    assert all(8 <= f <= 512 for f in cfg.mxu)
     assert cfg.N == 3_240_000
     # small rates stay monolithic (bit-stability of the historical path)
-    assert MasterConfig.from_rate(1_024_000, real=False).split is None
+    small = MasterConfig.from_rate(1_024_000, real=False)
+    assert small.split is None and small.mxu is None
 
 
 def test_engine_audio_split_vs_monolithic():
@@ -97,3 +143,5 @@ def test_engine_audio_split_vs_monolithic():
     a = run("monolithic")
     b = run("split")
     assert np.max(np.abs(a - b)) < 1e-4 * max(1.0, np.max(np.abs(a)))
+    c = run("mxu")
+    assert np.max(np.abs(a - c)) < 1e-4 * max(1.0, np.max(np.abs(a)))
