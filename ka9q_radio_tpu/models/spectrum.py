@@ -147,6 +147,12 @@ class WideGeometry:
     hop: int
     fft_avg: int
     window: np.ndarray
+    # MXU matmul-cascade plan for the analysis FFT (ops.filterbank
+    # split_fft_mxu): at RX888 scale the per-block analysis work
+    # (frames_per_block x fft_n points) rivals the master transform
+    # itself, and the VPU's batched FFT kernels hit the same ~ms floor
+    # there — so the same cascade lowering applies
+    mxu: "tuple[int, ...] | None" = None
 
     @property
     def frames_per_block(self) -> int:
@@ -194,8 +200,20 @@ def wide_geometry(
     fft_n = max(int(round(hop / frac)), 8)
     w = make_window(window, fft_n, window_param).astype(np.float64)
     w = w / w.sum()
+    mxu = None
+    if (L // hop) * fft_n >= _WIDE_MXU_MIN_POINTS:
+        from ..ops.filterbank import plan_split_mxu
+
+        mxu = plan_split_mxu(fft_n, real)
     return WideGeometry(samprate=samprate, L=L, real=real, fft_n=fft_n,
-                        hop=hop, fft_avg=fft_avg, window=w.astype(np.float32))
+                        hop=hop, fft_avg=fft_avg, window=w.astype(np.float32),
+                        mxu=mxu)
+
+
+# below this many analysis points per block, XLA's batched FFT is fine
+# (and bit-stability with the historical path is preserved); the threshold
+# matches filterbank._SPLIT_MIN_N where the VPU FFT floor was measured
+_WIDE_MXU_MIN_POINTS = 1 << 18
 
 
 def wide_init(geo: WideGeometry):
@@ -214,7 +232,13 @@ def wide_accumulate(state, block, geo: WideGeometry):
     nf = geo.frames_per_block
     frames = jnp.stack([data[k * geo.hop : k * geo.hop + geo.fft_n] for k in range(nf)])
     w = jnp.asarray(geo.window)
-    X = jnp.fft.rfft(frames * w, axis=-1) if geo.real else jnp.fft.fft(frames * w, axis=-1)
+    if geo.mxu is not None:
+        from ..ops.filterbank import split_fft_mxu
+
+        X = split_fft_mxu(frames * w, geo.mxu, geo.bins if geo.real else None)
+        X = X[..., : geo.bins]
+    else:
+        X = jnp.fft.rfft(frames * w, axis=-1) if geo.real else jnp.fft.fft(frames * w, axis=-1)
     p = (X.real**2 + X.imag**2)
     if geo.real:
         p = p * 2.0  # one-sided spectrum carries half the energy (spectrum.c)

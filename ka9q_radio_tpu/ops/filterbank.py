@@ -112,10 +112,10 @@ class MasterConfig:
         split = mxu = None
         if fft == "auto":
             if N >= _SPLIT_MIN_N:
-                mxu = plan_split_mxu(N)
+                mxu = plan_split_mxu(N, real)
                 split = None if mxu else plan_split_single(N)
         elif fft == "mxu":
-            mxu = plan_split_mxu(N)
+            mxu = plan_split_mxu(N, real)
             if mxu is None:
                 raise ValueError(f"fft=mxu: N={N} has no small-factor decomposition")
         elif fft == "split":
@@ -211,7 +211,7 @@ def _dft_last(x, W: np.ndarray):
     return dot(x, W).astype(jnp.complex64)
 
 
-def split_fft_mxu(z, factors: "tuple[int, ...]"):
+def split_fft_mxu(z, factors: "tuple[int, ...]", out_bins: "int | None" = None):
     """FFT_{prod(factors)} over the last axis, every stage an MXU matmul.
 
     Recursive four-step (split_fft) where each stage's batched DFT is a
@@ -226,9 +226,22 @@ def split_fft_mxu(z, factors: "tuple[int, ...]"):
 
     factors: 2-3 factors of N, each small enough that its [n, n] DFT
     matrix is a cheap resident constant (plan_split_mxu keeps n <= 512).
+
+    out_bins: compute only a natural-order PREFIX of at least this many
+    outputs (the caller slices exactly). Natural index k = k1 + n1*j, so a
+    prefix of ceil(out_bins/n1) recursive outputs j covers it; pushed down
+    the recursion, only the innermost DFT matrix narrows its columns —
+    [n, n] -> [n, ~n/2] for the real master's N/2+1 bins, cutting the
+    final (largest) stage's MXU flops and output HBM writes in half. The
+    kept outputs are bit-identical to the full transform (the matrix
+    columns are merely sliced, never recomputed).
     """
     if len(factors) == 1:
-        return _dft_last(z, dft_matrix_c64(factors[0]))
+        n = factors[0]
+        W = dft_matrix_c64(n)
+        if out_bins is not None and out_bins < n:
+            W = np.ascontiguousarray(W[:, :out_bins])
+        return _dft_last(z, W)
     n1, rest = factors[0], factors[1:]
     m = int(np.prod(rest))
     lead = z.shape[:-1]
@@ -236,24 +249,37 @@ def split_fft_mxu(z, factors: "tuple[int, ...]"):
     # DFT_{n1} over axis -2: move it last for the matmul (XLA folds the
     # transpose into the matmul operand layout)
     A1 = jnp.swapaxes(_dft_last(jnp.swapaxes(A, -1, -2), dft_matrix_c64(n1)), -1, -2)
-    C = split_fft_mxu(A1 * jnp.asarray(_twiddle_c64(n1, m)), rest)
-    return jnp.swapaxes(C, -1, -2).reshape(*lead, n1 * m)
+    keep = None
+    if out_bins is not None and out_bins < n1 * m:
+        keep = min(m, -(-out_bins // n1))
+    C = split_fft_mxu(A1 * jnp.asarray(_twiddle_c64(n1, m)), rest, keep)
+    return jnp.swapaxes(C, -1, -2).reshape(*lead, n1 * C.shape[-1])
 
 
 _MXU_MAX_FACTOR = 512  # keep DFT-matrix constants small; pad waste bounded
 
 
-def plan_split_mxu(N: int) -> "tuple[int, ...] | None":
+def plan_split_mxu(N: int, real: bool = False) -> "tuple[int, ...] | None":
     """Factor N for split_fft_mxu, minimizing MXU cost.
 
     Cost model: stage flops scale with the factor PADDED to the 128 MXU
     lane width (a [B, n] x [n, n] matmul pads n up), so the score is
     sum(ceil(n_i/128)*128). Tries 3-factor then 2-factor decompositions
     with every factor in [8, _MXU_MAX_FACTOR]; returns None if N doesn't
-    factor that way (then split_fft / monolithic handles it)."""
+    factor that way (then split_fft / monolithic handles it).
+
+    real: the caller will pass out_bins=N//2+1 (real master), which
+    narrows only the LAST factor's matrix to ~half its columns — so the
+    last stage is costed at pad(ceil(bins/(N/n_last))) and the planner
+    prefers putting a large factor last."""
 
     def pad(n):
         return -(-n // 128) * 128
+
+    def score_of(fs):
+        last = fs[-1]
+        cols = -((N // 2 + 1) * last) // -N if real else last  # ceil(bins/(N/last))
+        return sum(pad(f) for f in fs[:-1]) + pad(min(cols, last))
 
     best = None
     divs = [d for d in range(8, _MXU_MAX_FACTOR + 1) if N % d == 0]
@@ -265,17 +291,19 @@ def plan_split_mxu(N: int) -> "tuple[int, ...] | None":
             n3 = M1 // n2
             if not 8 <= n3 <= _MXU_MAX_FACTOR:
                 continue
-            score = pad(n1) + pad(n2) + pad(n3)
-            # larger trailing factors keep the final transpose cheaper;
-            # tie-break toward balanced, ascending factors
-            cand = (score, tuple(sorted((n1, n2, n3))))
+            # larger trailing factors keep the final transpose cheaper
+            # (and for real masters the halved last stage favors a large
+            # final factor); tie-break toward balanced, ascending factors
+            fs = tuple(sorted((n1, n2, n3)))
+            cand = (score_of(fs), fs)
             if best is None or cand < best:
                 best = cand
     if best is None:
         for n1 in divs:
             n2 = N // n1
             if 8 <= n2 <= _MXU_MAX_FACTOR:
-                cand = (pad(n1) + pad(n2), tuple(sorted((n1, n2))))
+                fs = tuple(sorted((n1, n2)))
+                cand = (score_of(fs), fs)
                 if best is None or cand < best:
                     best = cand
     return best[1] if best else None
@@ -285,8 +313,10 @@ def master_transform(cfg: MasterConfig, x):
     """Forward transform of one assembled [..., N] window -> [..., bins]."""
     if cfg.mxu is not None:
         # MXU matmul cascade; the real master feeds f32 straight into the
-        # first stage (two real matmuls) — no complex materialization
-        F = split_fft_mxu(x, cfg.mxu)
+        # first stage (two real matmuls) — no complex materialization —
+        # and computes only a prefix covering the N/2+1 kept bins (the
+        # final stage's DFT matrix is column-sliced to ~half width)
+        F = split_fft_mxu(x, cfg.mxu, cfg.bins if cfg.real else None)
         return F[..., : cfg.bins] if cfg.real else F
     if cfg.split is None:
         return (jnp.fft.rfft(x) if cfg.real else jnp.fft.fft(x)).astype(jnp.complex64)

@@ -112,3 +112,39 @@ freq = 240k0
     db = base + np.frombuffer(raw, np.uint8).astype(np.float64) * step_db
     peak = int(np.argmax(db))
     assert abs(db[peak] - (-6.0)) < 2.5
+
+
+def test_wide_accumulate_mxu_matches_fft():
+    """The MXU-cascade analysis FFT == the XLA FFT path (wideband spectra
+    at RX888 scale run frames_per_block*fft_n ~ master-sized work, where
+    the matmul cascade lowering wins — numerics must not change)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from ka9q_radio_tpu.models.spectrum import wide_geometry, wide_init, wide_accumulate
+    from ka9q_radio_tpu.ops.filterbank import plan_split_mxu
+
+    rng = np.random.default_rng(31)
+    for real in (True, False):
+        geo = wide_geometry(samprate=FS, L=20_480, real=real, bin_bw=800.0)
+        assert geo.mxu is None  # below the size threshold: XLA FFT path
+        forced = dataclasses.replace(geo, mxu=plan_split_mxu(geo.fft_n, real))
+        assert forced.mxu is not None
+        if real:
+            block = rng.standard_normal(geo.L).astype(np.float32)
+        else:
+            block = (rng.standard_normal(geo.L)
+                     + 1j * rng.standard_normal(geo.L)).astype(np.complex64)
+        st_a, pwr_a = jax.jit(lambda s, b: wide_accumulate(s, b, geo))(wide_init(geo), jnp.asarray(block))
+        st_b, pwr_b = jax.jit(lambda s, b: wide_accumulate(s, b, forced))(wide_init(forced), jnp.asarray(block))
+        pa, pb = np.asarray(pwr_a), np.asarray(pwr_b)
+        assert pa.shape == pb.shape
+        assert np.max(np.abs(pa - pb)) <= 1e-5 * max(np.max(pa), 1e-30)
+
+
+def test_wide_geometry_plans_mxu_at_scale():
+    """RX888-scale wideband geometry auto-plans the matmul cascade."""
+    from ka9q_radio_tpu.models.spectrum import wide_geometry
+
+    geo = wide_geometry(samprate=129_600_000, L=2_592_000, real=True, bin_bw=1000.0)
+    assert geo.mxu is not None
+    assert int(np.prod(geo.mxu)) == geo.fft_n

@@ -60,6 +60,35 @@ def test_split_fft_mxu_matches_numpy(facs):
     assert np.max(np.abs(got_r - want_r)) / np.max(np.abs(want_r)) < 2e-6
 
 
+def test_split_fft_mxu_out_bins_prefix():
+    """out_bins truncation returns the same natural-order prefix (the
+    final DFT matrix is column-sliced — same math, so any delta is dot
+    blocking roundoff) and still matches numpy at full accuracy."""
+    facs = (12, 15, 20)
+    N = int(np.prod(facs))
+    bins = N // 2 + 1
+    rng = np.random.default_rng(23)
+    x = rng.standard_normal((3, N)).astype(np.float32)
+    full = np.asarray(jax.jit(lambda w: split_fft_mxu(w, facs))(jnp.asarray(x)))
+    pre = np.asarray(jax.jit(lambda w: split_fft_mxu(w, facs, bins))(jnp.asarray(x)))
+    assert bins <= pre.shape[-1] < N
+    scale = np.max(np.abs(full))
+    assert np.max(np.abs(full[:, : pre.shape[-1]] - pre)) / scale < 1e-6
+    want = np.fft.fft(x.astype(np.float64), axis=-1)[:, : pre.shape[-1]]
+    assert np.max(np.abs(pre - want)) / np.max(np.abs(want)) < 2e-6
+    # degenerate requests fall back to the full transform
+    same = np.asarray(jax.jit(lambda w: split_fft_mxu(w, facs, N))(jnp.asarray(x)))
+    np.testing.assert_array_equal(full, same)
+
+
+def test_plan_split_mxu_real_prefers_large_last_factor():
+    """Real-master planning accounts for the halved final stage: the last
+    factor is the largest, and its costed width is ~half."""
+    facs = plan_split_mxu(3_240_000, real=True)
+    assert facs is not None and int(np.prod(facs)) == 3_240_000
+    assert facs[-1] == max(facs)
+
+
 def test_plan_split_mxu():
     facs = plan_split_mxu(3_240_000)
     assert facs is not None and int(np.prod(facs)) == 3_240_000
