@@ -144,7 +144,7 @@ _GLOBAL_KEYS = {
     "overlap", "update", "encoding", "block", "lifetime", "wisdom",
     "advertise", "rds", "native-edge", "description", "rtcp-interval",
     "spectrum-format", "spectrum-base", "spectrum-step", "iface", "matmul", "sap",
-    "fft-threads", "fft-plan-level", "fft", "dns", "tos", "spurs",
+    "fft-threads", "fft-plan-level", "fft", "fft-precision", "dns", "tos", "spurs",
     "mesh", "fail-deadline", "dyn-slots", "prealloc", "restart",
 }
 

@@ -153,6 +153,9 @@ class WideGeometry:
     # itself, and the VPU's batched FFT kernels hit the same ~ms floor
     # there — so the same cascade lowering applies
     mxu: "tuple[int, ...] | None" = None
+    # cascade accuracy tier (filterbank.FFT_PRECISIONS), inherited from
+    # the engine's fft-precision setting
+    fft_precision: str = "high"
 
     @property
     def frames_per_block(self) -> int:
@@ -185,6 +188,7 @@ def wide_geometry(
     window_param: float = 7.0,
     fft_avg: int = 10,
     overlap: float = 0.0,
+    fft_precision: str = "high",
 ) -> WideGeometry:
     fft_n = max(int(round(samprate / bin_bw)), 8)
     frac = max(1.0 - overlap, 1.0 / 8)
@@ -207,7 +211,7 @@ def wide_geometry(
         mxu = plan_split_mxu(fft_n, real)
     return WideGeometry(samprate=samprate, L=L, real=real, fft_n=fft_n,
                         hop=hop, fft_avg=fft_avg, window=w.astype(np.float32),
-                        mxu=mxu)
+                        mxu=mxu, fft_precision=fft_precision)
 
 
 # below this many analysis points per block, XLA's batched FFT is fine
@@ -235,7 +239,8 @@ def wide_accumulate(state, block, geo: WideGeometry):
     if geo.mxu is not None:
         from ..ops.filterbank import split_fft_mxu
 
-        X = split_fft_mxu(frames * w, geo.mxu, geo.bins if geo.real else None)
+        X = split_fft_mxu(frames * w, geo.mxu, geo.bins if geo.real else None,
+                          geo.fft_precision)
         X = X[..., : geo.bins]
     else:
         X = jnp.fft.rfft(frames * w, axis=-1) if geo.real else jnp.fft.fft(frames * w, axis=-1)

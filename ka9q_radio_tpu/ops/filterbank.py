@@ -81,6 +81,10 @@ class MasterConfig:
     # `split` when set — measured 1.2 ms vs 5.3 ms for the N=3.24M
     # rof3240000-equivalent transform on v5e
     mxu: "tuple[int, ...] | None" = None
+    # cascade accuracy tier (FFT_PRECISIONS key; `fft-precision` config
+    # key): "high" = bf16x3, a measured -95 dBc artifact floor at 25%
+    # less time than "exact" (bf16x6 = full f32); see the table above
+    fft_precision: str = "high"
 
     @property
     def N(self) -> int:
@@ -98,14 +102,18 @@ class MasterConfig:
 
     @classmethod
     def from_rate(cls, samprate: float, blocktime: float = 0.02, overlap: int = 5, real: bool = True,
-                  fft: str = "auto"):
+                  fft: str = "auto", fft_precision: str = "high"):
         """Size L, M from sample rate and block time (radio.c:644-652).
 
         fft: "auto" plans the MXU matmul cascade when it pays (large N),
         falling back to the four-step split; "mxu" forces the cascade,
         "split" forces the four-step, "monolithic" forces XLA's one-shot
         FFT (errors if a forced plan has no usable factorization).
+        fft_precision: cascade accuracy tier, see FFT_PRECISIONS.
         """
+        if fft_precision not in FFT_PRECISIONS:
+            raise ValueError(
+                f"fft_precision={fft_precision!r}: expected one of {sorted(FFT_PRECISIONS)}")
         L = int(round(samprate * blocktime))
         M = L // (overlap - 1) + 1
         N = L + M - 1
@@ -124,7 +132,8 @@ class MasterConfig:
                 raise ValueError(f"fft=split: N={N} has no usable n1*n2 factorization")
         elif fft != "monolithic":
             raise ValueError(f"fft={fft!r}: expected auto|mxu|split|monolithic")
-        return cls(L=L, M=M, real=real, split=split, mxu=mxu)
+        return cls(L=L, M=M, real=real, split=split, mxu=mxu,
+                   fft_precision=fft_precision)
 
 
 # below this, XLA's monolithic FFT is fine and bit-stability with the
@@ -190,11 +199,27 @@ def _twiddle_c64(n1: int, m: int) -> np.ndarray:
     return np.exp(-2j * np.pi / N * ((k1 * b) % N)).astype(np.complex64)
 
 
-def _dft_last(x, W: np.ndarray):
+# MXU cascade accuracy/speed tiers. The MXU multiplies bf16 natively; a
+# float32 operand is decomposed into bf16 passes: 6 for "exact" (full-f32),
+# 3 for "high". Measured on v5e, N=3,240,000 real transform vs numpy f64
+# (max relative error at the spectrum peak / ms per transform):
+#   exact  (bf16x6)  6.0e-08   0.823 ms
+#   high   (bf16x3)  1.7e-05   0.623 ms    <- default: a -95 dBc artifact
+#                                             floor, below a 16-bit ADC's
+#                                             SFDR and 3 orders inside the
+#                                             0.1 dB reference parity bound
+#   bf16   (bf16x1)  5.4e-04   0.561 ms
+FFT_PRECISIONS = {
+    "exact": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "bf16": jax.lax.Precision.DEFAULT,
+}
+
+
+def _dft_last(x, W: np.ndarray, precision=jax.lax.Precision.HIGHEST):
     """DFT along the last axis as one MXU matmul ([..., n] @ [n, n]).
 
-    HIGHEST precision: the MXU multiplies bf16 natively; the 6-pass f32
-    decomposition keeps ~f32 accuracy while still running ~an order of
+    Even at HIGHEST (6-pass f32 decomposition) the MXU runs ~an order of
     magnitude above the VPU's f32 throughput. A float32 input (the real
     master's first stage) runs as two real matmuls — half the work of the
     complex product."""
@@ -202,7 +227,7 @@ def _dft_last(x, W: np.ndarray):
     def dot(a, B):
         return jax.lax.dot_general(
             a, jnp.asarray(B), (((a.ndim - 1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )
 
     if x.dtype == jnp.float32:
@@ -211,7 +236,8 @@ def _dft_last(x, W: np.ndarray):
     return dot(x, W).astype(jnp.complex64)
 
 
-def split_fft_mxu(z, factors: "tuple[int, ...]", out_bins: "int | None" = None):
+def split_fft_mxu(z, factors: "tuple[int, ...]", out_bins: "int | None" = None,
+                  precision="exact"):
     """FFT_{prod(factors)} over the last axis, every stage an MXU matmul.
 
     Recursive four-step (split_fft) where each stage's batched DFT is a
@@ -235,24 +261,30 @@ def split_fft_mxu(z, factors: "tuple[int, ...]", out_bins: "int | None" = None):
     final (largest) stage's MXU flops and output HBM writes in half. The
     kept outputs are bit-identical to the full transform (the matrix
     columns are merely sliced, never recomputed).
+
+    precision: a key of FFT_PRECISIONS ("exact"/"high"/"bf16") or a
+    jax.lax.Precision; see the measured accuracy/speed table there.
     """
+    if isinstance(precision, str):
+        precision = FFT_PRECISIONS[precision]
     if len(factors) == 1:
         n = factors[0]
         W = dft_matrix_c64(n)
         if out_bins is not None and out_bins < n:
             W = np.ascontiguousarray(W[:, :out_bins])
-        return _dft_last(z, W)
+        return _dft_last(z, W, precision)
     n1, rest = factors[0], factors[1:]
     m = int(np.prod(rest))
     lead = z.shape[:-1]
     A = z.reshape(*lead, n1, m)
     # DFT_{n1} over axis -2: move it last for the matmul (XLA folds the
     # transpose into the matmul operand layout)
-    A1 = jnp.swapaxes(_dft_last(jnp.swapaxes(A, -1, -2), dft_matrix_c64(n1)), -1, -2)
+    A1 = jnp.swapaxes(
+        _dft_last(jnp.swapaxes(A, -1, -2), dft_matrix_c64(n1), precision), -1, -2)
     keep = None
     if out_bins is not None and out_bins < n1 * m:
         keep = min(m, -(-out_bins // n1))
-    C = split_fft_mxu(A1 * jnp.asarray(_twiddle_c64(n1, m)), rest, keep)
+    C = split_fft_mxu(A1 * jnp.asarray(_twiddle_c64(n1, m)), rest, keep, precision)
     return jnp.swapaxes(C, -1, -2).reshape(*lead, n1 * C.shape[-1])
 
 
@@ -316,7 +348,8 @@ def master_transform(cfg: MasterConfig, x):
         # first stage (two real matmuls) — no complex materialization —
         # and computes only a prefix covering the N/2+1 kept bins (the
         # final stage's DFT matrix is column-sliced to ~half width)
-        F = split_fft_mxu(x, cfg.mxu, cfg.bins if cfg.real else None)
+        F = split_fft_mxu(x, cfg.mxu, cfg.bins if cfg.real else None,
+                          cfg.fft_precision)
         return F[..., : cfg.bins] if cfg.real else F
     if cfg.split is None:
         return (jnp.fft.rfft(x) if cfg.real else jnp.fft.fft(x)).astype(jnp.complex64)

@@ -258,6 +258,7 @@ class _Group:
                     self.fs_in, master.L, master.real, spec.bin_bw,
                     spec.spectrum_window, spec.spectrum_window_param,
                     spec.fft_avg, spec.spectrum_overlap,
+                    fft_precision=master.fft_precision,
                 )
             else:
                 self.spectrum_geo = spectrum_geometry(
@@ -653,6 +654,7 @@ class Engine:
         shard_axis: str = "c",
         center: float = 0.0,
         fft: str = "auto",
+        fft_precision: str = "high",
         use_tiled: bool = True,
     ):
         """mesh: a jax.sharding.Mesh to run multi-chip. The master FFT runs
@@ -661,7 +663,8 @@ class Engine:
         group's bin gather reads only local shards + one psum_scatter over
         the channel axis. Every group's channel count must divide the mesh
         size. The single-device path is unchanged when mesh is None."""
-        self.master = MasterConfig.from_rate(samprate, blocktime, overlap, real, fft=fft)
+        self.master = MasterConfig.from_rate(samprate, blocktime, overlap, real,
+                                             fft=fft, fft_precision=fft_precision)
         self.samprate = float(samprate)
         self.blocktime = blocktime
         # front-end center frequency: dial RF maps to IF = freq - center

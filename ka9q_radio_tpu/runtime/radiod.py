@@ -158,6 +158,7 @@ class Radiod:
             use_matmul=use_matmul, spurs=spurs, mesh=self._mesh,
             center=getattr(cfg, "center", 0.0),
             fft=str(cfg.options.get("fft", "auto")).lower(),
+            fft_precision=str(cfg.options.get("fft-precision", "high")).lower(),
         )
         # initial state built INSIDE jit: remote-TPU tunnels (axon) are
         # unreliable for eager device ops; compiled programs are the solid path
@@ -817,7 +818,8 @@ class Radiod:
                          use_matmul=self.engine.use_matmul,
                          spurs=self._spurs, mesh=self._mesh,
                          center=self.engine.center,
-                         fft=str(self.cfg.options.get("fft", "auto")).lower())
+                         fft=str(self.cfg.options.get("fft", "auto")).lower(),
+                         fft_precision=str(self.cfg.options.get("fft-precision", "high")).lower())
         new_init = jax.jit(new_eng.init_state)()
         new_state = jax.jit(migrate_state)(self.state, new_init)
         new_params = new_eng.adopt_host_params(old)

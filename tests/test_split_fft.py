@@ -174,3 +174,33 @@ def test_engine_audio_split_vs_monolithic():
     assert np.max(np.abs(a - b)) < 1e-4 * max(1.0, np.max(np.abs(a)))
     c = run("mxu")
     assert np.max(np.abs(a - c)) < 1e-4 * max(1.0, np.max(np.abs(a)))
+
+
+def test_fft_precision_plumbing():
+    """fft-precision tiers: validated, carried on MasterConfig, inherited
+    by wideband spectrum geometry; split_fft_mxu accepts tier names and
+    produces the same result on CPU (precision only matters on the MXU)."""
+    import dataclasses
+    import pytest as _pytest
+
+    cfg = MasterConfig.from_rate(512_000, real=True, fft="mxu", fft_precision="exact")
+    assert cfg.fft_precision == "exact"
+    assert MasterConfig.from_rate(512_000, real=True).fft_precision == "high"
+    with _pytest.raises(ValueError):
+        MasterConfig.from_rate(512_000, real=True, fft_precision="double")
+
+    eng = Engine(samprate=16_200_000, real=True, fft_precision="bf16", groups=[
+        GroupSpec(name="sweep", demod="spectrum", samprate=32_400,
+                  bin_bw=1000.0, bin_count=16,
+                  channels=(ChannelSpec(freq=3_000_000.0),))])
+    assert eng.master.fft_precision == "bf16"
+    assert eng.groups["sweep"].wide_geo.fft_precision == "bf16"
+
+    rng = np.random.default_rng(41)
+    z = (rng.standard_normal(3600) + 1j * rng.standard_normal(3600)).astype(np.complex64)
+    a = np.asarray(jax.jit(lambda w: split_fft_mxu(w, (12, 15, 20), None, "exact"))(jnp.asarray(z)))
+    b = np.asarray(jax.jit(lambda w: split_fft_mxu(w, (12, 15, 20), None, "high"))(jnp.asarray(z)))
+    want = np.fft.fft(z.astype(np.complex128))
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(a - want)) / scale < 2e-6
+    assert np.max(np.abs(b - want)) / scale < 2e-6  # CPU: tiers are equal
