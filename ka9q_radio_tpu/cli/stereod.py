@@ -31,7 +31,7 @@ def main(argv=None) -> int:
     import jax
     jax.config.update("jax_platforms", "cpu")  # tiny per-block FFTs: stay local
     import jax.numpy as jnp
-    from ..models.wfm import wfm_geometry, wfm_design, _slave_complex
+    from ..models.wfm import wfm_geometry, wfm_design, _slave_fd
 
     geo = wfm_geometry()
     resp = {k: jnp.asarray(v) for k, v in wfm_design(geo).items()}
@@ -43,8 +43,9 @@ def main(argv=None) -> int:
         nb, aL = geo.nb, geo.audio_L
         hm = Fc[:, : nb // 2 + 1] * resp["mono"][None, :]
         mono = jnp.fft.irfft(hm, n=nb, axis=-1)[:, nb - aL :]
-        pilot = _slave_complex(Fc, resp["pilot"], geo.pilot_shift, nb, geo.Nc, aL)
-        lmr = _slave_complex(Fc, resp["lminusr"], geo.subc_shift, nb, geo.Nc, aL)
+        fds = jnp.stack([_slave_fd(Fc, resp["pilot"], geo.pilot_shift, nb, geo.Nc),
+                         _slave_fd(Fc, resp["lminusr"], geo.subc_shift, nb, geo.Nc)])
+        pilot, lmr = jnp.fft.ifft(fds, axis=-1)[..., nb - aL :]
         pnorm = jnp.maximum(pilot.real**2 + pilot.imag**2, 1e-30)
         sp = (pilot * pilot) / pnorm
         sub = 2.0 * (jnp.conj(sp) * lmr).imag

@@ -119,17 +119,20 @@ def wfm_init(C: int, geo: WfmGeometry):
     }
 
 
-def _slave_complex(Fc, resp, shift: int, nb: int, Nc: int, olen: int):
-    """R->C slave: gather nb bins at +shift from the composite half spectrum
-    (upright positive-frequency slice, filter.c:777-859), multiply, IFFT,
-    keep the last olen samples. shift is static."""
+def _slave_fd(Fc, resp, shift: int, nb: int, Nc: int):
+    """R->C slave frequency-domain product: gather nb bins at +shift from
+    the composite half spectrum (upright positive-frequency slice,
+    filter.c:777-859) and multiply by the response. shift is static.
+
+    The IFFT is NOT taken here: the three complex slaves (pilot, L-R, RDS)
+    share one batched inverse transform in wfm_demod — identical numerics
+    per row, one kernel launch instead of three."""
     m_bins = Nc // 2 + 1
     k = np.arange(nb)
     signed = np.where(k < (nb + 1) // 2, k, k - nb)
     idx = shift + signed
     valid = (idx >= 0) & (idx < m_bins)
-    fd = jnp.where(valid[None, :], Fc[:, np.clip(idx, 0, m_bins - 1)], 0.0) * resp[None, :]
-    return jnp.fft.ifft(fd, axis=-1)[:, nb - olen :]
+    return jnp.where(valid[None, :], Fc[:, np.clip(idx, 0, m_bins - 1)], 0.0) * resp[None, :]
 
 
 def wfm_demod(state, bb, bb_power, n0, params, geo: WfmGeometry, responses):
@@ -189,9 +192,12 @@ def wfm_demod(state, bb, bb_power, n0, params, geo: WfmGeometry, responses):
     # mono (L+R): real-output slave at shift 0 (filter.c:770-776)
     hm = Fc[:, : nb // 2 + 1] * responses["mono"][None, :]
     mono = jnp.fft.irfft(hm, n=nb, axis=-1)[:, nb - aL :].astype(jnp.float32)
-    pilot = _slave_complex(Fc, responses["pilot"], geo.pilot_shift, nb, geo.Nc, aL)
-    lmr = _slave_complex(Fc, responses["lminusr"], geo.subc_shift, nb, geo.Nc, aL)
-    rds = _slave_complex(Fc, responses["rds"], geo.rds_shift, nb, geo.Nc, aL)
+    fds = jnp.stack([
+        _slave_fd(Fc, responses["pilot"], geo.pilot_shift, nb, geo.Nc),
+        _slave_fd(Fc, responses["lminusr"], geo.subc_shift, nb, geo.Nc),
+        _slave_fd(Fc, responses["rds"], geo.rds_shift, nb, geo.Nc),
+    ])
+    pilot, lmr, rds = jnp.fft.ifft(fds, axis=-1)[..., nb - aL :]
 
     # constant FM gain (wfm.c:209)
     gain = 2.0 * params["headroom"] * COMPOSITE_SAMPRATE / jnp.maximum(params["bandwidth"], 1.0)

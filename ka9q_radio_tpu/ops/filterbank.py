@@ -137,9 +137,11 @@ class MasterConfig:
 
 
 # below this, XLA's monolithic FFT is fine and bit-stability with the
-# historical path is preserved; above it, the four-step split wins by an
-# order of magnitude on TPU (see MasterConfig.split)
-_SPLIT_MIN_N = 1 << 18
+# historical path is preserved; above it, the MXU cascade / four-step
+# split wins on TPU (see MasterConfig.split). Boundary measured on v5e:
+# at N=192,000 (the WFM master) the cascade saves 0.24 ms/block in-engine
+# (1.72 -> 1.48 ms); at N~128k the two are within measurement noise.
+_SPLIT_MIN_N = 1 << 17
 
 
 def plan_split_single(N: int) -> "tuple[int, int] | None":
