@@ -86,5 +86,39 @@ def main(argv=None) -> int:
     return 1
 
 
+def main_setfilt(argv=None) -> int:
+    """setfilt-tpu — set predetection filter edges (reference setfilt.c).
+
+    Positional low/high in Hz; a leading ``m`` means minus (setfilt.c:102-107
+    — getopt eats a bare ``-`` so the reference spells -3000 as m3000).
+    Edges are swapped if given out of order, like setfilt.c:110-114. The
+    reference marks the tool obsolete in favor of tune; this is a thin
+    front end over the same TLV command path.
+    """
+    if argv is None:
+        argv = sys.argv[1:]
+    ap = argparse.ArgumentParser(prog="setfilt-tpu")
+    ap.add_argument("--radio", "-r", required=True, help="radiod status stream name/addr")
+    ap.add_argument("--ssrc", "-s", type=int, required=True)
+    ap.add_argument("--verbose", "-v", action="store_true")
+    ap.add_argument("--timeout", type=float, default=2.0)
+    ap.add_argument("low", help="low edge, Hz (m prefix = negative)")
+    ap.add_argument("high", help="high edge, Hz (m prefix = negative)")
+    args = ap.parse_args(argv)
+
+    def edge(s: str) -> float:
+        if s and s[0] in "mM":
+            s = "-" + s[1:]
+        return parse_frequency(s)
+
+    lo, hi = edge(args.low), edge(args.high)
+    if lo > hi:
+        lo, hi = hi, lo
+    rc = main(["--radio", args.radio, "--ssrc", str(args.ssrc),
+               "--low", repr(lo), "--high", repr(hi),
+               "--timeout", repr(args.timeout)])
+    return rc
+
+
 if __name__ == "__main__":
     sys.exit(main())

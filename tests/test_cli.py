@@ -73,6 +73,18 @@ def test_tune_cli(daemon, capsys):
     assert "RADIO_FREQUENCY" in out and "200000" in out
 
 
+def test_setfilt_cli(daemon, capsys):
+    """setfilt-tpu sets LOW/HIGH edges; 'm' prefix = minus, swapped edges
+    are reordered (setfilt.c:102-114)."""
+    from ka9q_radio_tpu.cli.tune import main_setfilt
+
+    rc = main_setfilt(["--radio", f"test-{_UNIQ}.local", "--ssrc", "200",
+                       "--timeout", "5", "2k8", "m2k8"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "LOW_EDGE" in out and "-2800" in out and "HIGH_EDGE" in out
+
+
 def test_control_cli_retune(daemon, capsys):
     from ka9q_radio_tpu.cli.control import main
 
