@@ -337,8 +337,12 @@ freq = 50k0
         # (wire clients can't observe that window — the status reply is
         # sent after apply — but this in-process peek can).
         def _applied():
+            # poll for the LAST key apply_command sets (LIFETIME comes after
+            # the samprate move in the key loop) so a mid-apply peek can't
+            # race the asserts below
             ch = rd.chans.get(900)
-            return ch is not None and ch.samprate == 24_000
+            return (ch is not None and ch.samprate == 24_000
+                    and ch.lifetime_init == 60 * 50)
         while time.time() < deadline and not _applied():
             tune_cli.main(["--radio", radio, "--ssrc", "900", "-f", "49k5",
                            "-m", "am", "-r", "24k", "--lifetime", "60",

@@ -64,9 +64,10 @@ def test_window_clamped_at_band_edges():
     assert np.all(np.asarray(n0) > 0)
 
 
-def test_topk_quantile_matches_full_sort():
-    """estimate_noise's top_k order statistics must be bit-identical to a
-    full sort (only the quantile VALUES are read, so ties are irrelevant)."""
+def test_quantile_selection_matches_full_sort():
+    """estimate_noise's bisection-selected order statistics must be
+    bit-identical to a full sort (only the quantile VALUES are read, so
+    ties are irrelevant; non-negative f32 bitcast to int32 is monotone)."""
     from ka9q_radio_tpu.ops.noise import NQ, N_CUTOFF, noise_correction
 
     def sort_reference(energies, master_bins, samprate):
