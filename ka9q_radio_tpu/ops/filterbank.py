@@ -79,7 +79,13 @@ class MasterConfig:
     split: "tuple[int, int] | None" = None
     # multi-factor MXU matmul cascade (split_fft_mxu); preferred over
     # `split` when set — measured 1.2 ms vs 5.3 ms for the N=3.24M
-    # rof3240000-equivalent transform on v5e
+    # rof3240000-equivalent transform on v5e.
+    # (A packed even/odd half-length rfft variant was measured and REJECTED
+    # on v5e at N=3.24M: half-length cascade 0.469 + Hermitian unpack pass
+    # 0.113 = 0.58 ms vs 0.494 ms for this full-length form, whose
+    # out_bins column-halving of the final stage plus the f32-operand
+    # first stage already capture the real-input saving without the extra
+    # unpack/de-interleave passes.)
     mxu: "tuple[int, ...] | None" = None
     # cascade accuracy tier (FFT_PRECISIONS key; `fft-precision` config
     # key): "high" = bf16x3, a measured -95 dBc artifact floor at 25%

@@ -1,0 +1,148 @@
+"""Stage ablation profile of the flagship rx888 config on the real TPU.
+
+Times (per block, via the same scan+checksum+d2h-barrier discipline as
+bench.py):
+  master   — the 3.24M-point master transform alone
+  chan     — master + hf tiled channelizer (+ fine tune)
+  noise    — master + noise gather/estimate
+  wide     — the wideband spectrum accumulate alone
+  full     — the complete Engine.step
+
+Measured on v5e (round 2, after the bisection noise quantile):
+  master 0.47, chan-master ~0.10, noise-master ~0.21, full 1.00 ms/block
+  (= ~2,590 Msps sustained). Rejected experiments, measured same setup:
+  fused two-order-stat bisection scan 0.685 vs 0.675 (the count pass is
+  gather-bound either way); packed even/odd half-length rfft cascade
+  0.469 + 0.113 unpack vs 0.494 full-length (out_bins halving + f32
+  first stage already capture the real-input saving).
+
+Prints one JSON line per stage. NOT part of the test suite; a scratch
+tool for perf work (run in a background shell, tunnel is flaky/slow).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bench import build_engine
+from ka9q_radio_tpu.ops.filterbank import master_fft, tiled_channelize, fine_tune
+from ka9q_radio_tpu.ops.noise import gather_noise_bins, estimate_noise
+
+eng, FS, baseline = build_engine("rx888")
+m = eng.master
+hf = eng.groups["hf"]
+params = eng.init_params()
+
+K, R = 8, 32
+
+
+@jax.jit
+def _mkblocks():
+    key = jax.random.PRNGKey(0)
+    return jax.random.normal(key, (K, eng.L), jnp.float32) * 1e-3
+
+
+def scan_runner(body_fn, init_fn):
+    def run(state, params, blocks):
+        def body(carry, blk):
+            st, acc = carry
+            st, add = body_fn(st, params, blk)
+            return (st, acc + add), None
+
+        def rep(_, carry):
+            carry, _ = jax.lax.scan(body, carry, blocks)
+            return carry
+
+        st, acc = jax.lax.fori_loop(0, R, rep, (state, jnp.float32(0)))
+        return st, acc
+
+    return jax.jit(run), jax.jit(init_fn)
+
+
+def stage_master(st, params, blk):
+    mst, F = master_fft(m, st, blk)
+    return mst, jnp.sum(jnp.abs(F[:64]))
+
+
+def stage_chan(st, params, blk):
+    mst, F = master_fft(m, st["master"], blk)
+    p = params["hf"]
+    bb = tiled_channelize(F, p["resp_tiles"], p["tile_lo"], p["slope"], p["shifts"],
+                          hf.tile_E, hf.n_bins, hf.olen, m.real, m.N)
+    bb, acc = fine_tune(bb, st["acc"], p["inc_q32"], p["adj_q32"])
+    return {"master": mst, "acc": acc}, jnp.sum(bb.real)
+
+
+def stage_noise(st, params, blk):
+    mst, F = master_fft(m, st, blk)
+    p = params["hf"]
+    energies = gather_noise_bins(F, p["shifts"], hf.noise_bins, m.real, m.N)
+    n0 = estimate_noise(energies, m.bins, hf.fs_in)
+    return mst, jnp.sum(n0)
+
+
+def stage_full(st, params, blk):
+    st, out = eng.step(st, params, blk)
+    acc = jnp.float32(0)
+    for name, g in out.items():
+        if not name.startswith("_"):
+            acc = acc + jnp.sum(g["audio"])
+    return st, acc
+
+
+from ka9q_radio_tpu.models.spectrum import wide_accumulate
+
+sweep = eng.groups["sweep"]
+
+
+def stage_wide(st, params, blk):
+    dst, pwr = wide_accumulate(st, blk, sweep.wide_geo)
+    return dst, jnp.sum(pwr[:64])
+
+
+STAGES = {
+    "master": (stage_master, lambda: eng.init_state()["master"]),
+    "wide": (stage_wide, lambda: eng.init_state()["groups"]["sweep"]["demod"]),
+    "chan": (stage_chan, lambda: {"master": eng.init_state()["master"],
+                                  "acc": jnp.zeros((hf.C,), jnp.int32)}),
+    "noise": (stage_noise, lambda: eng.init_state()["master"]),
+    "full": (stage_full, eng.init_state),
+}
+
+
+def main():
+    import sys
+    names = sys.argv[1:] or list(STAGES)
+    blocks = _mkblocks()
+    for name in names:
+        body, init = STAGES[name]
+        runner, jinit = scan_runner(body, init)
+        for attempt in range(6):
+            try:
+                st = jinit()
+                jax.block_until_ready(st)
+
+                def span():
+                    t0 = time.perf_counter()
+                    _st, acc = runner(st, params, blocks)
+                    float(acc)
+                    return time.perf_counter() - t0
+
+                span()  # compile
+                span()  # warm
+                dt = min(span() for _ in range(3)) / (R * K)
+                print(json.dumps({"stage": name, "ms_per_block": round(dt * 1e3, 4)}),
+                      flush=True)
+                break
+            except Exception as e:
+                print(f"# {name} attempt {attempt}: {type(e).__name__}: {e}",
+                      flush=True)
+                time.sleep(15.0)
+
+
+if __name__ == "__main__":
+    main()
