@@ -8,13 +8,17 @@ Msamples/s through the full pipeline.
 
 vs_baseline: ratio to the 129.6 Msps the reference sustains in real time on
 a mid-range x86 (>1.0 = faster than real time on its biggest config).
-Alternate configs: `bench.py nbfm400|wfm|linear8` (BASELINE 2-4).
+Alternate configs: `bench.py nbfm400|wfm|linear8` (BASELINE 2-4);
+`bench.py rx888xB` (B = 2,4,8,...) = B independent RX888-class front ends
+on ONE chip (aggregate Msps; the reference needs a host per SDR);
+`bench.py hfN` (N = 1000,2000,...) = the channels/chip scaling curve.
 
 Prints ONE json line. Run on the real TPU chip (no platform override).
 """
 from __future__ import annotations
 
 import json
+import re
 import time
 
 import numpy as np
@@ -41,9 +45,33 @@ def build_engine(config: str):
                       channels=tuple(ChannelSpec(freq=float(f)) for f in sfreqs)),
         ]
         real = True
-    elif config == "rx888x2":  # the reference's hard channel cap: 2000/instance (radio.h:344)
+    elif re.fullmatch(r"rx888x\d+", config):  # B front ends, ONE chip/daemon
+        # multi-front-end flagship: B independent 129.6 Msps real streams
+        # (the reference needs one host per SDR, README.md:10-12), each
+        # with 1000 SSB channels; the sweep rides the first stream.
+        # Aggregate front-end rate is the metric; >= B x 129.6 Msps =
+        # every stream real-time.
+        B = int(config.split("x")[1])
         FS, baseline = 129_600_000, 129.6
-        freqs = np.linspace(0.02 * FS, 0.48 * FS, 2000)
+        freqs = np.linspace(0.02 * FS, 0.48 * FS, 1000)
+        sfreqs = np.linspace(0.05 * FS, 0.45 * FS, 16)
+        groups = [
+            GroupSpec(name=f"hf{b}", demod="linear", samprate=12_000, snr_squelch=True,
+                      input=b,
+                      channels=tuple(ChannelSpec(freq=float(f), low=50.0, high=3000.0) for f in freqs))
+            for b in range(B)
+        ] + [
+            GroupSpec(name="sweep", demod="spectrum", samprate=32_400, bin_bw=1000.0, bin_count=128,
+                      channels=tuple(ChannelSpec(freq=float(f)) for f in sfreqs)),
+        ]
+        return (Engine(samprate=FS, real=True, groups=groups, n_inputs=B), FS, baseline)
+    elif re.fullmatch(r"hf\d+", config):
+        # channels/chip scaling curve: N linear channels on one 129.6 Msps
+        # stream (hf2000 = the reference's hard per-instance channel cap,
+        # radio.h:344)
+        nch = int(config[2:])
+        FS, baseline = 129_600_000, 129.6
+        freqs = np.linspace(0.02 * FS, 0.48 * FS, nch)
         groups = [
             GroupSpec(name="hf", demod="linear", samprate=12_000, snr_squelch=True,
                       channels=tuple(ChannelSpec(freq=float(f), low=50.0, high=3000.0) for f in freqs)),
@@ -80,6 +108,7 @@ def main() -> None:
         from ka9q_radio_tpu.runtime.engine import Engine as _E
         eng = _E(samprate=eng.samprate, real=eng.master.real,
                  groups=eng.specs, blocktime=eng.blocktime, use_matmul=use_matmul,
+                 n_inputs=eng.n_inputs,
                  use_tiled=False)  # compare the plain-matmul/gather lowering
 
     import os
@@ -117,13 +146,14 @@ def main() -> None:
     # Built INSIDE jit: eager device ops (notably complex construction)
     # poison the axon tunnel client.
     K = 8
+    bshape = (K, eng.L) if eng.n_inputs == 1 else (K, eng.n_inputs, eng.L)
 
     @jax.jit
     def _mkblocks():
         key = jax.random.PRNGKey(0)
         if eng.master.real:
-            return jax.random.normal(key, (K, eng.L), jnp.float32) * 1e-3
-        noise = jax.random.normal(key, (K, eng.L, 2), jnp.float32) * 1e-3
+            return jax.random.normal(key, bshape, jnp.float32) * 1e-3
+        noise = jax.random.normal(key, bshape + (2,), jnp.float32) * 1e-3
         return (noise[..., 0] + 1j * noise[..., 1]).astype(jnp.complex64)
 
     blocks = _mkblocks()
@@ -195,7 +225,7 @@ def main() -> None:
     # closed by a d2h value fetch (see above)
     dt = min(timed_span() for _ in range(4)) / (R * K)
 
-    sps = eng.L / dt  # sustained front-end samples/s
+    sps = eng.n_inputs * eng.L / dt  # sustained AGGREGATE front-end samples/s
     msps = sps / 1e6
     print(
         json.dumps(

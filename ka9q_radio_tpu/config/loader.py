@@ -102,6 +102,16 @@ class RadiodConfig:
     # `frequency =` in the hardware section): dial RF maps to IF =
     # freq - center. 0 (default) = direct/baseband addressing.
     center: float = 0.0
+    # multi-front-end extension: `[global] hardware = fe0 fe1 ...` lists
+    # several same-geometry hardware sections; ONE daemon/engine serves
+    # them all (batched master). `source`/`center` stay the first entry.
+    sources: list = dataclasses.field(default_factory=list)
+    centers: list = dataclasses.field(default_factory=list)
+    hw_names: list = dataclasses.field(default_factory=list)
+
+    @property
+    def n_inputs(self) -> int:
+        return max(1, len(self.hw_names))
 
 
 def _expand_freqs(sec: dict[str, str]) -> list[tuple[float, float]]:
@@ -137,7 +147,7 @@ def _expand_freqs(sec: dict[str, str]) -> list[tuple[float, float]]:
 _CHANNEL_ONLY_KEYS = {
     "mode", "preset", "ssrc", "freq", "raster", "except", "tone", "pl",
     "ctcss", "filter2", "encoding", "block", "update", "ttl", "data",
-    "lifetime", "prio", "disable",
+    "lifetime", "prio", "disable", "hardware",
 }
 _GLOBAL_KEYS = {
     "hardware", "status", "data", "mode", "preset", "ttl", "blocktime",
@@ -145,7 +155,7 @@ _GLOBAL_KEYS = {
     "advertise", "rds", "native-edge", "description", "rtcp-interval",
     "spectrum-format", "spectrum-base", "spectrum-step", "iface", "matmul", "sap",
     "fft-threads", "fft-plan-level", "fft", "fft-precision", "dns", "tos", "spurs",
-    "mesh", "fail-deadline", "dyn-slots", "prealloc", "restart",
+    "mesh", "fail-deadline", "dyn-slots", "prealloc", "restart", "noise-every",
 }
 
 _GROUP_KEYS = {
@@ -313,13 +323,11 @@ def load_config(text_or_path: str, presets: dict[str, dict] | None = None) -> Ra
 
     blocktime = float(g.get("blocktime", 20.0)) * 1e-3
     overlap = int(g.get("overlap", 5))
-    hw_name = g.get("hardware", "").strip().lower()
+    # multiple same-geometry front ends: `hardware = fe0 fe1 ...` — ONE
+    # engine serves them all (the reference needs a radiod per SDR)
+    hw_names = [t.strip().lower() for t in g.get("hardware", "").split()]
 
-    source = None
-    samprate = 0.0
-    real = True
-    center = 0.0
-    if hw_name:
+    def _load_hw(hw_name: str):
         if hw_name not in ini:
             raise ValueError(f"hardware section [{hw_name}] missing")
         hw = ini[hw_name]
@@ -352,6 +360,26 @@ def load_config(text_or_path: str, presets: dict[str, dict] | None = None) -> Ra
             # unknown hardware: record geometry; feeder must supply blocks
             samprate = parse_frequency(hw.get("samprate", "0"))
             real = parse_bool(hw.get("real", "y")) and not parse_bool(hw.get("complex", "n"))
+            source = None
+        return source, samprate, real, center
+
+    source = None
+    sources: list = []
+    centers: list = []
+    samprate = 0.0
+    real = True
+    center = 0.0
+    for i, hw_name in enumerate(hw_names):
+        src_i, fs_i, real_i, ctr_i = _load_hw(hw_name)
+        if i == 0:
+            source, samprate, real, center = src_i, fs_i, real_i, ctr_i
+        elif fs_i != samprate or real_i != real:
+            raise ValueError(
+                f"hardware [{hw_name}]: rate/type {fs_i}/{real_i} differs "
+                f"from [{hw_names[0]}] {samprate}/{real} — all front ends "
+                "of one engine must share the master geometry")
+        sources.append(src_i)
+        centers.append(ctr_i)
 
     default_mode = g.get("mode", g.get("preset", "")).strip().lower()
     groups: list[GroupSpec] = []
@@ -360,7 +388,7 @@ def load_config(text_or_path: str, presets: dict[str, dict] | None = None) -> Ra
         if k not in _GLOBAL_KEYS and k not in _GROUP_KEYS:
             warnings.append(f"[global]: unknown key {k!r}")
     for name, sec in ini.items():
-        if name == "global" or name == hw_name:
+        if name == "global" or name in hw_names:
             continue
         if "device" in sec:
             continue  # another hardware section
@@ -388,7 +416,15 @@ def load_config(text_or_path: str, presets: dict[str, dict] | None = None) -> Ra
         for k in ("ssrc", "encoding", "data", "update", "ttl"):
             if k in sec:
                 settings[k] = sec[k]
-        groups.append(_build_group(name, settings, freqs))
+        grp = _build_group(name, settings, freqs)
+        # per-section front-end binding (multi-hardware configs):
+        # `hardware = fe1` selects which stream feeds this group
+        if "hardware" in sec:
+            want = sec["hardware"].strip().lower()
+            if want not in hw_names:
+                raise ValueError(f"[{name}]: unknown hardware {want!r}")
+            grp = dataclasses.replace(grp, input=hw_names.index(want))
+        groups.append(grp)
 
     return RadiodConfig(
         blocktime=blocktime,
@@ -401,4 +437,7 @@ def load_config(text_or_path: str, presets: dict[str, dict] | None = None) -> Ra
         warnings=warnings,
         source_path=source_path,
         center=center,
+        sources=sources,
+        centers=centers,
+        hw_names=hw_names,
     )

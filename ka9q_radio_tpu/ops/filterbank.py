@@ -393,11 +393,14 @@ def master_fft(cfg: MasterConfig, state, block):
     Returns:
       (new_state, F): F is [bins] complex64 master spectrum of the N-point
       window [previous M-1 samples | block].
+
+    Batches over leading axes ([B, L] blocks with a [B, M-1] tail produce
+    [B, bins] spectra — the multi-front-end engine's layout).
     """
-    x = jnp.concatenate([state["tail"], block])
+    x = jnp.concatenate([state["tail"], block], axis=-1)
     F = master_transform(cfg, x)
     new_state = {
-        "tail": x[cfg.L :],
+        "tail": x[..., cfg.L :],
         "jobnum": state["jobnum"] + 1,
     }
     return new_state, F

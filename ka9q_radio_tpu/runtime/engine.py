@@ -176,6 +176,11 @@ class GroupSpec:
     fft_avg: int = 10
     spectrum_overlap: float = 0.0
     crossover: float = 200.0  # rbw above this -> wideband raw-A/D algorithm
+    # which front-end stream feeds this group (multi-front-end engines:
+    # the reference needs one radiod+host per SDR, README.md:10-12; here
+    # one chip serves several wideband inputs batched over the master's
+    # leading axis). Index into the engine's inputs; 0 = the only/first.
+    input: int = 0
     # host-edge hints: RTP encoding and output stream for this group
     # (None -> the [global] encoding / data group; per-section `data =`
     # streams each section to its own multicast group, radio.c:705-754)
@@ -205,7 +210,8 @@ class _Group:
     """Host-side compiled geometry + initial params for one GroupSpec."""
 
     def __init__(self, spec: GroupSpec, master: MasterConfig, samprate: float, blocktime: float,
-                 use_matmul: bool = False, center: float = 0.0, use_tiled: bool = True):
+                 use_matmul: bool = False, center: float = 0.0, use_tiled: bool = True,
+                 noise_every: int = 4):
         # host->device placement for params leaves; sharded engines set
         # `placement` (Engine.__init__) so retune/set_edges surgery
         # preserves the channel-axis sharding and stays recompile-free
@@ -234,6 +240,15 @@ class _Group:
         if self.C == 0:
             raise ValueError(f"group {spec.name}: no channels")
         self.noise_bins = int(min(master.bins, max(self.n_bins, MIN_NOISE_BINS)))
+        # noise-estimation cadence: the reference quickselects per block
+        # (radio.c:1821-1904) because its estimate is nearly free on an
+        # idle CPU core; on TPU the gather + order statistics cost ~20% of
+        # the flagship block, so N0 re-estimates every `noise_every`-th
+        # block under lax.cond (really skipped, measured 0.196 -> 0.055
+        # ms/block) with the EMA coefficient compounded to keep the SAME
+        # time constant: 1-(1-alpha)^k. Warm-up blocks always estimate.
+        self.noise_every = max(1, int(noise_every))
+        self.noise_alpha = float(1.0 - (1.0 - POWER_ALPHA) ** self.noise_every)
         # matmul channelizer: slave IFFT as one MXU matmul (numpy constant
         # so it embeds at trace time, no device closure capture)
         self.idft = idft_matrix(self.n_bins, self.olen) if use_matmul else None
@@ -526,10 +541,12 @@ class _Group:
         return {"dc": dc, "demod": demod}
 
     # -- per-block device program --------------------------------------------
-    def step(self, state, params, F, block=None):
+    def step(self, state, params, F, block=None, jobnum=None):
         """Downconvert + demod one block. F: [m_bins] master spectrum OR a
         parallel.master.DigitSpectrum handle onto the distributed bins;
-        block: the raw input block (wideband spectrum reads it directly)."""
+        block: the raw input block (wideband spectrum reads it directly);
+        jobnum: block counter gating the N0 estimation cadence (None =
+        estimate every block)."""
         m = self.master
         sharded = not hasattr(F, "shape")  # DigitSpectrum handle
         if self.spec.demod == "spectrum" and self.spectrum_wide:
@@ -564,15 +581,29 @@ class _Group:
         else:
             bb = channelize(F, params["responses"], params["shifts"], self.olen, m.real, m.N)
 
-        energies = (F.gather_noise(params["shifts"], self.noise_bins) if sharded
-                    else gather_noise_bins(F, params["shifts"], self.noise_bins, m.real, m.N))
-        n0_est = estimate_noise(energies, m.bins, self.fs_in)
+        def _estimate(Fv):
+            e = (Fv.gather_noise(params["shifts"], self.noise_bins) if sharded
+                 else gather_noise_bins(Fv, params["shifts"], self.noise_bins, m.real, m.N))
+            return estimate_noise(e, m.bins, self.fs_in)
+
+        prev_n0 = state["dc"]["n0"]
         warm = state["dc"]["warmup"] > 0
-        n0 = jnp.where(
-            warm | (state["dc"]["n0"] <= 0),
-            n0_est,
-            state["dc"]["n0"] + POWER_ALPHA * (n0_est - state["dc"]["n0"]),
-        )
+        alpha = np.float32(POWER_ALPHA if jobnum is None else self.noise_alpha)
+        if jobnum is None or self.noise_every == 1:
+            due = jnp.bool_(True)
+            n0_est = _estimate(F)
+        else:
+            due = warm | (jobnum % self.noise_every == 0)
+            if sharded:
+                # collectives inside a conditional are fragile under
+                # shard_map; compute every block, APPLY on cadence — same
+                # values as the single-chip cond path, bit for bit
+                n0_est = _estimate(F)
+            else:
+                n0_est = jax.lax.cond(due, _estimate, lambda _: prev_n0, F)
+        upd = jnp.where(warm | (prev_n0 <= 0), n0_est,
+                        prev_n0 + alpha * (n0_est - prev_n0))
+        n0 = jnp.where(due, upd, prev_n0)
 
         bb, acc = fine_tune(bb, state["dc"]["acc_q32"], params["inc_q32"], params["adj_q32"])
 
@@ -652,24 +683,45 @@ class Engine:
         spurs: "Sequence[float] | None" = None,
         mesh=None,
         shard_axis: str = "c",
-        center: float = 0.0,
+        center: "float | Sequence[float]" = 0.0,
         fft: str = "auto",
         fft_precision: str = "high",
         use_tiled: bool = True,
+        n_inputs: int = 1,
+        noise_every: int = 4,
     ):
         """mesh: a jax.sharding.Mesh to run multi-chip. The master FFT runs
         as the distributed digit-order transform (parallel.master, two
         all-to-all corner turns), master bins stay distributed, and each
         group's bin gather reads only local shards + one psum_scatter over
         the channel axis. Every group's channel count must divide the mesh
-        size. The single-device path is unchanged when mesh is None."""
+        size. The single-device path is unchanged when mesh is None.
+
+        n_inputs: number of independent same-geometry wideband front-end
+        streams served by ONE engine (the reference needs one host per
+        SDR). The master transform batches over a leading [B] axis — the
+        MXU cascade and tiled channelizer batch naturally — and each
+        group reads the stream its spec.input names. step() then takes a
+        [B, L] block. `center` may be per-input (a sequence of length B).
+        """
         self.master = MasterConfig.from_rate(samprate, blocktime, overlap, real,
                                              fft=fft, fft_precision=fft_precision)
         self.samprate = float(samprate)
         self.blocktime = blocktime
+        self.n_inputs = int(n_inputs)
+        if self.n_inputs < 1:
+            raise ValueError(f"n_inputs={n_inputs}: need at least one input")
         # front-end center frequency: dial RF maps to IF = freq - center
-        # (Frontend.frequency; 0 for direct-sampling real streams)
-        self.center = float(center)
+        # (Frontend.frequency; 0 for direct-sampling real streams).
+        # Scalar centers apply to every input.
+        if np.ndim(center) == 0:
+            self.centers = [float(center)] * self.n_inputs
+        else:
+            self.centers = [float(c) for c in center]
+            if len(self.centers) != self.n_inputs:
+                raise ValueError(
+                    f"{len(self.centers)} centers for {self.n_inputs} inputs")
+        self.center = self.centers[0]
         self.mesh = mesh
         self.shard_axis = shard_axis
         self.digit = None
@@ -678,11 +730,19 @@ class Engine:
 
             self.digit = DigitMaster.plan(mesh, shard_axis, self.master.N)
         self.use_matmul = use_matmul
+        self.noise_every = max(1, int(noise_every))
         names = [g.name for g in groups]
         if len(set(names)) != len(names):
             raise ValueError("duplicate group names")
+        for g in groups:
+            if not 0 <= g.input < self.n_inputs:
+                raise ValueError(
+                    f"group {g.name}: input {g.input} outside the engine's "
+                    f"{self.n_inputs} front-end stream(s)")
         self.groups = {g.name: _Group(g, self.master, self.samprate, blocktime, use_matmul,
-                                      center=self.center, use_tiled=use_tiled and mesh is None)
+                                      center=self.centers[g.input],
+                                      use_tiled=use_tiled and mesh is None,
+                                      noise_every=self.noise_every)
                        for g in groups}
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -720,12 +780,18 @@ class Engine:
         return self.master.L
 
     def init_state(self):
+        mst = master_init(self.master)
+        if self.n_inputs > 1:
+            mst["tail"] = jnp.zeros((self.n_inputs,) + mst["tail"].shape,
+                                    mst["tail"].dtype)
         st = {
-            "master": master_init(self.master),
+            "master": mst,
             "groups": {n: g.init_state() for n, g in self.groups.items()},
         }
         if self.spur_bins is not None:
-            st["spurs"] = jnp.zeros((len(self.spur_bins),), jnp.complex64)
+            shape = ((len(self.spur_bins),) if self.n_inputs == 1
+                     else (self.n_inputs, len(self.spur_bins)))
+            st["spurs"] = jnp.zeros(shape, jnp.complex64)
         return st
 
     def init_params(self):
@@ -776,49 +842,72 @@ class Engine:
         return {name: g.put_tree(g.host) for name, g in self.groups.items()}
 
     def step(self, state, params, block):
-        """One block: [L] input samples -> per-group audio + status info.
+        """One block: [L] input samples ([B, L] for an n_inputs=B engine)
+        -> per-group audio + status info.
 
         Pure; jit with donate_argnums=0 to reuse the state buffers.
         """
         alpha = np.float32(0.01)  # spur tracker ~10 s (filter.c:447)
+        B = self.n_inputs
+        jobnum = state["master"]["jobnum"]
         if self.digit is not None:
             # distributed master: complex digit-order FFT over the mesh
-            # (zero imaginary part for real A/D); bins never densify
+            # (zero imaginary part for real A/D); bins never densify.
+            # Multiple inputs run the transform per stream (each already
+            # saturates the mesh; batching them would multiply the
+            # all-to-all payloads, not overlap them).
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ..parallel.master import DigitSpectrum
 
             m = self.master
-            x = jnp.concatenate([state["master"]["tail"], block])
-            mstate = {"tail": x[m.L:], "jobnum": state["master"]["jobnum"] + 1}
-            xc = jax.lax.with_sharding_constraint(
-                x.astype(jnp.complex64),
-                NamedSharding(self.mesh, P(self.shard_axis)))
-            Zd = self.digit.fft(xc)
+            x = jnp.concatenate([state["master"]["tail"], block], axis=-1)
+            mstate = {"tail": x[..., m.L:], "jobnum": jobnum + 1}
             new_state = {"master": mstate}
+            Fs, tracks = [], []
+            for b in range(B):
+                xb = x[b] if B > 1 else x
+                xc = jax.lax.with_sharding_constraint(
+                    xb.astype(jnp.complex64),
+                    NamedSharding(self.mesh, P(self.shard_axis)))
+                Zd = self.digit.fft(xc)
+                if self.spur_bins is not None:
+                    prev = state["spurs"][b] if B > 1 else state["spurs"]
+                    vals = self.digit.take(Zd, jnp.asarray(self.spur_bins), scatter=False)
+                    track = prev + alpha * (vals - prev)
+                    Zd = self.digit.notch(Zd, self.spur_bins, track)
+                    tracks.append(track)
+                Fs.append(DigitSpectrum(self.digit, Zd, m.real))
             if self.spur_bins is not None:
-                vals = self.digit.take(Zd, jnp.asarray(self.spur_bins), scatter=False)
-                track = state["spurs"] + alpha * (vals - state["spurs"])
-                Zd = self.digit.notch(Zd, self.spur_bins, track)
-                new_state["spurs"] = track
-            F = DigitSpectrum(self.digit, Zd, m.real)
+                new_state["spurs"] = jnp.stack(tracks) if B > 1 else tracks[0]
         else:
             mstate, F = master_fft(self.master, state["master"], block)
             new_state = {"master": mstate}
             if self.spur_bins is not None:
-                vals = F[self.spur_bins]
-                track = state["spurs"] + alpha * (vals - state["spurs"])
-                F = F.at[self.spur_bins].add(-track)
+                if B > 1:
+                    vals = F[:, self.spur_bins]
+                    track = state["spurs"] + alpha * (vals - state["spurs"])
+                    F = F.at[:, self.spur_bins].add(-track)
+                else:
+                    vals = F[self.spur_bins]
+                    track = state["spurs"] + alpha * (vals - state["spurs"])
+                    F = F.at[self.spur_bins].add(-track)
                 new_state["spurs"] = track
+            Fs = [F[b] for b in range(B)] if B > 1 else [F]
         new_groups, outputs = {}, {}
         for name, g in self.groups.items():
-            gs, audio, info = g.step(state["groups"][name], params[name], F, block)
+            inp = g.spec.input
+            blk_g = block[inp] if B > 1 else block
+            gs, audio, info = g.step(state["groups"][name], params[name],
+                                     Fs[inp], blk_g, jobnum)
             new_groups[name] = gs
             outputs[name] = {"audio": audio, "info": info}
         # front-end metrics (frontend->if_power smoothing, rx888.c contract)
         p_in = block.real * block.real
         if not self.master.real:
             p_in = p_in + block.imag * block.imag
-        outputs["_frontend"] = {"if_power": jnp.mean(p_in)[None]}
+        # [B] per-input powers (a length-1 vector for single-input engines)
+        outputs["_frontend"] = {"if_power": (jnp.mean(p_in, axis=-1) if B > 1
+                                             else jnp.mean(p_in)[None])}
         new_state["groups"] = new_groups
         return new_state, outputs
 

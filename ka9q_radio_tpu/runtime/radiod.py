@@ -152,13 +152,18 @@ class Radiod:
 
                 self._mesh = make_mesh()
         self._use_matmul = use_matmul
+        self._n_inputs = int(getattr(cfg, "n_inputs", 1))
+        self._noise_every = int(cfg.options.get("noise-every", 4))
         self.engine = Engine(
             samprate=cfg.samprate, real=cfg.real, groups=cfg.groups,
             blocktime=cfg.blocktime, overlap=cfg.overlap,
             use_matmul=use_matmul, spurs=spurs, mesh=self._mesh,
-            center=getattr(cfg, "center", 0.0),
+            center=(getattr(cfg, "centers", None) or getattr(cfg, "center", 0.0)
+                    if self._n_inputs > 1 else getattr(cfg, "center", 0.0)),
             fft=str(cfg.options.get("fft", "auto")).lower(),
             fft_precision=str(cfg.options.get("fft-precision", "high")).lower(),
+            n_inputs=self._n_inputs,
+            noise_every=self._noise_every,
         )
         # initial state built INSIDE jit: remote-TPU tunnels (axon) are
         # unreliable for eager device ops; compiled programs are the solid path
@@ -167,7 +172,10 @@ class Radiod:
         self.step = jax.jit(self.engine.step, donate_argnums=0)
         self.source_state = None
         self.frontend = None
-        if isinstance(cfg.source, dict):
+        self.frontends = None  # multi-input: per-stream host feeders
+        if self._n_inputs > 1:
+            self._init_multi_sources(cfg)
+        elif isinstance(cfg.source, dict):
             from .frontends import FileSource, RtpSource
 
             d = dict(cfg.source)
@@ -208,7 +216,8 @@ class Radiod:
         self.doppler: dict[int, list[float]] = {}
         # runtime params saved when a channel parks (restored on unpark)
         self._park_saves: dict[tuple[str, int], dict] = {}
-        self.if_power = 0.0  # smoothed front-end input power
+        self.if_power = 0.0  # smoothed front-end input power (first/only input)
+        self.if_power_in = np.zeros(self._n_inputs)  # per-input smoothing
         # per-block wall-time stats (the reference's FFT timing EMA,
         # filter.c:479-530 / main.c:151-188 verbose loop)
         self.t_avg = 0.0
@@ -320,6 +329,49 @@ class Radiod:
         # creates channels in ms, radio_status.c:92-105)
         for pname in str(cfg.options.get("prealloc", "")).split():
             self._prealloc(pname.lower())
+
+    def _init_multi_sources(self, cfg):
+        """Per-input feeders for a multi-front-end engine. All-sig_gen
+        configs fuse into ONE jitted generator returning [B, L] blocks (no
+        per-source dispatches over the tunnel); host feeders (file/rtp)
+        read per stream and stack on the host. Unknown-hardware inputs
+        need an external feeder passing [B, L] to step_block directly."""
+        srcs = list(cfg.sources)
+        if all(s is not None and not isinstance(s, dict) for s in srcs):
+            L = self.engine.L
+
+            def _init():
+                return [siggen_init(s) for s in srcs]
+
+            def _gen(states):
+                outs = [siggen_block(s, st, L) for s, st in zip(srcs, states)]
+                return [o[0] for o in outs], jnp.stack([o[1] for o in outs])
+
+            self.source_state = jax.jit(_init)()
+            self._siggen = jax.jit(_gen)
+            return
+        if any(s is not None and not isinstance(s, dict) for s in srcs):
+            raise NotImplementedError(
+                "multi-front-end configs cannot mix sig_gen with host "
+                "feeders (file/rtp); use one kind per daemon")
+        from .frontends import FileSource, RtpSource
+
+        fes = []
+        for s in srcs:
+            if isinstance(s, dict):
+                d = dict(s)
+                kind = d.pop("kind")
+                fes.append(FileSource(**d) if kind == "file" else RtpSource(**d))
+            else:
+                fes.append(None)
+        if any(f is None for f in fes):
+            if any(f is not None for f in fes):
+                raise NotImplementedError(
+                    "multi-front-end: either every hardware section has a "
+                    "feeder or an external caller supplies [B, L] blocks")
+            return  # external feeder drives step_block(block=[B, L])
+        self.frontends = fes
+        self.frontend = fes[0]  # RF_GAIN etc. commands act on the first
 
     def _prealloc(self, preset: str):
         from ..config.loader import _build_group
@@ -817,9 +869,12 @@ class Radiod:
                          overlap=self.cfg.overlap,
                          use_matmul=self.engine.use_matmul,
                          spurs=self._spurs, mesh=self._mesh,
-                         center=self.engine.center,
+                         center=(self.engine.centers if self._n_inputs > 1
+                                 else self.engine.center),
                          fft=str(self.cfg.options.get("fft", "auto")).lower(),
-                         fft_precision=str(self.cfg.options.get("fft-precision", "high")).lower())
+                         fft_precision=str(self.cfg.options.get("fft-precision", "high")).lower(),
+                         n_inputs=self._n_inputs,
+                         noise_every=self._noise_every)
         new_init = jax.jit(new_eng.init_state)()
         new_state = jax.jit(migrate_state)(self.state, new_init)
         new_params = new_eng.adopt_host_params(old)
@@ -1156,7 +1211,9 @@ class Radiod:
             T.SETOPTS: ch.options,
             T.TP1: self.t_avg * 1e3,  # test points: block time ms / drops
             T.TP2: float(self.block_drops),
-            T.IF_POWER: power_to_dB(max(self.if_power, 1e-30)),
+            T.IF_POWER: power_to_dB(max(
+                float(self.if_power_in[spec.input])
+                if spec.input < self.if_power_in.size else self.if_power, 1e-30)),
             T.BASEBAND_POWER: power_to_dB(max(g("baseband_power"), 1e-30)),
             T.NOISE_DENSITY: power_to_dB(max(g("n0"), 1e-30)),
             T.OUTPUT_LEVEL: power_to_dB(max(g("output_power"), 1e-30)),
@@ -1535,7 +1592,10 @@ class Radiod:
             raise RuntimeError("no front end configured and no block given")
         try:
             if block is None:
-                if self.frontend is not None:
+                if self.frontends is not None:
+                    block = np.stack([np.asarray(fe.read_block(self.engine.L))
+                                      for fe in self.frontends])
+                elif self.frontend is not None:
                     block = self.frontend.read_block(self.engine.L)
                 else:
                     self.source_state, block = self._siggen(self.source_state)
@@ -1589,7 +1649,9 @@ class Radiod:
         fe = host_out.pop("_frontend", None)
         if fe is not None:
             # EMA like frontend->if_power smoothing in the drivers
-            self.if_power += 0.1 * (float(np.asarray(fe["if_power"])[0]) - self.if_power)
+            p = np.asarray(fe["if_power"], np.float64)
+            self.if_power_in += 0.1 * (p - self.if_power_in)
+            self.if_power = float(self.if_power_in[0])
         # fast path: whole-group native packetization + one sendmmsg batch
         for gname, (edge, group_chans) in self.edges.items():
             gout = host_out[gname]
