@@ -156,6 +156,7 @@ _GLOBAL_KEYS = {
     "spectrum-format", "spectrum-base", "spectrum-step", "iface", "matmul", "sap",
     "fft-threads", "fft-plan-level", "fft", "fft-precision", "dns", "tos", "spurs",
     "mesh", "fail-deadline", "dyn-slots", "prealloc", "restart", "noise-every",
+    "time-shards",
 }
 
 _GROUP_KEYS = {

@@ -45,8 +45,12 @@ def engine_sharding_tree(engine, mesh: Mesh, tree):
     import jax.tree_util as jtu
 
     axis = mesh.axis_names[0]
-    group_C = {name: g.C for name, g in engine.groups.items()
-               if g.C % mesh.devices.size == 0}
+    # time-sharded engines (Engine(time_shards=D)) parallelize over the
+    # BLOCK axis: every device demods all channels of its own block, so
+    # state/params replicate — nothing shards by channel
+    group_C = ({} if getattr(engine, "time_shards", 0)
+               else {name: g.C for name, g in engine.groups.items()
+                     if g.C % mesh.devices.size == 0})
     chan = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 

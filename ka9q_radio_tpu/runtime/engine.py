@@ -541,6 +541,41 @@ class _Group:
         return {"dc": dc, "demod": demod}
 
     # -- per-block device program --------------------------------------------
+    def _channelize(self, params, F):
+        """Stateless select+filter+decimate: master spectrum F -> [C, olen]
+        baseband (pre fine-tune). Shared by step() and the time-sharded
+        step_scan() (which vmaps it over a [D] block axis)."""
+        m = self.master
+        sharded = not hasattr(F, "shape")  # DigitSpectrum handle
+        if self.spec.beam:
+            if sharded:
+                fd = F.gather_beam(params["shifts"], params["responses"].shape[-1],
+                                   params["beam_alpha"], params["beam_beta"])
+                return finish_channelize(fd * params["responses"], self.olen)
+            return channelize_beam(F, params["responses"], params["shifts"], self.olen, m.N,
+                                   params["beam_alpha"], params["beam_beta"])
+        if sharded:
+            fd = F.gather(params["shifts"], params["responses"].shape[-1])
+            if self.use_matmul and not self.spec.isb:
+                return ((fd * params["responses"]) @ self.idft).astype(jnp.complex64)
+            return finish_channelize(fd * params["responses"], self.olen)
+        if self.tiled:
+            return tiled_channelize(F, params["resp_tiles"], params["tile_lo"], params["slope"],
+                                    params["shifts"], self.tile_E, self.n_bins, self.olen,
+                                    m.real, m.N)
+        if self.use_matmul and not self.spec.isb:
+            fd = gather_bins(F, params["shifts"], self.n_bins, m.real, m.N) * params["responses"]
+            return (fd @ self.idft).astype(jnp.complex64)
+        return channelize(F, params["responses"], params["shifts"], self.olen, m.real, m.N)
+
+    def _noise_est(self, params, F):
+        """Stateless N0 estimate from the master bins around each channel."""
+        m = self.master
+        sharded = not hasattr(F, "shape")
+        e = (F.gather_noise(params["shifts"], self.noise_bins) if sharded
+             else gather_noise_bins(F, params["shifts"], self.noise_bins, m.real, m.N))
+        return estimate_noise(e, m.bins, self.fs_in)
+
     def step(self, state, params, F, block=None, jobnum=None):
         """Downconvert + demod one block. F: [m_bins] master spectrum OR a
         parallel.master.DigitSpectrum handle onto the distributed bins;
@@ -557,50 +592,32 @@ class _Group:
                     "baseband_power": jnp.sum(bins, axis=-1),
                     "n0": jnp.zeros((self.C,), jnp.float32)}
             return {"dc": state["dc"], "demod": demod_state}, audio, info
-        if self.spec.beam:
-            if sharded:
-                fd = F.gather_beam(params["shifts"], params["responses"].shape[-1],
-                                   params["beam_alpha"], params["beam_beta"])
-                bb = finish_channelize(fd * params["responses"], self.olen)
-            else:
-                bb = channelize_beam(F, params["responses"], params["shifts"], self.olen, m.N,
-                                     params["beam_alpha"], params["beam_beta"])
-        elif sharded:
-            fd = F.gather(params["shifts"], params["responses"].shape[-1])
-            if self.use_matmul and not self.spec.isb:
-                bb = ((fd * params["responses"]) @ self.idft).astype(jnp.complex64)
-            else:
-                bb = finish_channelize(fd * params["responses"], self.olen)
-        elif self.tiled:
-            bb = tiled_channelize(F, params["resp_tiles"], params["tile_lo"], params["slope"],
-                                  params["shifts"], self.tile_E, self.n_bins, self.olen,
-                                  m.real, m.N)
-        elif self.use_matmul and not self.spec.isb:
-            fd = gather_bins(F, params["shifts"], self.n_bins, m.real, m.N) * params["responses"]
-            bb = (fd @ self.idft).astype(jnp.complex64)
-        else:
-            bb = channelize(F, params["responses"], params["shifts"], self.olen, m.real, m.N)
-
-        def _estimate(Fv):
-            e = (Fv.gather_noise(params["shifts"], self.noise_bins) if sharded
-                 else gather_noise_bins(Fv, params["shifts"], self.noise_bins, m.real, m.N))
-            return estimate_noise(e, m.bins, self.fs_in)
+        bb = self._channelize(params, F)
 
         prev_n0 = state["dc"]["n0"]
         warm = state["dc"]["warmup"] > 0
-        alpha = np.float32(POWER_ALPHA if jobnum is None else self.noise_alpha)
         if jobnum is None or self.noise_every == 1:
             due = jnp.bool_(True)
-            n0_est = _estimate(F)
+            n0_est = self._noise_est(params, F)
         else:
             due = warm | (jobnum % self.noise_every == 0)
             if sharded:
                 # collectives inside a conditional are fragile under
                 # shard_map; compute every block, APPLY on cadence — same
                 # values as the single-chip cond path, bit for bit
-                n0_est = _estimate(F)
+                n0_est = self._noise_est(params, F)
             else:
-                n0_est = jax.lax.cond(due, _estimate, lambda _: prev_n0, F)
+                n0_est = jax.lax.cond(due, lambda Fv: self._noise_est(params, Fv),
+                                      lambda _: prev_n0, F)
+        return self._demod_tail(state, params, bb, n0_est, due,
+                                every_block=jobnum is None)
+
+    def _demod_tail(self, state, params, bb, n0_est, due, every_block=False):
+        """Stateful tail: N0 EMA, fine-tune NCO, filter2 cascade, demod.
+        bb: [C, olen] from _channelize; n0_est/due from the cadence gate."""
+        prev_n0 = state["dc"]["n0"]
+        warm = state["dc"]["warmup"] > 0
+        alpha = np.float32(POWER_ALPHA if every_block else self.noise_alpha)
         upd = jnp.where(warm | (prev_n0 <= 0), n0_est,
                         prev_n0 + alpha * (n0_est - prev_n0))
         n0 = jnp.where(due, upd, prev_n0)
@@ -661,6 +678,42 @@ class _Group:
         new_state = {"dc": new_dc, "demod": demod_state}
         return new_state, audio, info
 
+    def step_scan(self, state, params, F, blocks, jobnum0):
+        """D consecutive blocks at once (time-sharded engines, SURVEY §2.5
+        P5): the stateless channelize/noise-estimate phases vmap over the
+        [D] block axis (each block's work runs on the device owning it);
+        the stateful demod tail scans sequentially — identical values to D
+        step() calls (the scan carries exactly the same state).
+
+        F: [D, m_bins] master spectra (from parallel.timeshard);
+        blocks: [D, L] raw inputs; jobnum0: block counter at blocks[0].
+        Returns (new_state, audio [D, C, olen_out], info [D, ...]).
+        """
+        D = F.shape[0]
+        jobnums = jobnum0 + jnp.arange(D, dtype=jnp.int32)
+        if self.spec.demod == "spectrum" and self.spectrum_wide:
+            def wbody(gs, xs):
+                Fd, blk = xs
+                gs, audio, info = self.step(gs, params, Fd, blk)
+                return gs, (audio, info)
+
+            new_state, (audio, info) = jax.lax.scan(wbody, state, (F, blocks))
+            return new_state, audio, info
+
+        bb = jax.vmap(lambda Fd: self._channelize(params, Fd))(F)
+        n0_est = jax.vmap(lambda Fd: self._noise_est(params, Fd))(F)
+
+        def body(gs, xs):
+            bb_d, n0e_d, jn_d = xs
+            warm = gs["dc"]["warmup"] > 0
+            due = (jnp.bool_(True) if self.noise_every == 1
+                   else warm | (jn_d % self.noise_every == 0))
+            gs, audio, info = self._demod_tail(gs, params, bb_d, n0e_d, due)
+            return gs, (audio, info)
+
+        new_state, (audio, info) = jax.lax.scan(body, state, (bb, n0_est, jobnums))
+        return new_state, audio, info
+
 
 class Engine:
     """radiod-equivalent: master FFT + all channel groups, one jitted step.
@@ -689,6 +742,7 @@ class Engine:
         use_tiled: bool = True,
         n_inputs: int = 1,
         noise_every: int = 4,
+        time_shards: int = 0,
     ):
         """mesh: a jax.sharding.Mesh to run multi-chip. The master FFT runs
         as the distributed digit-order transform (parallel.master, two
@@ -725,7 +779,23 @@ class Engine:
         self.mesh = mesh
         self.shard_axis = shard_axis
         self.digit = None
-        if mesh is not None:
+        # time-axis sharding (SURVEY §2.5 P5): D consecutive blocks per
+        # dispatch, one block per device — parallel.timeshard's ppermuted
+        # halo exchange replaces the reference's mirror ring
+        # (filter.c:245-264). Mutually exclusive with the digit master:
+        # the mesh either splits ONE transform (bin axis) or runs D
+        # transforms (time axis).
+        self.time_shards = int(time_shards)
+        if self.time_shards:
+            if mesh is None:
+                raise ValueError("time_shards needs a mesh")
+            if self.time_shards != mesh.shape[shard_axis]:
+                raise ValueError(
+                    f"time_shards={time_shards} != mesh axis size "
+                    f"{mesh.shape[shard_axis]} (one block per device)")
+            if self.n_inputs > 1:
+                raise ValueError("time_shards + n_inputs>1 not supported yet")
+        elif mesh is not None:
             from ..parallel.master import DigitMaster
 
             self.digit = DigitMaster.plan(mesh, shard_axis, self.master.N)
@@ -741,10 +811,20 @@ class Engine:
                     f"{self.n_inputs} front-end stream(s)")
         self.groups = {g.name: _Group(g, self.master, self.samprate, blocktime, use_matmul,
                                       center=self.centers[g.input],
-                                      use_tiled=use_tiled and mesh is None,
+                                      use_tiled=use_tiled and (mesh is None or self.time_shards > 0),
                                       noise_every=self.noise_every)
                        for g in groups}
-        if mesh is not None:
+        if mesh is not None and self.time_shards:
+            # params stay REPLICATED over the mesh (every device demods all
+            # channels of its own block); retune surgery must re-place with
+            # the same sharding or the jitted step_time recompiles
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            for g in self.groups.values():
+                g.placement = lambda a, _r=repl: _r
+                g.params = g.put_tree(g.host)
+        if mesh is not None and not self.time_shards:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             D = mesh.shape[shard_axis]
@@ -908,6 +988,52 @@ class Engine:
         # [B] per-input powers (a length-1 vector for single-input engines)
         outputs["_frontend"] = {"if_power": (jnp.mean(p_in, axis=-1) if B > 1
                                              else jnp.mean(p_in)[None])}
+        new_state["groups"] = new_groups
+        return new_state, outputs
+
+    def step_time(self, state, params, blocks):
+        """D consecutive blocks in one dispatch, one block per mesh device
+        (SURVEY §2.5 P5 — the DCN/throughput-scaling axis): the masters run
+        in parallel with a ppermuted (M-1)-sample halo exchange
+        (parallel.timeshard, replacing the reference's mirror ring,
+        filter.c:245-264), channelize/noise vmap over the block axis, and
+        the stateful demod tails scan — value-identical to D sequential
+        step() calls.
+
+        blocks: [D, L] (sharded P(axis, None)); outputs carry a leading
+        [D] axis. Pure; jit with donate_argnums=0.
+        """
+        from ..parallel.timeshard import batch_master_fft
+
+        if not self.time_shards:
+            raise ValueError("engine built without time_shards")
+        m = self.master
+        alpha = np.float32(0.01)  # spur tracker (filter.c:447)
+        jobnum0 = state["master"]["jobnum"]
+        tail, F = batch_master_fft(m, state["master"]["tail"], blocks,
+                                   self.mesh, self.shard_axis)
+        new_state = {"master": {"tail": tail,
+                                "jobnum": jobnum0 + self.time_shards}}
+        if self.spur_bins is not None:
+            vals = F[:, self.spur_bins]  # [D, S]
+
+            def spur_body(tr, v):
+                tr = tr + alpha * (v - tr)
+                return tr, tr
+
+            last, tracks = jax.lax.scan(spur_body, state["spurs"], vals)
+            F = F - jnp.zeros_like(F).at[:, self.spur_bins].add(tracks)
+            new_state["spurs"] = last
+        new_groups, outputs = {}, {}
+        for name, g in self.groups.items():
+            gs, audio, info = g.step_scan(state["groups"][name], params[name],
+                                          F, blocks, jobnum0)
+            new_groups[name] = gs
+            outputs[name] = {"audio": audio, "info": info}
+        p_in = blocks.real * blocks.real
+        if not m.real:
+            p_in = p_in + blocks.imag * blocks.imag
+        outputs["_frontend"] = {"if_power": jnp.mean(p_in, axis=-1)[:, None]}
         new_state["groups"] = new_groups
         return new_state, outputs
 

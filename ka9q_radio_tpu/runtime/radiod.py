@@ -154,6 +154,13 @@ class Radiod:
         self._use_matmul = use_matmul
         self._n_inputs = int(getattr(cfg, "n_inputs", 1))
         self._noise_every = int(cfg.options.get("noise-every", 4))
+        # [global] time-shards = yes (with mesh = yes): process D = mesh
+        # size consecutive blocks per dispatch (Engine.step_time, SURVEY
+        # §2.5 P5) instead of sharding one block's master transform
+        self._time_shards = 0
+        if self._mesh is not None and str(cfg.options.get("time-shards", "n")).lower() in (
+                "y", "yes", "true", "1", "on"):
+            self._time_shards = int(self._mesh.devices.size)
         self.engine = Engine(
             samprate=cfg.samprate, real=cfg.real, groups=cfg.groups,
             blocktime=cfg.blocktime, overlap=cfg.overlap,
@@ -164,12 +171,20 @@ class Radiod:
             fft_precision=str(cfg.options.get("fft-precision", "high")).lower(),
             n_inputs=self._n_inputs,
             noise_every=self._noise_every,
+            time_shards=self._time_shards,
         )
         # initial state built INSIDE jit: remote-TPU tunnels (axon) are
         # unreliable for eager device ops; compiled programs are the solid path
         self.state = jax.jit(self.engine.init_state)()
+        if self._time_shards:
+            from ..parallel import shard_engine_tree
+
+            # replicate the state over the mesh up front so the first and
+            # second dispatches share one compiled program
+            self.state = shard_engine_tree(self.engine, self._mesh, self.state)
+        self.step = jax.jit(self.engine.step_time if self._time_shards
+                            else self.engine.step, donate_argnums=0)
         self.params = self.engine.init_params()
-        self.step = jax.jit(self.engine.step, donate_argnums=0)
         self.source_state = None
         self.frontend = None
         self.frontends = None  # multi-input: per-stream host feeders
@@ -184,7 +199,19 @@ class Radiod:
         elif cfg.source is not None:
             src = cfg.source
             self.source_state = jax.jit(lambda: siggen_init(src))()
-            self._siggen = jax.jit(lambda s: siggen_block(src, s, self.engine.L))
+            if self._time_shards:
+                D, L = self._time_shards, self.engine.L
+
+                def _gen(s):
+                    def body(st, _):
+                        st, blk = siggen_block(src, st, L)
+                        return st, blk
+
+                    return jax.lax.scan(body, s, None, length=D)
+
+                self._siggen = jax.jit(_gen)  # [D, L] consecutive blocks
+            else:
+                self._siggen = jax.jit(lambda s: siggen_block(src, s, self.engine.L))
         self.registry = PayloadRegistry()
         self.update_every = int(cfg.options.get("update", 25))  # blocks (modes.c:56)
         self.blocks = 0
@@ -874,15 +901,21 @@ class Radiod:
                          fft=str(self.cfg.options.get("fft", "auto")).lower(),
                          fft_precision=str(self.cfg.options.get("fft-precision", "high")).lower(),
                          n_inputs=self._n_inputs,
-                         noise_every=self._noise_every)
+                         noise_every=self._noise_every,
+                         time_shards=self._time_shards)
         new_init = jax.jit(new_eng.init_state)()
+        if self._time_shards:
+            from ..parallel import shard_engine_tree
+
+            new_init = shard_engine_tree(new_eng, self._mesh, new_init)
         new_state = jax.jit(migrate_state)(self.state, new_init)
         new_params = new_eng.adopt_host_params(old)
         jax.block_until_ready((new_state, new_params))  # surface flakes now
         self.state = new_state
         self.params = new_params
         self.engine = new_eng
-        self.step = jax.jit(new_eng.step, donate_argnums=0)
+        self.step = jax.jit(new_eng.step_time if self._time_shards
+                            else new_eng.step, donate_argnums=0)
         self._group_dests.clear()
         if self.edges:
             self._refresh_edges()
@@ -1579,24 +1612,42 @@ class Radiod:
         except OSError:
             pass
 
+    @staticmethod
+    def _slice_out(host_out: dict, d: int) -> dict:
+        """One block's view of a time-sharded [D, ...] output batch."""
+        sub = {}
+        for name, g in host_out.items():
+            if name.startswith("_"):
+                sub[name] = {k: v[d] for k, v in g.items()}
+            else:
+                sub[name] = {"audio": g["audio"][d],
+                             "info": {k: v[d] for k, v in g["info"].items()}}
+        return sub
+
     def step_block(self, block=None):
-        """Run one 20 ms block end to end."""
+        """Run one dispatch end to end: one 20 ms block, or D consecutive
+        blocks when the engine is time-sharded ([global] time-shards)."""
         _t0 = time.monotonic()
         self.poll_commands()
         if self.doppler:
             self._steer_doppler()
-        if self.rtcp_sock is not None and self.blocks % self.rtcp_every == self.rtcp_every - 1:
+        if self.rtcp_sock is not None and self.blocks % self.rtcp_every >= self.rtcp_every - (self._time_shards or 1):
             self._send_rtcp()
             self._send_sap()
         if block is None and self.frontend is None and self.source_state is None:
             raise RuntimeError("no front end configured and no block given")
+        D = self._time_shards
         try:
             if block is None:
                 if self.frontends is not None:
                     block = np.stack([np.asarray(fe.read_block(self.engine.L))
                                       for fe in self.frontends])
                 elif self.frontend is not None:
-                    block = self.frontend.read_block(self.engine.L)
+                    if D:
+                        block = np.stack([np.asarray(self.frontend.read_block(self.engine.L))
+                                          for _ in range(D)])
+                    else:
+                        block = self.frontend.read_block(self.engine.L)
                 else:
                     self.source_state, block = self._siggen(self.source_state)
             if isinstance(block, np.ndarray) and np.iscomplexobj(block):
@@ -1605,8 +1656,6 @@ class Radiod:
                 block = device_put_safe(block)
             first = self.blocks == 0
             self.state, out = self.step(self.state, self.params, block)
-            self.blocks += 1
-            beacon = True  # per-channel cadence checked in _beacon_due
             host_out = jax.device_get(out)
             if self._drop_burst:
                 print(f"recovered after {self._drop_burst} dropped blocks",
@@ -1622,8 +1671,8 @@ class Radiod:
             # transient backend/tunnel error anywhere in the device section:
             # drop this block but keep the stream alive (the reference's
             # analog: USB transfer loss accounting, rx888.c:675-688)
-            self.blocks += 1
-            self.block_drops += 1
+            self.blocks += D or 1
+            self.block_drops += D or 1
             self._drop_burst += 1
             if self._drop_burst == 1 or self._drop_burst % 100 == 0:
                 print(f"block drop #{self.block_drops} "
@@ -1646,6 +1695,28 @@ class Radiod:
                     pass
             time.sleep(0.05)
             return None
+        if D:
+            ret = None
+            for d in range(D):
+                self.blocks += 1
+                ret = self._finish_block(self._slice_out(host_out, d))
+            _dt = time.monotonic() - _t0
+            self.t_avg += 0.01 * (_dt / D - self.t_avg)
+            self.t_min = min(self.t_min, _dt / D)
+            self.t_max = max(self.t_max, _dt / D)
+            return ret
+        self.blocks += 1
+        ret = self._finish_block(host_out)
+        _dt = time.monotonic() - _t0
+        self.t_avg += 0.01 * (_dt - self.t_avg)
+        self.t_min = min(self.t_min, _dt)
+        self.t_max = max(self.t_max, _dt)
+        return ret
+
+    def _finish_block(self, host_out):
+        """Host-side emission for ONE block's outputs: RTP packetization,
+        beacons, dynamic-channel lifetimes, front-end metrics."""
+        beacon = True  # per-channel cadence checked in _beacon_due
         fe = host_out.pop("_frontend", None)
         if fe is not None:
             # EMA like frontend->if_power smoothing in the drivers
@@ -1704,18 +1775,15 @@ class Radiod:
                     expired.append(ssrc)
         for ssrc in expired:
             self.remove_channel(ssrc)
-        _dt = time.monotonic() - _t0
-        self.t_avg += 0.01 * (_dt - self.t_avg)
-        self.t_min = min(self.t_min, _dt)
-        self.t_max = max(self.t_max, _dt)
         return host_out
 
     def run(self, nblocks: int | None = None, realtime: bool = False):
         t0 = time.monotonic()
         k = 0
+        per = self._time_shards or 1  # blocks per dispatch
         while nblocks is None or k < nblocks:
             self.step_block()
-            k += 1
+            k += per
             if realtime:
                 target = t0 + k * self.cfg.blocktime
                 dt = target - time.monotonic()
