@@ -47,24 +47,43 @@ __all__ = ["DigitMaster"]
 
 @dataclasses.dataclass(frozen=True)
 class DigitMaster:
-    """Plan for one distributed master transform over a named mesh axis."""
+    """Plan for one distributed master transform over a named mesh axis.
+
+    real=True masters keep only stage-2 columns k2 <= n2/2 (every gathered
+    bin satisfies k = k1 + n1*k2 <= N/2, filter.c's non-negative half), so
+    the largest local stage computes half its output.
+    mxu1/mxu2: per-stage factor plans for the MXU matmul cascade
+    (ops.filterbank.split_fft_mxu) — the same ~5x-over-VPU-FFT win the
+    single-chip master measured (filterbank.py:66-73) applied to both
+    local stages; None falls back to jnp.fft.fft for that stage.
+    """
 
     mesh: Mesh
     axis: str
     N: int
     n1: int
     n2: int
+    real: bool = False
+    mxu1: "tuple[int, ...] | None" = None
+    mxu2: "tuple[int, ...] | None" = None
+    precision: str = "high"
 
     @classmethod
-    def plan(cls, mesh: Mesh, axis: str, N: int) -> "DigitMaster":
+    def plan(cls, mesh: Mesh, axis: str, N: int, real: bool = False,
+             mxu: bool = True, precision: str = "high") -> "DigitMaster":
         D = mesh.shape[axis]
         n1, n2 = plan_split(N, D)  # D | n1 and D | n2 (both axes corner-turn)
-        if N >= 2**24:
+        if N >= 2**31:
             raise ValueError(
-                f"N={N}: twiddle phase k1*b (up to ~N) exceeds the exact f32 "
-                "integer range 2^24; needs a 3-factor decomposition"
-            )
-        return cls(mesh=mesh, axis=axis, N=N, n1=n1, n2=n2)
+                f"N={N}: twiddle residues (k1*b mod N < N) exceed int32")
+        mxu1 = mxu2 = None
+        if mxu:
+            from ..ops.filterbank import plan_split_mxu
+
+            mxu1 = plan_split_mxu(n1)
+            mxu2 = plan_split_mxu(n2)
+        return cls(mesh=mesh, axis=axis, N=N, n1=n1, n2=n2, real=real,
+                   mxu1=mxu1, mxu2=mxu2, precision=precision)
 
     @property
     def D(self) -> int:
@@ -74,28 +93,54 @@ class DigitMaster:
     def rows(self) -> int:
         return self.n1 // self.D
 
+    @property
+    def n2_kept(self) -> int:
+        """Stage-2 columns kept: n2/2+1 for real masters (bins <= N/2)."""
+        return self.n2 // 2 + 1 if self.real else self.n2
+
     # -- forward transform ---------------------------------------------------
     def fft(self, x):
         """x: [N] complex64 time samples (sharded contiguously over `axis`)
-        -> Zd: [n1, n2] complex64, digit order, sharded P(axis, None):
+        -> Zd: [n1, n2_kept] complex64, digit order, sharded P(axis, None):
         X[k1 + n1*k2] = Zd[k1, k2]."""
+        from ..ops.filterbank import split_fft_mxu
+
         n1, n2, N, ax = self.n1, self.n2, self.N, self.axis
         cols = n2 // self.D
+        kept = self.n2_kept
 
         def body(xs):
             # xs: [n1/D, n2] contiguous time rows of A[a, b] = x[a*n2 + b].
             # X[k1 + n1*k2] = FFT_{n2,b}( W_N^{b*k1} * FFT_{n1,a}(A)[k1, b] )
             i = jax.lax.axis_index(ax)
             At = jax.lax.all_to_all(xs, ax, split_axis=1, concat_axis=0, tiled=True)  # [n1, cols]
-            A1 = jnp.fft.fft(At, axis=0)
-            k1 = jnp.arange(n1)[:, None].astype(jnp.float32)
-            b = (i * cols + jnp.arange(cols))[None, :].astype(jnp.float32)
-            # k1*b < 2^24 (checked in plan): the product is exact in f32,
-            # and mod-N reduction keeps the twiddle argument small
-            phase = jnp.mod(k1 * b, np.float32(N))
-            A1 = A1 * jnp.exp(np.complex64(-2j * np.pi / N) * phase).astype(jnp.complex64)
+            if self.mxu1 is not None:
+                A1 = jnp.swapaxes(
+                    split_fft_mxu(jnp.swapaxes(At, -1, -2), self.mxu1,
+                                  precision=self.precision), -1, -2)
+            else:
+                A1 = jnp.fft.fft(At, axis=0)
+            # twiddle W_N^{k1*b}: the residue (k1*b) mod N is computed with
+            # EXACT int32 arithmetic (each partial product < N < 2^31), so
+            # there is no N < 2^24 f32-product plan bound; converting the
+            # residue to f32 bounds the angle error at 2pi*2^-24 (-127 dB),
+            # below the cascade's own bf16x3 floor.
+            k1 = jnp.arange(n1, dtype=jnp.int32)[:, None]
+            j = jnp.arange(cols, dtype=jnp.int32)[None, :]
+            b0 = (i * cols).astype(jnp.int32)
+            t1 = (k1 * b0) % np.int32(N)  # k1*b0 < n1*n2 = N
+            t2 = (k1 * j) % np.int32(N)   # k1*j  < n1*cols = N/D
+            phase = t1 - (np.int32(N) - t2)  # in (-N, N): overflow-free sum mod N
+            phase = jnp.where(phase < 0, phase + np.int32(N), phase)
+            tw = jnp.exp(np.complex64(-2j * np.pi / N) * phase.astype(jnp.float32))
+            A1 = A1 * tw.astype(jnp.complex64)
             Bt = jax.lax.all_to_all(A1, ax, split_axis=0, concat_axis=1, tiled=True)  # [rows, n2]
-            return jnp.fft.fft(Bt, axis=1)  # C[k1_local, k2]
+            if self.mxu2 is not None:
+                C = split_fft_mxu(Bt, self.mxu2,
+                                  kept if kept < n2 else None,
+                                  precision=self.precision)
+                return C[..., :kept]
+            return jnp.fft.fft(Bt, axis=1)[..., :kept]  # C[k1_local, k2]
 
         fn = shard_map(body, mesh=self.mesh, in_specs=P(ax, None),
                        out_specs=P(ax, None), check_vma=False)
@@ -109,8 +154,10 @@ class DigitMaster:
         idx: [C, nb] (scatter=True: result [C, nb] sharded over C via
         psum_scatter, C %% D == 0) or any shape (scatter=False: result
         replicated via psum). Each device contributes only bins it owns.
+        Real masters must only be asked for bins <= N/2 (the gathers
+        guarantee this; stage-2 keeps n2/2+1 columns).
         """
-        n1, n2, rows, ax = self.n1, self.n2, self.rows, self.axis
+        n1, n2, rows, ax = self.n1, self.n2_kept, self.rows, self.axis
 
         def body(zl, ix):
             d = jax.lax.axis_index(ax)

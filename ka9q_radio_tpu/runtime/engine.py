@@ -798,7 +798,13 @@ class Engine:
         elif mesh is not None:
             from ..parallel.master import DigitMaster
 
-            self.digit = DigitMaster.plan(mesh, shard_axis, self.master.N)
+            # MXU local stages when the single-chip master would use the
+            # cascade (same size gate + precision tier => same accuracy
+            # expectations on both paths)
+            self.digit = DigitMaster.plan(
+                mesh, shard_axis, self.master.N, real=self.master.real,
+                mxu=self.master.mxu is not None,
+                precision=self.master.fft_precision)
         self.use_matmul = use_matmul
         self.noise_every = max(1, int(noise_every))
         names = [g.name for g in groups]

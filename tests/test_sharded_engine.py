@@ -128,3 +128,14 @@ def test_sharded_rejects_odd_channel_count():
                         channels=tuple(ChannelSpec(freq=1000.0 * i) for i in range(1, 4)))]
     with pytest.raises(ValueError, match="not divisible"):
         Engine(samprate=FS, groups=groups, real=False, mesh=make_mesh())
+
+
+def test_flagship_geometry_parity():
+    """The REAL flagship geometry (N=3,240,000 rof3240000-equivalent, 1000
+    SSB channels + 16-bin sweep) sharded over the 8-way CPU mesh matches
+    the single-chip engine to FFT roundoff across 10 blocks including a
+    mid-stream retune and a mid-stream channel-table grow (SURVEY §7.6)."""
+    import jax
+    from ka9q_radio_tpu.parallel.selftest import flagship_parity
+
+    flagship_parity(min(8, len(jax.devices())), nblocks=10)
