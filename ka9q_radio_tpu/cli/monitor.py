@@ -33,6 +33,16 @@ from ..net.playout import Mixer
 from ..daemons.ctcss import GoertzelBank
 
 
+def notch_available() -> bool:
+    """scipy present? (the [notch] optional extra)"""
+    try:
+        from scipy.signal import lfilter  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 class _PlNotch:
     """Streaming 2-pole notch (iir.c:54-77, r=0.997) retuned to whatever
     PL tone the Goertzel bank finds (monitor.h:101). Vectorized via
@@ -106,6 +116,12 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     if args.tui:
         args.quiet = True
+    if args.notch and not notch_available():
+        # declared optional dependency (pyproject [notch] extra): degrade
+        # to no-notch instead of crashing mid-stream on the first packet
+        print("--notch needs scipy (pip install 'ka9q-radio-tpu[notch]'); "
+              "continuing without the PL notch", file=sys.stderr, flush=True)
+        args.notch = False
 
     gains = {}
     for g in args.gain:

@@ -231,6 +231,8 @@ class Radiod:
         # [global] lifetime (seconds; 0 = infinite, radio.c:71,294)
         self.lifetime_blocks = int(float(cfg.options.get("lifetime", 0.0)) / cfg.blocktime)
         self.free_slots: dict[str, list[int]] = {}
+        self._restock: "dict[str, Any] | None" = None  # in-flight background grow
+        self._engine_epoch = 0  # bumped by foreground rebuilds (voids restocks)
         # spare-slot policy for dynamic channels: each table rebuild adds
         # `dyn-slots` extra tombstoned slots so the next creates/moves are
         # pure params surgery (ms) instead of a cached recompile
@@ -683,10 +685,14 @@ class Radiod:
         surgery (milliseconds); otherwise the channel table rebuilds with
         `dyn-slots` EXTRA pre-tombstoned spares so subsequent creates are
         recompile-free — the latency analog of the reference's
-        always-resident channel table (radio_status.c:92-105, radio.h:344)."""
+        always-resident channel table (radio_status.c:92-105, radio.h:344).
+        When the pool runs low a background restock (_schedule_restock)
+        grows it off the command path."""
         if self.free_slots.get(gname):
             slot = self.free_slots[gname].pop()
             self._restore_slot(gname, slot)
+            if len(self.free_slots[gname]) <= 1:
+                self._schedule_restock(gname)
             return slot
         spare = self.dyn_spare
         # under a mesh, group channel counts must stay divisible by the
@@ -916,7 +922,123 @@ class Radiod:
         self.engine = new_eng
         self.step = jax.jit(new_eng.step_time if self._time_shards
                             else new_eng.step, donate_argnums=0)
+        self._engine_epoch += 1  # void any in-flight background restock
         self._group_dests.clear()
+        if self.edges:
+            self._refresh_edges()
+
+    # ------------------------------------------------ background restock
+    def _engine_kwargs(self) -> dict:
+        return dict(
+            samprate=self.cfg.samprate, real=self.cfg.real,
+            blocktime=self.cfg.blocktime, overlap=self.cfg.overlap,
+            use_matmul=self.engine.use_matmul, spurs=self._spurs,
+            mesh=self._mesh,
+            center=(self.engine.centers if self._n_inputs > 1
+                    else self.engine.center),
+            fft=str(self.cfg.options.get("fft", "auto")).lower(),
+            fft_precision=str(self.cfg.options.get("fft-precision", "high")).lower(),
+            n_inputs=self._n_inputs, noise_every=self._noise_every,
+            time_shards=self._time_shards)
+
+    def _schedule_restock(self, gname: str):
+        """Adaptive pool restock OFF the command path: the reference
+        creates channels in milliseconds because its table is always
+        resident (radio_status.c:92-105); our grow path is a cached-or-not
+        recompile (up to 30-90 s over a remote-TPU tunnel). When a dyn
+        pool runs low, a worker thread builds and FULLY compiles the grown
+        engine; step_block swaps it in at a block boundary (migrate_state
+        + adopt_host_params, both cheap). A foreground _rebuild meanwhile
+        (epoch bump) voids the result."""
+        if self.dyn_spare == 0 or self._restock is not None:
+            return
+        if gname not in self.engine.groups:
+            return
+        import threading
+
+        mult = self._mesh.devices.size if self._mesh is not None else 1
+        g = self.engine.groups[gname]
+        count = -((g.C + self.dyn_spare) // -mult) * mult - g.C
+        if count <= 0:
+            count = mult
+        specs = [dataclasses.replace(s, channels=s.channels + (s.channels[-1],) * count)
+                 if s.name == gname else s for s in self.engine.specs]
+        kwargs = self._engine_kwargs()
+        r: dict[str, Any] = {"gname": gname, "epoch": self._engine_epoch,
+                             "count": count, "error": None}
+
+        def work():
+            try:
+                new_eng = Engine(groups=specs, **kwargs)
+                step = jax.jit(new_eng.step_time if self._time_shards
+                               else new_eng.step, donate_argnums=0)
+                # full compile now: one throwaway dispatch on zeros (the
+                # donated state is scratch; the REAL state migrates at swap)
+                st = jax.jit(new_eng.init_state)()
+                if self._time_shards:
+                    from ..parallel import shard_engine_tree
+
+                    st = shard_engine_tree(new_eng, self._mesh, st)
+                dtype = jnp.float32 if new_eng.master.real else jnp.complex64
+                if self._time_shards:
+                    shape = (self._time_shards, new_eng.L)
+                elif self._n_inputs > 1:
+                    shape = (self._n_inputs, new_eng.L)
+                else:
+                    shape = (new_eng.L,)
+                blk = jax.jit(lambda: jnp.zeros(shape, dtype))()
+                _st, out = step(st, new_eng.init_params(), blk)
+                jax.block_until_ready(out)
+                r["engine"], r["step"] = new_eng, step
+            except Exception as e:  # tunnel flake: drop this restock
+                r["error"] = e
+
+        r["thread"] = threading.Thread(target=work, daemon=True,
+                                       name=f"restock-{gname}")
+        self._restock = r
+        r["thread"].start()
+
+    def _finish_restock(self, wait: bool = False):
+        """Swap in a completed background restock (block-boundary safe)."""
+        r = self._restock
+        if r is None:
+            return
+        if wait:
+            r["thread"].join()
+        if r["thread"].is_alive():
+            return
+        self._restock = None
+        if r["error"] is not None:
+            print(f"restock of {r['gname']} failed: "
+                  f"{type(r['error']).__name__}: {str(r['error'])[:120]}",
+                  file=sys.stderr, flush=True)
+            return
+        if r["epoch"] != self._engine_epoch:
+            return  # a foreground rebuild superseded this engine
+        old = self.engine
+        new_eng = r["engine"]
+        gname, count = r["gname"], r["count"]
+        try:
+            new_init = jax.jit(new_eng.init_state)()
+            if self._time_shards:
+                from ..parallel import shard_engine_tree
+
+                new_init = shard_engine_tree(new_eng, self._mesh, new_init)
+            new_state = jax.jit(migrate_state)(self.state, new_init)
+            new_params = new_eng.adopt_host_params(old)
+            jax.block_until_ready((new_state, new_params))
+        except Exception as e:
+            print(f"restock swap of {gname} dropped: {type(e).__name__}",
+                  file=sys.stderr, flush=True)
+            return
+        old_C = old.groups[gname].C
+        self.state, self.params, self.engine = new_state, new_params, new_eng
+        self.step = r["step"]
+        self._engine_epoch += 1
+        self._group_dests.clear()
+        for s in range(old_C, old_C + count):
+            self._mute_slot(gname, s)
+        self.free_slots.setdefault(gname, []).extend(range(old_C, old_C + count))
         if self.edges:
             self._refresh_edges()
 
@@ -960,6 +1082,20 @@ class Radiod:
             return
         if enc == ch.encoding or enc == Encoding.AX25:
             return
+        if enc in (Encoding.OPUS, Encoding.OPUS_VOIP):
+            # Opus needs the system libopus (ctypes) or the native edge
+            # built with it — reject clearly instead of crashing on the
+            # first packet (declared optional-dependency surface)
+            from ..net import opus as _opus
+            try:
+                from ..native import native_has_opus
+            except Exception:
+                native_has_opus = lambda: False
+            if not _opus.available() and not native_has_opus():
+                print(f"ssrc {ch.ssrc}: Opus encoding rejected — libopus "
+                      "not found (install the system libopus)",
+                      file=sys.stderr, flush=True)
+                return
         if enc in (Encoding.OPUS, Encoding.OPUS_VOIP) and ch.samprate not in _OPUS_RATES:
             spec = self.engine.groups[ch.group].spec
             if spec.demod == "wfm":
@@ -1628,6 +1764,7 @@ class Radiod:
         """Run one dispatch end to end: one 20 ms block, or D consecutive
         blocks when the engine is time-sharded ([global] time-shards)."""
         _t0 = time.monotonic()
+        self._finish_restock()  # swap in a completed background pool grow
         self.poll_commands()
         if self.doppler:
             self._steer_doppler()
