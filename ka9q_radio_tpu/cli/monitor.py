@@ -16,6 +16,10 @@ file, paced by wall clock in --live mode.
 --tui adds the reference's ncurses session display (monitor-display.c):
 one row per session with a level meter, drop/late counters and SNR;
 up/down selects a session, +/- trims its gain, l/r pans, m mutes.
+
+--device [DEV] plays the mix on a sound device by piping into whichever
+system player exists (aplay/pacat/play) — the portaudio-less form of the
+reference's direct DAC output (monitor.c:642).
 """
 from __future__ import annotations
 
@@ -31,6 +35,35 @@ from ..net.status import StatusType as T, PacketType, decode_status
 from ..net.multicast import resolve_dest, listen_socket, DEFAULT_RTP_PORT, DEFAULT_STAT_PORT
 from ..net.playout import Mixer
 from ..daemons.ctcss import GoertzelBank
+
+
+def _open_audio_device(device: str, samprate: int):
+    """Live DAC output without portaudio: pipe the s16le stereo mix into
+    whichever system player exists (aplay/pacat/play — the containers this
+    runs in rarely have a sound stack, so this is best-effort). Returns a
+    Popen with a writable stdin, or None."""
+    import shutil
+    import subprocess
+
+    candidates = [
+        (["aplay", "-q", "-t", "raw", "-f", "S16_LE", "-c", "2",
+          "-r", str(samprate)] + ([] if device == "default" else ["-D", device]),
+         "aplay"),
+        (["pacat", "--format=s16le", "--channels=2", f"--rate={samprate}"]
+         + ([] if device == "default" else [f"--device={device}"]), "pacat"),
+        (["play", "-q", "-t", "raw", "-e", "signed", "-b", "16", "-c", "2",
+          "-r", str(samprate), "-"], "play"),
+    ]
+    for argv, exe in candidates:
+        if shutil.which(exe) is None:
+            continue
+        try:
+            return subprocess.Popen(argv, stdin=subprocess.PIPE,
+                                    stdout=subprocess.DEVNULL,
+                                    stderr=subprocess.DEVNULL)
+        except OSError:
+            continue
+    return None
 
 
 def notch_available() -> bool:
@@ -99,6 +132,10 @@ def main(argv=None) -> int:
     ap.add_argument("--status", default=None)
     ap.add_argument("--wav", default=None, help="stream the mix to a WAV file")
     ap.add_argument("--raw", action="store_true", help="s16le stereo mix on stdout")
+    ap.add_argument("--device", nargs="?", const="default", default=None,
+                    metavar="DEV",
+                    help="play on the sound device via aplay/pacat/play "
+                         "(the reference's portaudio output, monitor.c:642)")
     ap.add_argument("--live", action="store_true",
                     help="pace output to wall clock (real-time playout)")
     ap.add_argument("--duration", type=float, default=None)
@@ -154,6 +191,14 @@ def main(argv=None) -> int:
         wav.setsampwidth(2)
         wav.setframerate(args.samprate)
 
+    dac = None
+    if args.device is not None:
+        dac = _open_audio_device(args.device, args.samprate)
+        if dac is None:
+            print("--device: no audio player found (tried aplay, pacat, "
+                  "play); continuing without DAC output", file=sys.stderr,
+                  flush=True)
+
     def emit(chunk: np.ndarray):
         pcm = np.clip(chunk * 32767.0, -32768, 32767).astype("<i2")
         if wav is not None:
@@ -161,6 +206,12 @@ def main(argv=None) -> int:
         if args.raw:
             sys.stdout.buffer.write(pcm.tobytes())
             sys.stdout.buffer.flush()
+        if dac is not None:
+            try:
+                dac.stdin.write(pcm.tobytes())
+                dac.stdin.flush()
+            except (BrokenPipeError, OSError):
+                pass
 
     scr = None
     selected = [0]
@@ -292,6 +343,12 @@ def main(argv=None) -> int:
         blocks_out += 1
     if wav is not None:
         wav.close()
+    if dac is not None:
+        try:
+            dac.stdin.close()
+        except OSError:
+            pass
+        dac.wait(timeout=2.0)
 
     for ssrc, s in sorted(mixer.sessions.items()):
         lvl = 20 * np.log10(max(s.level, 1e-9))

@@ -76,6 +76,11 @@ class Session:
         self.opened_wall = 0.0
         self.frames_written = 0
         self.file_start_ts: int | None = None
+        # --wd-mode state machine (wd-record.c:887-1060): startup -> armed
+        # (data seen in second L-1) -> active (first datagram of second 0
+        # starts the file; files are then EXACTLY L*samprate frames,
+        # packets split at the boundary frame)
+        self.sync_state = "startup"
         if args.exec_cmd:
             cmd = _expand_macros(args.exec_cmd, self)
             self.proc = subprocess.Popen(shlex.split(cmd), stdin=subprocess.PIPE)
@@ -157,6 +162,7 @@ class Session:
         squelch closed, pcmrecord.c --timeout default 20 s)."""
         if self.path is not None and now - self.last_packet >= self.args.timeout:
             self.close_file()
+            self.sync_state = "startup"  # wd-mode: resync at the next :00
 
     # ---------------------------------------------------------------- ingest
     def write(self, hdr: RtpHeader, payload: bytes):
@@ -182,6 +188,9 @@ class Session:
                 sys.stdout.buffer.write(
                     np.clip(audio * 32767.0, -32768, 32767).astype("<i2").tobytes())
             return
+        if getattr(self.args, "wd_mode", False) and not self.opus_raw:
+            self._write_wd(hdr, payload, now_wall)
+            return
         self._maybe_rotate(now_wall, hdr.marker)
         if self.opus_raw:
             self.rtp.process(hdr, 0)
@@ -195,6 +204,53 @@ class Session:
             self._write_pcm_frames(
                 np.zeros((min(gap, 10 * self.samprate), self.channels), np.float32))
         self._write_pcm_frames(audio.reshape(nframes, self.channels))
+
+    def _write_wd(self, hdr: RtpHeader, payload: bytes, now_wall: float):
+        """wsprdaemon mode (wd-record.c --wd_mode): files synchronized to
+        UTC multiples of L and EXACTLY L*samprate frames long — packets
+        spanning a boundary are split at the boundary frame; RTP gaps fill
+        with silence so the frame count (not wall clock) drives rotation."""
+        L = self.args.max_length
+        target = int(round(L * self.samprate))
+        seconds = now_wall % L
+        if self.sync_state == "startup":
+            # spin until samples arrive in the last second of the interval
+            if seconds >= L - 1.0:
+                self.sync_state = "armed"
+            return
+        if self.sync_state == "armed":
+            if seconds >= L - 1.0:
+                return  # still in second L-1
+            if seconds < 1.0:
+                # first datagram of second 0 starts the series
+                self.sync_state = "active"
+                self._open_file(now_wall - (now_wall % L))
+                self.rtp.process(hdr, 0)  # baseline, no gap accounting yet
+            else:
+                self.sync_state = "startup"  # missed the boundary: rearm
+                return
+        audio = decode_samples(payload, self.encoding)
+        nframes = audio.size // self.channels
+        gap = self.rtp.process(hdr, nframes)
+        frames = audio.reshape(nframes, self.channels)
+        if gap and gap > 0:
+            frames = np.concatenate(
+                [np.zeros((min(gap, int(10 * self.samprate)), self.channels),
+                          np.float32), frames])
+        while frames.shape[0] > 0:
+            if self.path is None:
+                self._open_file(self.opened_wall + L)
+            room = target - self.frames_written
+            take = min(room, frames.shape[0])
+            self._write_pcm_frames(frames[:take])
+            frames = frames[take:]
+            if self.frames_written >= target:
+                self.close_file()
+                # resync if the sample clock drifted > 1 s from wall time
+                next_epoch = self.opened_wall + L
+                if abs(now_wall - next_epoch) > 1.0 + L:
+                    self.sync_state = "startup"
+                    return
 
     # ----------------------------------------------------------------- close
     def close_file(self):
@@ -265,6 +321,10 @@ def main(argv=None) -> int:
     ap.add_argument("--ft8", "-8", action="store_true", help="= --jt --pad --max-length 15")
     ap.add_argument("--ft4", "-4", action="store_true", help="= --jt --pad --max-length 7.5")
     ap.add_argument("--wspr", "-w", action="store_true", help="= --jt --pad --max-length 120")
+    ap.add_argument("--wd-mode", "-W", action="store_true", dest="wd_mode",
+                    help="wsprdaemon mode (wd-record.c --wd_mode): sync file "
+                         "starts to UTC multiples of --max-length (default "
+                         "60 s), sample-exact file lengths, implies --jt")
     ap.add_argument("--subdirs", "-s", action="store_true",
                     help="write ssrc/year/month/day/ subdirectories")
     ap.add_argument("--flush", "-f", action="store_true", help="flush Ogg pages per packet")
@@ -282,6 +342,10 @@ def main(argv=None) -> int:
         args.max_length = 120.0
     if args.rotate and not args.max_length:
         args.max_length = args.rotate
+    if args.wd_mode:
+        args.jt = True
+        if not args.max_length:
+            args.max_length = 60.0
 
     rx = listen_socket(resolve_dest(args.data, DEFAULT_RTP_PORT))
     # per-channel beacons also ride the data group's status port
@@ -346,16 +410,16 @@ def main(argv=None) -> int:
 
 def main_wd(argv=None) -> int:
     """wd-record-tpu: pcmrecord with wsprdaemon defaults (wd-record.c):
-    WSPR-cycle-aligned 120 s files with K1JT names unless the caller picks
-    another mode."""
+    --wd-mode's UTC-minute-synced, sample-exact 60 s K1JT files unless the
+    caller picks another mode."""
     argv = list(sys.argv[1:] if argv is None else argv)
     longs = ("--ft8", "--ft4", "--wspr", "--jt", "--max-length",
-             "--lengthlimit", "--rotate")
+             "--lengthlimit", "--rotate", "--wd-mode")
     def mode_flag(a):
-        return (a.split("=")[0] in longs or a in ("-8", "-4", "-w", "-j")
+        return (a.split("=")[0] in longs or a in ("-8", "-4", "-w", "-j", "-W")
                 or a.startswith("-L"))
     if not any(mode_flag(a) for a in argv):
-        argv = ["--wspr"] + argv
+        argv = ["--wd-mode"] + argv
     return main(argv)
 
 

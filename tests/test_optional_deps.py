@@ -72,3 +72,33 @@ def test_opus_encoding_accepted_with_libopus():
         {T.OUTPUT_SSRC: ch.ssrc, T.OUTPUT_ENCODING: int(Encoding.OPUS)}, cmd=True))
     # 12 kHz is a legal Opus rate, so the encoding flips directly
     assert ch.encoding == Encoding.OPUS
+
+
+def test_monitor_device_output(tmp_path, monkeypatch):
+    """--device pipes the mix into a system player (aplay et al.); with a
+    stub player on PATH the PCM bytes arrive intact."""
+    import os
+    import stat
+
+    sink = tmp_path / "pcm.raw"
+    stub = tmp_path / "aplay"
+    stub.write_text(f"#!/bin/sh\ncat > {sink}\n")
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{tmp_path}:{os.environ['PATH']}")
+
+    from ka9q_radio_tpu.cli.monitor import _open_audio_device
+
+    dac = _open_audio_device("default", 48_000)
+    assert dac is not None
+    pcm = (np.arange(960, dtype="<i2")).tobytes()
+    dac.stdin.write(pcm)
+    dac.stdin.close()
+    dac.wait(timeout=5)
+    assert sink.read_bytes() == pcm
+
+
+def test_monitor_device_absent(tmp_path, monkeypatch):
+    monkeypatch.setenv("PATH", str(tmp_path))  # nothing on PATH
+    from ka9q_radio_tpu.cli.monitor import _open_audio_device
+
+    assert _open_audio_device("default", 48_000) is None

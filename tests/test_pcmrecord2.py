@@ -165,3 +165,74 @@ def test_wd_alignment_rotation(tmp_path, monkeypatch):
     # first file: padded from boundary (t=1000) to start (1000.75) plus
     # audio up to the t=1002 boundary = 2 s exactly (+- one packet)
     assert abs(n0 - 2 * 12_000) <= 240 * 2
+
+
+def test_wd_mode_sample_exact_minute_files(tmp_path, monkeypatch):
+    """--wd-mode (wd-record.c --wd_mode): recording arms in second L-1,
+    starts at the first datagram of second 0, and every file is EXACTLY
+    L*samprate frames — packets spanning a boundary split at the frame."""
+    import wave
+
+    wall = [2000.3]  # mid-interval: must stay in startup
+    monkeypatch.setattr(time, "time", lambda: wall[0])
+    sess = Session(5, 12_000, 1, Encoding.S16BE,
+                   _args(tmp_path, jt=True, wd_mode=True, max_length=2.0,
+                         split_on_marker=False))
+    pkts = _pcm_packets(300)  # 6 s of audio at 20 ms/packet
+    it = iter(pkts)
+    # packets before second L-1: dropped (startup)
+    for _ in range(20):
+        h, p = next(it)
+        sess.write(h, p)
+        wall[0] += 0.02
+    assert sess.sync_state == "startup" and not list(tmp_path.iterdir())
+    wall[0] = 2001.2  # second L-1 of the 2 s interval: arms
+    h, p = next(it)
+    sess.write(h, p)
+    assert sess.sync_state == "armed"
+    wall[0] = 2002.01  # first datagram of second 0: starts the series
+    nseq = 0
+    for h, p in it:
+        sess.write(h, p)
+        wall[0] += 0.02
+        nseq += 1
+        if nseq >= 220:  # ~4.4 s: two complete 2 s files + a partial
+            break
+    sess.close()
+    files = sorted(f for f in tmp_path.iterdir())
+    assert len(files) >= 2
+    for f in files[:2]:
+        with wave.open(str(f)) as w:
+            assert w.getnframes() == 2 * 12_000  # sample-exact
+    # K1JT naming at the interval epochs
+    assert files[0].name.startswith(time.strftime(
+        "%y%m%d_%H%M%S", time.gmtime(2002.0)))
+
+
+def test_wd_mode_gap_fill_keeps_alignment(tmp_path, monkeypatch):
+    """An RTP drop inside a wd-mode file fills with silence so the frame
+    count (and every later file boundary) stays sample-exact."""
+    import wave
+
+    wall = [3001.5]
+    monkeypatch.setattr(time, "time", lambda: wall[0])
+    sess = Session(5, 12_000, 1, Encoding.S16BE,
+                   _args(tmp_path, jt=True, wd_mode=True, max_length=2.0,
+                         split_on_marker=False))
+    pkts = _pcm_packets(200)
+    sess.write(*pkts[0])  # arms (second L-1)
+    wall[0] = 3002.0
+    k = 1
+    for h, p in pkts[1:150]:
+        if 40 <= k < 45:  # drop 5 packets (100 ms)
+            k += 1
+            wall[0] += 0.02
+            continue
+        sess.write(h, p)
+        wall[0] += 0.02
+        k += 1
+    sess.close()
+    files = sorted(tmp_path.iterdir())
+    assert files
+    with wave.open(str(files[0])) as w:
+        assert w.getnframes() == 2 * 12_000
