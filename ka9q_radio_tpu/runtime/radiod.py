@@ -252,6 +252,11 @@ class Radiod:
         self.t_avg = 0.0
         self.t_min = float("inf")
         self.t_max = 0.0
+        # per-block wall-time samples for latency percentiles (the
+        # realtime evidence the reference's 10 s self-checks give,
+        # main.c:151-188): a bounded ring, ~7 min at 20 ms blocks
+        self._t_ring = np.zeros(20_000, np.float32)
+        self._t_n = 0
         # output aggregation: min blocks per RTP packet (audio.c:64-110,
         # config 'block = 0-4'); >0 buffers audio and disables the native
         # edge (the Python path owns packet timing then)
@@ -1721,10 +1726,23 @@ class Radiod:
         ue = ch.update_every if ch.update_every is not None else self.update_every
         return ue > 0 and (self.blocks % ue) == 0
 
+    def _record_block_time(self, dt: float):
+        self._t_ring[self._t_n % self._t_ring.size] = dt
+        self._t_n += 1
+
+    def latency_percentiles(self, qs=(50, 99)) -> "tuple[float, ...]":
+        """Block wall-time percentiles in seconds over the recent ring."""
+        n = min(self._t_n, self._t_ring.size)
+        if n == 0:
+            return tuple(0.0 for _ in qs)
+        return tuple(float(np.percentile(self._t_ring[:n], q)) for q in qs)
+
     def stats_line(self) -> str:
+        p50, p99 = self.latency_percentiles()
         return (f"{self.blocks} blocks, {self.block_drops} drops, "
                 f"block time avg {self.t_avg*1e3:.2f} ms "
                 f"min {0 if self.t_min == float('inf') else self.t_min*1e3:.2f} "
+                f"p50 {p50*1e3:.2f} p99 {p99*1e3:.2f} "
                 f"max {self.t_max*1e3:.2f}, if_power "
                 f"{10*np.log10(max(self.if_power,1e-30)):.1f} dBFS")
 
@@ -1841,6 +1859,7 @@ class Radiod:
             self.t_avg += 0.01 * (_dt / D - self.t_avg)
             self.t_min = min(self.t_min, _dt / D)
             self.t_max = max(self.t_max, _dt / D)
+            self._record_block_time(_dt / D)
             return ret
         self.blocks += 1
         ret = self._finish_block(host_out)
@@ -1848,6 +1867,7 @@ class Radiod:
         self.t_avg += 0.01 * (_dt - self.t_avg)
         self.t_min = min(self.t_min, _dt)
         self.t_max = max(self.t_max, _dt)
+        self._record_block_time(_dt)
         return ret
 
     def _finish_block(self, host_out):

@@ -117,3 +117,41 @@ def test_tpu_daemon_end_to_end(tmp_path):
         except subprocess.TimeoutExpired:
             rd.kill()
         log.close()
+
+
+def test_tpu_realtime_soak(tmp_path):
+    """Multi-minute realtime evidence on the real chip (the reference's
+    10 s timing self-checks, main.c:151-188): run the paced daemon for
+    ~2.5 min after warmup, then assert p99 block latency < the 20 ms
+    budget and ZERO dropped blocks. Results land in radiod.log (the
+    stats_line with p50/p99) for docs/OPERATIONS.md."""
+    import re
+
+    conf = tmp_path / "soak.conf"
+    conf.write_text(CONF)
+    log_path = tmp_path / "radiod.log"
+    log = open(log_path, "wb")
+    # 7500 paced blocks = 150 s of stream time after the first compiles
+    rd = subprocess.Popen(
+        ["radiod-tpu", str(conf), "-v", "--blocks", "7500"],
+        stdout=log, stderr=log, env=DAEMON_ENV)
+    try:
+        rd.wait(timeout=600)
+    except subprocess.TimeoutExpired:
+        rd.kill()
+        pytest.skip("soak did not finish in 10 min — tunnel outage, not a bug")
+    finally:
+        log.close()
+    text = log_path.read_text(errors="replace")
+    stats = re.findall(r"(\d+) blocks, (\d+) drops, block time avg ([\d.]+) ms "
+                       r"min ([\d.]+) p50 ([\d.]+) p99 ([\d.]+) max ([\d.]+)", text)
+    assert stats, f"no stats lines in log:\n{text[-2000:]}"
+    blocks, drops, avg, tmin, p50, p99, tmax = stats[-1]
+    print(f"soak: {blocks} blocks, {drops} drops, "
+          f"p50 {p50} ms, p99 {p99} ms, max {tmax} ms")
+    assert int(drops) == 0, f"{drops} dropped blocks in the soak"
+    # p99 under the 20 ms real-time budget (percentiles exclude the first
+    # compile because the ring only holds post-warmup steady state at
+    # 7500 > ring + warmup... the first stats line covers warmup; use the
+    # LAST line, whose ring is dominated by steady state)
+    assert float(p99) < 20.0, f"p99 {p99} ms breaches the 20 ms block budget"
