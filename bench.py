@@ -55,12 +55,13 @@ def build_engine(config: str):
         FS, baseline = 129_600_000, 129.6
         freqs = np.linspace(0.02 * FS, 0.48 * FS, 1000)
         sfreqs = np.linspace(0.05 * FS, 0.45 * FS, 16)
+        # ONE batched group spans all B streams (per-channel inputs): the
+        # compiled program is O(1) in B — only the tensors widen
         groups = [
-            GroupSpec(name=f"hf{b}", demod="linear", samprate=12_000, snr_squelch=True,
-                      input=b,
-                      channels=tuple(ChannelSpec(freq=float(f), low=50.0, high=3000.0) for f in freqs))
-            for b in range(B)
-        ] + [
+            GroupSpec(name="hf", demod="linear", samprate=12_000, snr_squelch=True,
+                      channels=tuple(ChannelSpec(freq=float(f), low=50.0, high=3000.0,
+                                                 input=b)
+                                     for b in range(B) for f in freqs)),
             GroupSpec(name="sweep", demod="spectrum", samprate=32_400, bin_bw=1000.0, bin_count=128,
                       channels=tuple(ChannelSpec(freq=float(f)) for f in sfreqs)),
         ]

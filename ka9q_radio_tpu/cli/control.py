@@ -162,9 +162,43 @@ class Controller:
         return None
 
 
+# fixed layout of the tuning line: "  freq " then a 16-char right-aligned
+# frequency with thousands separators — the digit-cursor/mouse map needs
+# stable columns (control.c's per-digit tuning cursor)
+FREQ_ROW = 2
+FREQ_COL = 7
+FREQ_WIDTH = 16
+
+
+def freq_digit_columns(freq: float) -> list[tuple[int, float]]:
+    """Screen columns of the tunable digits of the frequency display ->
+    (column, step_hz). Commas/decimal point are skipped; leading spaces
+    have no digit. Mirrors control.c's mouse/arrow digit tuning."""
+    s = f"{freq:>{FREQ_WIDTH},.3f}"
+    # place value of each char, scanning from the right: .3f -> last three
+    # are milli-digits
+    out = []
+    place = -3
+    for i in range(len(s) - 1, -1, -1):
+        ch = s[i]
+        if ch.isdigit():
+            out.append((FREQ_COL + i, 10.0 ** place))
+            place += 1
+        elif ch in ",. ":
+            continue
+    return out
+
+
+# presets shown in the panel's presets window (clickable / 'p' prompt)
+PANEL_PRESETS = ("usb", "lsb", "cwu", "cwl", "am", "sam", "iq", "fm", "pm",
+                 "wfm", "spectrum")
+
+
 def render_panel(f: dict, width: int = 78) -> list[str]:
     """Build the TUI screen (pure: status fields -> lines) — the testable
-    core of the curses panel, mirroring control.c's windows."""
+    core of the curses panel, mirroring control.c's window set (Tuning /
+    Input / Signal / Filtering / Demodulator / Options / Output /
+    RTP-Status / Presets, control.c:88-101)."""
     from ..config.bandplan import band_name
 
     def g(key, fmt="{}", default="—"):
@@ -175,12 +209,22 @@ def render_panel(f: dict, width: int = 78) -> list[str]:
     band = band_name(float(freq)) or ""
     demod = {0: "linear", 1: "fm", 2: "wfm", 3: "spectrum"}.get(f.get(T.DEMOD_TYPE), "?")
     enc = Encoding(f[T.OUTPUT_ENCODING]).name.lower() if T.OUTPUT_ENCODING in f else "—"
+
+    def flag(key, name):
+        v = f.get(key)
+        return f"[{name}]" if v else f" {name} "
+
     lines = [
         f"ssrc {g(T.OUTPUT_SSRC)}  {g(T.DESCRIPTION)}",
         "== Tuning " + "=" * (width - 10),
-        f"  freq {freq:,.3f} Hz  {band}   shift {g(T.SHIFT_FREQUENCY)}  preset {g(T.PRESET)}",
-        f"  2nd LO {g(T.SECOND_LO_FREQUENCY, '{:+.3f}')} Hz   "
-        f"coverage [{g(T.FE_LOW_EDGE, '{:,.0f}')}, {g(T.FE_HIGH_EDGE, '{:,.0f}')}] Hz",
+        f"  freq {freq:>{FREQ_WIDTH},.3f} Hz  {band}   shift {g(T.SHIFT_FREQUENCY)}  preset {g(T.PRESET)}",
+        f"  2nd LO {g(T.SECOND_LO_FREQUENCY, '{:+.3f}')} Hz   doppler {g(T.DOPPLER_FREQUENCY, '{:+.1f}', '0')} Hz",
+        "== Input " + "=" * (width - 9),
+        f"  {g(T.INPUT_SAMPRATE)} sps {'real' if f.get(T.FE_ISREAL) else 'complex'}   "
+        f"coverage [{g(T.FE_LOW_EDGE, '{:,.0f}')}, {g(T.FE_HIGH_EDGE, '{:,.0f}')}] Hz   "
+        f"1st LO {g(T.FIRST_LO_FREQUENCY, '{:,.0f}')} Hz",
+        f"  A/D {g(T.AD_BITS_PER_SAMPLE)} bit   rf gain {g(T.RF_GAIN, '{:.0f}')} dB   "
+        f"overranges {g(T.AD_OVER)}   samples {g(T.INPUT_SAMPLES)}",
         "== Signal " + "=" * (width - 10),
         f"  if {g(T.IF_POWER, '{:.1f}')} dBFS   baseband {g(T.BASEBAND_POWER, '{:.1f}')} dB   "
         f"N0 {g(T.NOISE_DENSITY, '{:.1f}')} dB/Hz",
@@ -195,6 +239,13 @@ def render_panel(f: dict, width: int = 78) -> list[str]:
         f"  pll phase {g(T.PLL_PHASE, '{:+.3f}')} rad wraps {g(T.PLL_WRAPS)}   "
         f"deemph {g(T.DEEMPH_TC, '{:.0f}')} us {g(T.DEEMPH_GAIN, '{:+.1f}')} dB   "
         f"offset {g(T.FREQ_OFFSET, '{:+.1f}')} Hz",
+        "== Options " + "=" * (width - 11),
+        "  " + "  ".join([
+            flag(T.AGC_ENABLE, "a:agc"), flag(T.PLL_ENABLE, "l:pll"),
+            flag(T.PLL_SQUARE, "u:square"), flag(T.ENVELOPE, "e:env"),
+            flag(T.INDEPENDENT_SIDEBAND, "i:isb"),
+            flag(T.SNR_SQUELCH, "n:snrsq"), flag(T.THRESH_EXTEND, "x:ext"),
+        ]),
         "== Output " + "=" * (width - 10),
         f"  {g(T.OUTPUT_SAMPRATE)} Hz x{g(T.OUTPUT_CHANNELS)} {enc}   pt {g(T.RTP_PT)}   "
         f"pkts {g(T.OUTPUT_DATA_PACKETS)}   ssrc {g(T.OUTPUT_SSRC)}",
@@ -203,12 +254,23 @@ def render_panel(f: dict, width: int = 78) -> list[str]:
         f"interval {g(T.STATUS_INTERVAL)}   input {g(T.INPUT_SAMPRATE)} sps",
         f"  data {g(T.OUTPUT_DATA_DEST_SOCKET)} <- src {g(T.OUTPUT_DATA_SOURCE_SOCKET)}   "
         f"ttl {g(T.OUTPUT_TTL)}   errs {g(T.OUTPUT_ERRORS)}",
+        "== Presets " + "=" * (width - 11),
+        "  " + "  ".join(PANEL_PRESETS),
     ]
     return [ln[:width] for ln in lines]
 
 
-# tuning cursor steps, Hz (reference: digit-position tuning)
-_STEPS = (1, 10, 100, 1_000, 10_000, 100_000, 1_000_000, 10_000_000)
+# tuning cursor steps, Hz (reference: digit-position tuning incl. the
+# milli-Hz digits the .3f display carries)
+_STEPS = (0.001, 0.01, 0.1, 1, 10, 100, 1_000, 10_000, 100_000, 1_000_000,
+          10_000_000)
+
+# option-toggle hotkeys (the reference's Options window toggles)
+_TOGGLES = {
+    ord("a"): T.AGC_ENABLE, ord("l"): T.PLL_ENABLE, ord("u"): T.PLL_SQUARE,
+    ord("e"): T.ENVELOPE, ord("i"): T.INDEPENDENT_SIDEBAND,
+    ord("n"): T.SNR_SQUELCH, ord("x"): T.THRESH_EXTEND,
+}
 
 
 def tui(ctl: Controller) -> int:
@@ -217,10 +279,12 @@ def tui(ctl: Controller) -> int:
     def loop(scr):
         curses.curs_set(0)
         scr.timeout(100)  # 10 Hz refresh
-        step_i = 3  # 1 kHz
+        curses.mousemask(curses.ALL_MOUSE_EVENTS)
+        step_i = _STEPS.index(1_000)  # 1 kHz
         fields = {}
         last_poll = 0.0
-        msg = "arrows: tune/step  p: preset prompt  c: command  q: quit"
+        msg = ("arrows: tune/digit  wheel: tune  click digit/preset  "
+               "a/l/u/e/i/n/x: toggles  p: preset  c: cmd  q: quit")
         while True:
             now = time.monotonic()
             if now - last_poll > 0.1:
@@ -228,12 +292,25 @@ def tui(ctl: Controller) -> int:
                 if f:
                     fields = f
                 last_poll = now
+            freq = fields.get(T.RADIO_FREQUENCY)
             scr.erase()
-            for i, ln in enumerate(render_panel(fields, width=scr.getmaxyx()[1] - 1)):
+            lines = render_panel(fields, width=scr.getmaxyx()[1] - 1)
+            presets_row = len(lines) - 1
+            for i, ln in enumerate(lines):
                 try:
                     scr.addstr(i, 0, ln)
                 except curses.error:
                     pass
+            # digit cursor: highlight the active tuning digit (control.c's
+            # per-digit cursor)
+            if freq is not None:
+                for col, step in freq_digit_columns(float(freq)):
+                    if abs(step - _STEPS[step_i]) < step * 0.01:
+                        try:
+                            scr.chgat(FREQ_ROW, col, 1, curses.A_REVERSE)
+                        except curses.error:
+                            pass
+                        break
             h = scr.getmaxyx()[0]
             try:
                 scr.addstr(h - 2, 0, f"step {_STEPS[step_i]:,} Hz   {msg}"[: scr.getmaxyx()[1] - 1])
@@ -245,7 +322,38 @@ def tui(ctl: Controller) -> int:
                 continue
             if ch in (ord("q"), 27):
                 return 0
-            freq = fields.get(T.RADIO_FREQUENCY)
+            if ch == curses.KEY_MOUSE:
+                try:
+                    _, mx, my, _, bstate = curses.getmouse()
+                except curses.error:
+                    continue
+                if bstate & getattr(curses, "BUTTON4_PRESSED", 0) and freq is not None:
+                    ctl.transact({T.RADIO_FREQUENCY: float(freq) + _STEPS[step_i]}, timeout=0.5)
+                elif bstate & getattr(curses, "BUTTON5_PRESSED", 0) and freq is not None:
+                    ctl.transact({T.RADIO_FREQUENCY: max(float(freq) - _STEPS[step_i], 0.0)}, timeout=0.5)
+                elif my == FREQ_ROW and freq is not None:
+                    # click a frequency digit -> move the tuning cursor
+                    for col, step in freq_digit_columns(float(freq)):
+                        if col == mx and step in _STEPS:
+                            step_i = _STEPS.index(step)
+                            msg = f"step {step:,} Hz"
+                            break
+                elif my == presets_row:
+                    # click a preset name -> apply it
+                    line = lines[presets_row]
+                    if mx < len(line) and line[mx] != " ":
+                        a = line.rfind(" ", 0, mx) + 1
+                        b = line.find(" ", mx)
+                        name = line[a:b if b > 0 else None]
+                        if name in PANEL_PRESETS:
+                            ctl.transact({T.PRESET: name}, timeout=15.0)
+                            msg = f"preset {name}"
+                continue
+            if ch in _TOGGLES:
+                key = _TOGGLES[ch]
+                ctl.transact({key: not bool(fields.get(key))}, timeout=15.0)
+                msg = f"toggled {key.name.lower()}"
+                continue
             if ch in (curses.KEY_UP, curses.KEY_DOWN) and freq is None:
                 msg = "no status yet - tuning keys ignored"
             elif ch == curses.KEY_UP:

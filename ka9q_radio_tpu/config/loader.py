@@ -114,11 +114,16 @@ class RadiodConfig:
         return max(1, len(self.hw_names))
 
 
-def _expand_freqs(sec: dict[str, str]) -> list[tuple[float, float]]:
-    """freq/raster lists -> [(freq_hz, tone_hz)] (radio.c:795-930)."""
-    out: list[tuple[float, float]] = []
+def _expand_freqs(sec: dict[str, str]) -> list[tuple]:
+    """freq/raster lists -> [(freq_hz, tone_hz, hw_name|None)]
+    (radio.c:795-930). Numbered sub-lists may carry their own tone AND —
+    our multi-front-end extension — their own `hardware<i> =` binding, so
+    one rate-class section can stripe channels across streams."""
+    out: list[tuple] = []
     for i in [""] + [str(d) for d in range(10)]:
         tone = float(sec.get(f"tone{i}", sec.get(f"pl{i}", sec.get(f"ctcss{i}", 0.0)) or 0.0) or 0.0)
+        hw = sec.get(f"hardware{i}") if i else None  # bare `hardware` = group key
+        hw = hw.strip().lower() if hw else None
         r = sec.get(f"raster{i}")
         if r:
             toks = r.split()
@@ -129,19 +134,19 @@ def _expand_freqs(sec: dict[str, str]) -> list[tuple[float, float]]:
                 start, stop = stop, start
             f = start
             while f < stop:
-                out.append((f, tone))
+                out.append((f, tone, hw))
                 f += step
         fl = sec.get(f"freq{i}")
         if fl:
             for tok in fl.split():
-                out.append((parse_frequency(tok, True), tone))
+                out.append((parse_frequency(tok, True), tone, hw))
     # except list removes matching frequencies
     exc = set()
     for i in [""] + [str(d) for d in range(10)]:
         el = sec.get(f"except{i}")
         if el:
             exc.update(parse_frequency(t, True) for t in el.split())
-    return [(f, t) for f, t in out if f not in exc]
+    return [e for e in out if e[0] not in exc]
 
 
 _CHANNEL_ONLY_KEYS = {
@@ -172,7 +177,21 @@ _GROUP_KEYS = {
 }
 
 
-def _build_group(name: str, settings: dict[str, Any], freqs: list[tuple[float, float]]) -> GroupSpec:
+def _build_group(name: str, settings: dict[str, Any], freqs: list[tuple],
+                 hw_index: "dict[str, int] | None" = None) -> GroupSpec:
+    # freqs entries: (freq, tone) or (freq, tone, hw_name); hw_index maps
+    # per-sub-list hardware names to engine input indices
+    norm = []
+    for e in freqs:
+        f, tone = e[0], e[1]
+        hw = e[2] if len(e) > 2 else None
+        inp = None
+        if hw:
+            if not hw_index or hw not in hw_index:
+                raise ValueError(f"[{name}]: unknown hardware {hw!r}")
+            inp = hw_index[hw]
+        norm.append((f, tone, inp))
+    freqs = [(f, t) for f, t, _ in norm]
     s = settings
     demod = str(s.get("demod", "linear")).lower()
     envelope = parse_bool(s.get("envelope", False))
@@ -202,8 +221,9 @@ def _build_group(name: str, settings: dict[str, Any], freqs: list[tuple[float, f
             shift_hz=shift,
             tone_freq=tone,
             ssrc=int(s["ssrc"]) if "ssrc" in s and len(freqs) == 1 else None,
+            input=inp,
         )
-        for f, tone in freqs
+        for (f, tone), (_, _, inp) in zip(freqs, norm)
     )
     tail = s.get("squelch-tail", s.get("squelchtail"))
     kw: dict[str, Any] = dict(
@@ -417,14 +437,16 @@ def load_config(text_or_path: str, presets: dict[str, dict] | None = None) -> Ra
         for k in ("ssrc", "encoding", "data", "update", "ttl"):
             if k in sec:
                 settings[k] = sec[k]
-        grp = _build_group(name, settings, freqs)
+        hw_index = {n: i for i, n in enumerate(hw_names)}
+        grp = _build_group(name, settings, freqs, hw_index=hw_index)
         # per-section front-end binding (multi-hardware configs):
         # `hardware = fe1` selects which stream feeds this group
+        # (numbered freq sub-lists may override per channel, hardware0..9)
         if "hardware" in sec:
             want = sec["hardware"].strip().lower()
-            if want not in hw_names:
+            if want not in hw_index:
                 raise ValueError(f"[{name}]: unknown hardware {want!r}")
-            grp = dataclasses.replace(grp, input=hw_names.index(want))
+            grp = dataclasses.replace(grp, input=hw_index[want])
         groups.append(grp)
 
     return RadiodConfig(

@@ -412,7 +412,8 @@ def _signed_bins(n_bins: int) -> jnp.ndarray:
     return jnp.where(k < (n_bins + 1) // 2, k, k - n_bins)
 
 
-def gather_bins(F, shifts, n_bins: int, real_master: bool, master_N: int):
+def gather_bins(F, shifts, n_bins: int, real_master: bool, master_N: int,
+                inputs=None):
     """Gather each channel's slice of master bins (pre-response).
 
     Implements the four cases of filter.c:695-860:
@@ -421,7 +422,10 @@ def gather_bins(F, shifts, n_bins: int, real_master: bool, master_N: int):
       complex master:          circular slice with wraparound through DC
 
     Args:
-      F: [m_bins] complex64 master spectrum.
+      F: [m_bins] complex64 master spectrum — or [B, m_bins] for a
+        multi-front-end engine, with `inputs` [C] selecting each channel's
+        stream (one batched gather serves channels across ALL inputs; the
+        per-input offset folds into the flat index).
       shifts: [C] int32 coarse-tuning bin shifts (positive shift brings a
         positive input frequency to DC).
       n_bins: channel FFT size (static).
@@ -436,7 +440,11 @@ def gather_bins(F, shifts, n_bins: int, real_master: bool, master_N: int):
         inverted = (shifts < 0)[:, None]
         mi = jnp.where(inverted, -g, g)
         valid = (mi >= 0) & (mi < m_bins)
-        vals = F[jnp.clip(mi, 0, m_bins - 1)]
+        idx = jnp.clip(mi, 0, m_bins - 1)
+        if F.ndim == 2:
+            vals = F.reshape(-1)[np.asarray(inputs, np.int32)[:, None] * m_bins + idx]
+        else:
+            vals = F[idx]
         vals = jnp.where(inverted, jnp.conj(vals), vals)
         return jnp.where(valid, vals, 0.0)
     else:
@@ -446,10 +454,15 @@ def gather_bins(F, shifts, n_bins: int, real_master: bool, master_N: int):
         m_bins = master_N
         valid = (g >= -(m_bins // 2)) & (g <= (m_bins - 1) // 2)
         mi = jnp.mod(g, m_bins)
-        return jnp.where(valid, F[mi], 0.0)
+        if F.ndim == 2:
+            vals = F.reshape(-1)[np.asarray(inputs, np.int32)[:, None] * m_bins + mi]
+        else:
+            vals = F[mi]
+        return jnp.where(valid, vals, 0.0)
 
 
-def channelize(F, responses, shifts, olen: int, real_master: bool, master_N: int, isb: bool = False):
+def channelize(F, responses, shifts, olen: int, real_master: bool, master_N: int, isb: bool = False,
+               inputs=None):
     """Frequency-domain select+filter+decimate for a group of channels.
 
     Args:
@@ -465,7 +478,7 @@ def channelize(F, responses, shifts, olen: int, real_master: bool, master_N: int
     Returns: [C, olen] complex64 baseband blocks (before fine tuning).
     """
     n_bins = responses.shape[-1]
-    fd = gather_bins(F, shifts, n_bins, real_master, master_N) * responses
+    fd = gather_bins(F, shifts, n_bins, real_master, master_N, inputs) * responses
     return finish_channelize(fd, olen, isb)
 
 
@@ -587,26 +600,35 @@ def build_tile_params(responses: np.ndarray, shifts: np.ndarray, real_master: bo
 
 
 def tiled_channelize(F, resp_tiles, tile_lo, slope, shifts, E: np.ndarray,
-                     n_bins: int, olen: int, real_master: bool, master_N: int):
+                     n_bins: int, olen: int, real_master: bool, master_N: int,
+                     inputs=None):
     """Device-side tiled channelizer (see module comment above).
 
-    F: [m_bins] complex64; resp_tiles/tile_lo/slope from build_tile_params
-    (as device params); E: numpy [S, olen] from tiled_idft_matrix (embedded
-    constant). Returns [C, olen] complex64 == channelize(...) output.
+    F: [m_bins] complex64 ([B, m_bins] multi-front-end, `inputs` [C] as in
+    gather_bins — the per-input offset folds into the tile-row index);
+    resp_tiles/tile_lo/slope from build_tile_params (as device params);
+    E: numpy [S, olen] from tiled_idft_matrix (embedded constant).
+    Returns [C, olen] complex64 == channelize(...) output.
     """
     T = _CTILE
     S = resp_tiles.shape[-1]
     ntiles = S // T
     m_bins = master_N // 2 + 1 if real_master else master_N
+    multi = F.ndim == 2
     if real_master:
         pad = (-m_bins) % T
-        rows = jnp.pad(F, (0, pad)).reshape(-1, T)
+        rows = (jnp.pad(F, ((0, 0), (0, pad))) if multi
+                else jnp.pad(F, (0, pad))).reshape(-1, T)
+        nrows = (m_bins + pad) // T
         tidx = tile_lo[:, None] + jnp.arange(ntiles, dtype=jnp.int32)[None, :]
-        tidx = jnp.clip(tidx, 0, rows.shape[0] - 1)
+        tidx = jnp.clip(tidx, 0, nrows - 1)
     else:
         rows = F.reshape(-1, T)  # m_bins % T == 0 (caller-gated)
+        nrows = m_bins // T
         tidx = jnp.mod(tile_lo[:, None] + jnp.arange(ntiles, dtype=jnp.int32)[None, :],
-                       rows.shape[0])
+                       nrows)
+    if multi:
+        tidx = tidx + np.asarray(inputs, np.int32)[:, None] * nrows
     cover = rows[tidx].reshape(resp_tiles.shape[0], S)
     Y = ((cover * resp_tiles) @ jnp.asarray(E)).astype(jnp.complex64)
     inverted = (shifts < 0)[:, None] if real_master else jnp.zeros((shifts.shape[0], 1), bool)
@@ -700,7 +722,8 @@ def good_blocksize(x: int) -> int:
     return n
 
 
-def channelize_beam(F, responses, shifts, olen: int, master_N: int, alpha, beta):
+def channelize_beam(F, responses, shifts, olen: int, master_N: int, alpha, beta,
+                    inputs=None):
     """Dual-coherent-antenna beamforming channelizer (filter.c:723-742).
 
     Two real antenna streams ride the I and Q rails of one complex master
@@ -713,8 +736,9 @@ def channelize_beam(F, responses, shifts, olen: int, master_N: int, alpha, beta)
     to a fixed scale; DC and Nyquist carry the antennas separated as
     real/imag parts.
 
-    F: [m_bins] complex64 (complex master); responses [C, n_bins];
-    shifts [C] i32; alpha/beta [C] complex64. Returns [C, olen] complex64.
+    F: [m_bins] complex64 (complex master; [B, m_bins] + `inputs` [C] for
+    multi-front-end); responses [C, n_bins]; shifts [C] i32; alpha/beta
+    [C] complex64. Returns [C, olen] complex64.
     """
     nb = responses.shape[-1]
     signed = _signed_bins(nb)[None, :]
@@ -722,9 +746,15 @@ def channelize_beam(F, responses, shifts, olen: int, master_N: int, alpha, beta)
     valid = (g >= -(master_N // 2)) & (g <= (master_N - 1) // 2)
     rp = jnp.mod(g, master_N)
     mirror = jnp.mod(master_N - rp, master_N)
-    vals = alpha[:, None] * F[rp] + beta[:, None] * jnp.conj(F[mirror])
+    if F.ndim == 2:
+        base = np.asarray(inputs, np.int32)[:, None] * master_N
+        Ff = F.reshape(-1)
+        f_rp, f_mir = Ff[base + rp], Ff[base + mirror]
+    else:
+        f_rp, f_mir = F[rp], F[mirror]
+    vals = alpha[:, None] * f_rp + beta[:, None] * jnp.conj(f_mir)
     special = (rp == 0) | (rp == master_N // 2)
-    sval = alpha[:, None] * F[rp].real + beta[:, None] * F[rp].imag
+    sval = alpha[:, None] * f_rp.real + beta[:, None] * f_rp.imag
     fd = jnp.where(valid, jnp.where(special, sval, vals), 0.0) * responses
     bb = jnp.fft.ifft(fd, axis=-1)
     return bb[:, nb - olen :].astype(jnp.complex64)

@@ -37,12 +37,16 @@ def noise_correction(q: float = NQ, cutoff: float = N_CUTOFF) -> float:
     return float(1.0 / (1.0 - z * np.exp(-z) / (1.0 - np.exp(-z))))
 
 
-def gather_noise_bins(F, shifts, nbins: int, real_master: bool, master_N: int):
+def gather_noise_bins(F, shifts, nbins: int, real_master: bool, master_N: int,
+                      inputs=None):
     """Gather the noise-estimation window of master bins per channel.
 
     Matches radio.c:1845-1872: a window of `nbins` bins centered on the
     channel, clamped to stay inside [DC, Nyquist] for real masters, circular
     (stopping at the positive Nyquist edge) for complex masters.
+
+    F may be [B, m_bins] (multi-front-end) with `inputs` [C] selecting each
+    channel's stream — the per-input offset folds into the row index.
 
     Returns [C, nbins] float32 bin energies |F|^2.
     """
@@ -51,6 +55,8 @@ def gather_noise_bins(F, shifts, nbins: int, real_master: bool, master_N: int):
     # reading the same master (XLA CSEs the identical expression)
     E = (F.real * F.real + F.imag * F.imag).astype(jnp.float32)
     m_bins = master_N // 2 + 1 if real_master else master_N
+    multi = F.ndim == 2
+    off = np.asarray(inputs, np.int32)[:, None] if multi else np.int32(0)
 
     # Tile-aligned windows: the windows are contiguous runs, so gathering
     # whole _TILE-bin rows (one gather of [C, ntiles] row indices with
@@ -63,10 +69,12 @@ def gather_noise_bins(F, shifts, nbins: int, real_master: bool, master_N: int):
     ntiles = -(-nbins // T)
     if real_master and m_bins >= ntiles * T:
         pad = (-m_bins) % T
-        rows = jnp.pad(E, (0, pad)).reshape(-1, T)
+        rows = (jnp.pad(E, ((0, 0), (0, pad))) if multi
+                else jnp.pad(E, (0, pad))).reshape(-1, T)
+        nrows = (m_bins + pad) // T
         lo = jnp.abs(shifts) - (ntiles * T) // 2
         lo_t = jnp.clip(lo, 0, m_bins - ntiles * T) // T  # window never enters the pad
-        tidx = lo_t[:, None] + jnp.arange(ntiles, dtype=jnp.int32)[None, :]
+        tidx = lo_t[:, None] + jnp.arange(ntiles, dtype=jnp.int32)[None, :] + off * nrows
         return rows[tidx].reshape(shifts.shape[0], ntiles * T)
     if not real_master and m_bins % T == 0 and m_bins >= ntiles * T:
         rows = E.reshape(-1, T)
@@ -76,17 +84,18 @@ def gather_noise_bins(F, shifts, nbins: int, real_master: bool, master_N: int):
                       -(m_bins // 2), (m_bins - 1) // 2 - (ntiles * T - 1))
         lo_t = jnp.floor_divide(lo, T)
         tidx = jnp.mod(lo_t[:, None] + jnp.arange(ntiles, dtype=jnp.int32)[None, :],
-                       m_bins // T)
+                       m_bins // T) + off * (m_bins // T)
         return rows[tidx].reshape(shifts.shape[0], ntiles * T)
 
     # fallback: per-element gather (small/odd masters)
     k = jnp.arange(nbins, dtype=jnp.int32)[None, :]
+    Ef = E.reshape(-1) if multi else E
     if real_master:
         lo = jnp.abs(shifts) - nbins // 2
         lo = jnp.clip(lo, 0, max(m_bins - nbins, 0))[:, None]
-        return E[jnp.clip(lo + k, 0, m_bins - 1)]
+        return Ef[jnp.clip(lo + k, 0, m_bins - 1) + off * m_bins]
     lo = jnp.clip(shifts - nbins // 2, -(m_bins // 2), (m_bins - 1) // 2 - (nbins - 1))[:, None]
-    return E[jnp.mod(lo + k, m_bins)]
+    return Ef[jnp.mod(lo + k, m_bins) + off * m_bins]
 
 
 def estimate_noise(energies, master_bins: int, samprate: float):

@@ -104,6 +104,11 @@ class ChannelSpec:
     low: float = -5000.0  # passband edges relative to carrier, Hz
     high: float = 5000.0
     ssrc: int | None = None  # RTP SSRC; default kHz of freq (radio.c:936)
+    # which front-end stream this channel listens to (multi-front-end
+    # engines; None = the group's input). Channels of ONE group may span
+    # inputs: the gathers fold the per-input offset into their indices, so
+    # a whole rate class across B streams stays one batched program.
+    input: int | None = None
     shift_hz: float = 0.0  # post-detection shift (CW offset)
     tone_freq: float = 0.0  # CTCSS tone, Hz (FM)
     squelch_open_db: float | None = None
@@ -210,8 +215,8 @@ class _Group:
     """Host-side compiled geometry + initial params for one GroupSpec."""
 
     def __init__(self, spec: GroupSpec, master: MasterConfig, samprate: float, blocktime: float,
-                 use_matmul: bool = False, center: float = 0.0, use_tiled: bool = True,
-                 noise_every: int = 4):
+                 use_matmul: bool = False, center: "float | Sequence[float]" = 0.0,
+                 use_tiled: bool = True, noise_every: int = 4, n_inputs: int = 1):
         # host->device placement for params leaves; sharded engines set
         # `placement` (Engine.__init__) so retune/set_edges surgery
         # preserves the channel-axis sharding and stays recompile-free
@@ -222,9 +227,20 @@ class _Group:
         self.use_matmul = use_matmul
         self.fs_in = samprate
         self.blocktime = blocktime
+        # per-channel front-end binding: ChannelSpec.input overrides the
+        # group's input; one batched group can span several streams
+        self.n_inputs = int(n_inputs)
+        self.inputs = np.array(
+            [c.input if c.input is not None else spec.input for c in spec.channels],
+            np.int32)
+        self.multi = self.n_inputs > 1
         # front-end center: dial RF -> IF is freq - center (the reference's
-        # Frontend.frequency, radio.c:1479: second_LO = frequency - freq)
-        self.center = float(center)
+        # Frontend.frequency, radio.c:1479: second_LO = frequency - freq).
+        # Per-input centers resolve per channel.
+        centers = ([float(center)] * self.n_inputs if np.ndim(center) == 0
+                   else [float(x) for x in center])
+        self.center = centers[int(spec.input)]
+        self.center_of = np.array([centers[i] for i in self.inputs], np.float64)
         r = int(spec.samprate)
         fs = int(round(samprate))
         N, L = master.N, master.L
@@ -268,6 +284,10 @@ class _Group:
             # algorithm crossover (spectrum.c, modes.c:69): coarse rbw reads
             # the raw A/D stream, fine rbw runs on downconverted baseband
             self.spectrum_wide = spec.bin_bw >= spec.crossover
+            if self.spectrum_wide and self.multi and np.any(self.inputs != spec.input):
+                raise ValueError(
+                    f"group {spec.name}: wideband spectrum reads the raw "
+                    "A/D block — its channels cannot span inputs")
             if self.spectrum_wide:
                 self.wide_geo = wide_geometry(
                     self.fs_in, master.L, master.real, spec.bin_bw,
@@ -313,7 +333,7 @@ class _Group:
         incs = np.zeros(self.C, np.int32)
         adjs = np.zeros(self.C, np.int32)
         for i, f in enumerate(freqs):
-            shift, rem, ok = compute_tuning(N, fs, float(f) - self.center)
+            shift, rem, ok = compute_tuning(N, fs, float(f) - self.center_of[i])
             if not ok:
                 raise ValueError(f"freq {f} outside front-end coverage")
             shifts[i] = shift
@@ -483,7 +503,7 @@ class _Group:
         radio.c:1140-1175). Pure host-side array surgery — the jitted step
         sees only new tensor values, so NO recompilation happens."""
         N, L, fs = self.master.N, self.master.L, self.fs_in
-        shift, rem, ok = compute_tuning(N, fs, float(freq) - self.center)
+        shift, rem, ok = compute_tuning(N, fs, float(freq) - self.center_of[idx])
         if not ok:
             raise ValueError(f"freq {freq} outside front-end coverage")
         self.host["shifts"][idx] = np.int32(shift)
@@ -547,13 +567,17 @@ class _Group:
         step_scan() (which vmaps it over a [D] block axis)."""
         m = self.master
         sharded = not hasattr(F, "shape")  # DigitSpectrum handle
+        # multi-front-end: F arrives [B, m_bins]; per-channel input offsets
+        # fold into the gathers (self.inputs) so channels across ALL
+        # streams stay one batched program
+        inp = self.inputs if (not sharded and getattr(F, "ndim", 1) == 2) else None
         if self.spec.beam:
             if sharded:
                 fd = F.gather_beam(params["shifts"], params["responses"].shape[-1],
                                    params["beam_alpha"], params["beam_beta"])
                 return finish_channelize(fd * params["responses"], self.olen)
             return channelize_beam(F, params["responses"], params["shifts"], self.olen, m.N,
-                                   params["beam_alpha"], params["beam_beta"])
+                                   params["beam_alpha"], params["beam_beta"], inputs=inp)
         if sharded:
             fd = F.gather(params["shifts"], params["responses"].shape[-1])
             if self.use_matmul and not self.spec.isb:
@@ -562,18 +586,22 @@ class _Group:
         if self.tiled:
             return tiled_channelize(F, params["resp_tiles"], params["tile_lo"], params["slope"],
                                     params["shifts"], self.tile_E, self.n_bins, self.olen,
-                                    m.real, m.N)
+                                    m.real, m.N, inputs=inp)
         if self.use_matmul and not self.spec.isb:
-            fd = gather_bins(F, params["shifts"], self.n_bins, m.real, m.N) * params["responses"]
+            fd = gather_bins(F, params["shifts"], self.n_bins, m.real, m.N,
+                             inputs=inp) * params["responses"]
             return (fd @ self.idft).astype(jnp.complex64)
-        return channelize(F, params["responses"], params["shifts"], self.olen, m.real, m.N)
+        return channelize(F, params["responses"], params["shifts"], self.olen, m.real, m.N,
+                          inputs=inp)
 
     def _noise_est(self, params, F):
         """Stateless N0 estimate from the master bins around each channel."""
         m = self.master
         sharded = not hasattr(F, "shape")
+        inp = self.inputs if (not sharded and getattr(F, "ndim", 1) == 2) else None
         e = (F.gather_noise(params["shifts"], self.noise_bins) if sharded
-             else gather_noise_bins(F, params["shifts"], self.noise_bins, m.real, m.N))
+             else gather_noise_bins(F, params["shifts"], self.noise_bins, m.real, m.N,
+                                    inputs=inp))
         return estimate_noise(e, m.bins, self.fs_in)
 
     def step(self, state, params, F, block=None, jobnum=None):
@@ -815,10 +843,21 @@ class Engine:
                 raise ValueError(
                     f"group {g.name}: input {g.input} outside the engine's "
                     f"{self.n_inputs} front-end stream(s)")
+            for c in g.channels:
+                if c.input is not None and not 0 <= c.input < self.n_inputs:
+                    raise ValueError(
+                        f"group {g.name}: channel input {c.input} outside "
+                        f"{self.n_inputs} stream(s)")
+                if (c.input is not None and c.input != g.input
+                        and mesh is not None and not self.time_shards):
+                    raise ValueError(
+                        f"group {g.name}: per-channel inputs need the dense "
+                        "engine (the distributed master gathers per stream)")
         self.groups = {g.name: _Group(g, self.master, self.samprate, blocktime, use_matmul,
-                                      center=self.centers[g.input],
+                                      center=self.centers,
                                       use_tiled=use_tiled and (mesh is None or self.time_shards > 0),
-                                      noise_every=self.noise_every)
+                                      noise_every=self.noise_every,
+                                      n_inputs=self.n_inputs)
                        for g in groups}
         if mesh is not None and self.time_shards:
             # params stay REPLICATED over the mesh (every device demods all
@@ -978,13 +1017,17 @@ class Engine:
                     track = state["spurs"] + alpha * (vals - state["spurs"])
                     F = F.at[self.spur_bins].add(-track)
                 new_state["spurs"] = track
-            Fs = [F[b] for b in range(B)] if B > 1 else [F]
+            Fs = None  # dense path: groups take the whole [B, bins] F
         new_groups, outputs = {}, {}
         for name, g in self.groups.items():
             inp = g.spec.input
             blk_g = block[inp] if B > 1 else block
+            # distributed masters are per-input handles; the dense F goes
+            # in whole (2-D when B > 1) and per-channel inputs offset the
+            # gathers inside the group
+            Fg = Fs[inp] if Fs is not None else F
             gs, audio, info = g.step(state["groups"][name], params[name],
-                                     Fs[inp], blk_g, jobnum)
+                                     Fg, blk_g, jobnum)
             new_groups[name] = gs
             outputs[name] = {"audio": audio, "info": info}
         # front-end metrics (frontend->if_power smoothing, rx888.c contract)

@@ -173,7 +173,7 @@ def test_control_full_surface(daemon, capsys):
     ctl = Controller(radio, 200)
     f, _ = ctl.transact({})
     lines = render_panel(f)
-    assert any("freq 200,000" in ln for ln in lines)
+    assert any(ln.startswith("  freq ") and "200,000.000" in ln for ln in lines)
     assert any("edges" in ln for ln in lines)
 
     # restore for other fixture users
@@ -468,3 +468,37 @@ freq = 32k0
     finally:
         p.kill()
         p.wait(5)
+
+
+def test_panel_digit_columns_and_windows():
+    """The TUI's digit-cursor map and the control.c window set (Tuning/
+    Input/Signal/Filtering/Demodulator/Options/Output/RTP/Presets)."""
+    from ka9q_radio_tpu.cli.control import (
+        render_panel, freq_digit_columns, FREQ_ROW, FREQ_COL, FREQ_WIDTH,
+        PANEL_PRESETS)
+    from ka9q_radio_tpu.net.status import StatusType as T
+
+    freq = 14_074_000.0
+    cols = dict((int(round(np.log10(s))), c) for c, s in freq_digit_columns(freq)
+                if s >= 1)
+    # the formatted string "  14,074,000.000": digits map right-to-left
+    s = f"{freq:>{FREQ_WIDTH},.3f}"
+    for place, col in cols.items():
+        assert s[col - FREQ_COL].isdigit()
+    # value check: the 10MHz digit is '1', units digit is '0'
+    assert s[cols[7] - FREQ_COL] == "1"
+    assert s[cols[0] - FREQ_COL] == "0"
+
+    lines = render_panel({T.OUTPUT_SSRC: 5, T.RADIO_FREQUENCY: freq,
+                          T.DEMOD_TYPE: 0, T.AGC_ENABLE: True,
+                          T.INPUT_SAMPRATE: 129_600_000, T.FE_ISREAL: True})
+    text = "\n".join(lines)
+    for win in ("Tuning", "Input", "Signal", "Filtering", "Demodulator",
+                "Options", "Output", "RTP/Status", "Presets"):
+        assert f"== {win} " in text, win
+    assert "[a:agc]" in text  # enabled flags render bracketed
+    assert " l:pll " in text  # disabled flags unbracketed
+    for p in PANEL_PRESETS:
+        assert p in lines[-1]
+    # the freq line is where the cursor map points
+    assert lines[FREQ_ROW].startswith("  freq ")

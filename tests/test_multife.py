@@ -186,3 +186,109 @@ freq = -200k
     assert pa > pb * 10  # fe0's carrier is 20 dB stronger
     # per-input IF power tracked separately
     assert rd.if_power_in[0] > rd.if_power_in[1] * 10
+
+
+def test_per_channel_inputs_one_batched_group():
+    """ONE group spanning B streams (ChannelSpec.input) matches B
+    single-input engines — the compile-O(1) form of the multi-front-end
+    engine (gathers fold the per-input offset into their indices)."""
+    B = 3
+    per = 4
+    chans = tuple(ChannelSpec(freq=float(f), low=50.0, high=3000.0, input=b)
+                  for b in range(B) for f in np.linspace(-400e3, 400e3, per))
+    eng = Engine(samprate=FS, real=False, n_inputs=B, spurs=[100e3],
+                 groups=[GroupSpec(name="lin", demod="linear", samprate=16_000,
+                                   channels=chans)])
+    blocks = _blocks(eng, B, 6)
+    s, p = jax.jit(eng.init_state)(), eng.init_params()
+    step = jax.jit(eng.step)
+    for k in range(6):
+        s, out = step(s, p, blocks[k])
+    audio = np.asarray(out["lin"]["audio"])  # [B*per, olen]
+    n0 = np.asarray(out["lin"]["info"]["n0"])
+
+    for b in range(B):
+        e1 = Engine(samprate=FS, real=False, spurs=[100e3],
+                    groups=[GroupSpec(name="lin", demod="linear",
+                                      samprate=16_000, channels=_chans(per))])
+        s1, p1 = jax.jit(e1.init_state)(), e1.init_params()
+        step1 = jax.jit(e1.step)
+        for k in range(6):
+            s1, o1 = step1(s1, p1, blocks[k, b])
+        np.testing.assert_allclose(audio[b * per:(b + 1) * per],
+                                   np.asarray(o1["lin"]["audio"]),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(n0[b * per:(b + 1) * per],
+                                   np.asarray(o1["lin"]["info"]["n0"]), rtol=1e-5)
+
+    # retunes stay pure data with per-channel inputs
+    n = step._cache_size()
+    p = eng.retune(p, "lin", 5, 123_456.0)
+    s, _ = step(s, p, blocks[0])
+    assert step._cache_size() == n
+
+
+def test_per_channel_inputs_real_master_tiled():
+    """Per-channel inputs on a REAL master exercise the tiled gather's
+    row-offset path (the flagship rx888xB layout)."""
+    B = 2
+    FSr = 2_048_000
+    per = 6
+    chans = tuple(ChannelSpec(freq=float(f), low=50.0, high=3000.0, input=b)
+                  for b in range(B)
+                  for f in np.linspace(0.05 * FSr, 0.45 * FSr, per))
+    eng = Engine(samprate=FSr, real=True, n_inputs=B,
+                 groups=[GroupSpec(name="hf", demod="linear", samprate=16_000,
+                                   channels=chans)])
+    assert eng.groups["hf"].tiled
+    rng = np.random.default_rng(0)
+    t = np.arange(6 * eng.L).reshape(6, eng.L) / FSr
+    f0 = 0.05 * FSr + 700.0
+    blocks = np.stack([
+        rng.normal(size=(6, eng.L)).astype(np.float32) * 1e-3
+        + (0.05 * np.cos(2 * np.pi * f0 * t)).astype(np.float32),
+        rng.normal(size=(6, eng.L)).astype(np.float32) * 1e-3,
+    ], axis=1)  # [6, B, L]
+    s, p = jax.jit(eng.init_state)(), eng.init_params()
+    step = jax.jit(eng.step)
+    for k in range(6):
+        s, out = step(s, p, jnp.asarray(blocks[k]))
+    bbp = np.asarray(out["hf"]["info"]["baseband_power"])
+    # channel 0 (input 0) hears the carrier; its input-1 twin does not
+    assert bbp[0] > 100 * bbp[per]
+
+
+def test_config_per_sublist_hardware():
+    """Numbered freq sub-lists bind to different front ends (hardware0..9):
+    one section stripes its channels across streams."""
+    from ka9q_radio_tpu.config.loader import load_config
+
+    cfg = load_config("""
+[global]
+hardware = fe0 fe1
+
+[fe0]
+device = sig_gen
+samprate = 1m024
+complex = yes
+
+[fe1]
+device = sig_gen
+samprate = 1m024
+complex = yes
+
+[scan]
+demod = linear
+samprate = 16k
+freq0 = 100k 110k
+hardware0 = fe0
+freq1 = -200k
+hardware1 = fe1
+""")
+    (g,) = cfg.groups
+    assert [c.input for c in g.channels] == [0, 0, 1]
+    from ka9q_radio_tpu.runtime import Engine
+
+    eng = Engine(samprate=cfg.samprate, real=cfg.real, groups=cfg.groups,
+                 n_inputs=cfg.n_inputs)
+    assert list(eng.groups["scan"].inputs) == [0, 0, 1]
