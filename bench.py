@@ -51,7 +51,7 @@ def build_engine(config: str):
         # with 1000 SSB channels; the sweep rides the first stream.
         # Aggregate front-end rate is the metric; >= B x 129.6 Msps =
         # every stream real-time.
-        B = int(config.split("x")[1])
+        B = int(config.rsplit("x", 1)[1])
         FS, baseline = 129_600_000, 129.6
         freqs = np.linspace(0.02 * FS, 0.48 * FS, 1000)
         sfreqs = np.linspace(0.05 * FS, 0.45 * FS, 16)
