@@ -276,3 +276,46 @@ def test_engine_tiled_default_matches_plain():
         s2, o2 = st2(s2, p2, b)
         a1, a2 = np.asarray(o1["usb"]["audio"]), np.asarray(o2["usb"]["audio"])
         assert np.max(np.abs(a1 - a2)) < 2e-3, k
+
+
+@pytest.mark.parametrize("real_master", [True, False])
+def test_tiled_fft_idft_variant_matches_reference_path(real_master):
+    """tiled_channelize with E=None (the FFT-IDFT form for wideband slaves
+    whose IDFT constant would blow the 32 MB budget) == channelize: the
+    padded tile frame folds S -> n_bins and one batched IFFT replaces the
+    matmul."""
+    from ka9q_radio_tpu.ops.filterbank import (
+        build_tile_params, tiled_channelize,
+    )
+
+    rng = np.random.default_rng(7)
+    N = 16384
+    m_bins = N // 2 + 1 if real_master else N
+    for n_bins, olen in ((1920, 1536), (1283, 1026)):
+        F = (rng.standard_normal(m_bins) + 1j * rng.standard_normal(m_bins)).astype(np.complex64)
+        if real_master:
+            shifts = np.array([3000, -3000, 700, N // 2 - 700, 0], np.int32)
+        else:
+            shifts = np.array([0, 3000, -3000, N // 2 - 1000, -(N // 2) + 1000], np.int32)
+        C = len(shifts)
+        resp = (rng.standard_normal((C, n_bins)) + 1j * rng.standard_normal((C, n_bins))).astype(np.complex64)
+        want = np.asarray(channelize(jnp.asarray(F), jnp.asarray(resp), jnp.asarray(shifts),
+                                     olen, real_master, N))
+        rt, tl, sl = build_tile_params(resp, shifts, real_master, N)
+        got = np.asarray(tiled_channelize(jnp.asarray(F), jnp.asarray(rt), jnp.asarray(tl),
+                                          jnp.asarray(sl), jnp.asarray(shifts), None,
+                                          n_bins, olen, real_master, N))
+        np.testing.assert_allclose(got, want, rtol=0, atol=3e-4 * np.max(np.abs(want)))
+
+
+def test_wfm_group_uses_tiled_fft_variant():
+    """The WFM composite slave (9,600 bins) now rides the tiled gather +
+    FFT-IDFT instead of the per-element master gather."""
+    from ka9q_radio_tpu.runtime import ChannelSpec, GroupSpec, Engine
+
+    eng = Engine(samprate=7_680_000, real=False, groups=[
+        GroupSpec(name="wfm", demod="wfm", samprate=384_000,
+                  channels=tuple(ChannelSpec(freq=float(f), low=-100e3, high=100e3)
+                                 for f in np.linspace(-3e6, 3e6, 4)))])
+    g = eng.groups["wfm"]
+    assert g.tiled and g.tile_E is None
