@@ -103,6 +103,7 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     use_matmul = "--matmul" in sys.argv
     no_tiled = "--no-tiled" in sys.argv  # ablate the tiled channelizer
+    use_mesh = "--mesh" in sys.argv  # distributed master over all local devices
     config = args[0] if args else "rx888"
     eng, FS, baseline = build_engine(config)
     if use_matmul or no_tiled:
@@ -111,6 +112,15 @@ def main() -> None:
                  groups=eng.specs, blocktime=eng.blocktime, use_matmul=use_matmul,
                  n_inputs=eng.n_inputs,
                  use_tiled=False)  # compare the plain-matmul/gather lowering
+    if use_mesh:
+        # the sharded engine on however many chips are local (a mesh of 1
+        # measures the distributed master's overhead vs the dense path)
+        from ka9q_radio_tpu.runtime.engine import Engine as _E
+        from ka9q_radio_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        eng = _E(samprate=eng.samprate, real=eng.master.real, groups=eng.specs,
+                 blocktime=eng.blocktime, n_inputs=eng.n_inputs, mesh=mesh)
 
     import os
 
@@ -231,7 +241,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"{config}{'_matmul' if use_matmul else ''}_input_rate",
+                "metric": f"{config}{'_matmul' if use_matmul else ''}{'_mesh' if use_mesh else ''}_input_rate",
                 "value": round(msps, 3),
                 "unit": "Msps",
                 "vs_baseline": round(msps / baseline, 3),

@@ -352,6 +352,15 @@ def plan_split_mxu(N: int, real: bool = False) -> "tuple[int, ...] | None":
 def master_transform(cfg: MasterConfig, x):
     """Forward transform of one assembled [..., N] window -> [..., bins]."""
     if cfg.mxu is not None:
+        if x.ndim >= 2:
+            # multi-front-end batches: a leading [B] axis makes the
+            # cascade's inter-stage swapaxes materialize strided copies —
+            # measured [8, 3.24M] at 12.2 ms vs 4.7 ms for 8 separate
+            # transforms on v5e. Unroll the batch (the per-transform
+            # programs are identical; XLA compiles the body once-ish and
+            # the stack is one contiguous copy).
+            return jnp.stack([master_transform(cfg, x[b])
+                              for b in range(x.shape[0])])
         # MXU matmul cascade; the real master feeds f32 straight into the
         # first stage (two real matmuls) — no complex materialization —
         # and computes only a prefix covering the N/2+1 kept bins (the

@@ -14,6 +14,7 @@ from ka9q_radio_tpu.ops.filterbank import (
     MasterConfig,
     master_init,
     master_fft,
+    master_transform,
     channelize,
     fine_tune,
     compute_tuning,
@@ -319,3 +320,17 @@ def test_wfm_group_uses_tiled_fft_variant():
                                  for f in np.linspace(-3e6, 3e6, 4)))])
     g = eng.groups["wfm"]
     assert g.tiled and g.tile_E is None
+
+
+def test_mxu_master_batch_unroll_matches():
+    """master_transform on a [B, N] batch (multi-front-end) == per-row
+    transforms (the unrolled form that avoids the batched cascade's
+    strided transposes, measured 2.6x on v5e)."""
+    cfg = MasterConfig.from_rate(129_600_000, 0.02, 5, real=True)
+    assert cfg.mxu is not None
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, cfg.N)).astype(np.float32) * 1e-2
+    Fb = np.asarray(master_transform(cfg, jnp.asarray(x)))
+    for b in range(2):
+        Fs = np.asarray(master_transform(cfg, jnp.asarray(x[b])))
+        np.testing.assert_array_equal(Fb[b], Fs)
