@@ -168,9 +168,15 @@ class DigitMaster:
             flat = jnp.clip(lr, 0, rows - 1) * n2 + k2
             v = jnp.take(zl.reshape(-1), flat.reshape(-1), mode="clip").reshape(ix.shape)
             v = jnp.where(ok, v, np.complex64(0))
+            # collectives on f32 pairs, not c64: complex reduce-scatter is
+            # unimplemented in some TPU AOT pipelines (axon), and the sum
+            # commutes with re/im exactly
+            pair = jnp.stack([v.real, v.imag], axis=-1)
             if scatter:
-                return jax.lax.psum_scatter(v, ax, scatter_dimension=0, tiled=True)
-            return jax.lax.psum(v, ax)
+                pair = jax.lax.psum_scatter(pair, ax, scatter_dimension=0, tiled=True)
+            else:
+                pair = jax.lax.psum(pair, ax)
+            return jax.lax.complex(pair[..., 0], pair[..., 1])
 
         out_spec = P(ax, *([None] * (idx.ndim - 1))) if scatter else P(*([None] * idx.ndim))
         fn = shard_map(body, mesh=self.mesh,

@@ -50,15 +50,28 @@ def batch_master_fft(cfg: MasterConfig, tail, blocks, mesh: Mesh, axis: str = "c
         # blk: [1, L] (this device's block); tail_l replicated [M-1]
         d = jax.lax.axis_index(axis)
         my_halo = blk[0, L - halo:]
+
+        def as_pair(v):  # complex collectives are unimplemented in some
+            # TPU AOT pipelines (axon); move/reduce f32 pairs instead
+            return (jnp.stack([v.real, v.imag], -1)
+                    if jnp.iscomplexobj(v) else v)
+
+        def from_pair(p, like):
+            return (jax.lax.complex(p[..., 0], p[..., 1])
+                    if jnp.iscomplexobj(like) else p)
+
         # neighbor exchange: my block tail -> device d+1 (ring; the wrap
         # entry into device 0 is unused — it takes the carried tail)
-        prev = jax.lax.ppermute(my_halo, axis, [(i, (i + 1) % D) for i in range(D)])
+        prev = from_pair(
+            jax.lax.ppermute(as_pair(my_halo), axis,
+                             [(i, (i + 1) % D) for i in range(D)]), my_halo)
         prev = jnp.where(d == 0, tail_l, prev)
         x = jnp.concatenate([prev, blk[0]])
         F = master_transform(cfg, x)  # same plan as master_fft (bit-match)
         # the last device's halo becomes the next batch's carried context
-        new_tail = jax.lax.psum(
-            jnp.where(d == D - 1, my_halo, jnp.zeros_like(my_halo)), axis)
+        new_tail = from_pair(jax.lax.psum(
+            jnp.where(d == D - 1, as_pair(my_halo),
+                      jnp.zeros_like(as_pair(my_halo))), axis), my_halo)
         return new_tail, F[None]
 
     fn = shard_map(body, mesh=mesh, in_specs=(P(), P(axis, None)),
