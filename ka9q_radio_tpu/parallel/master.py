@@ -146,6 +146,77 @@ class DigitMaster:
                        out_specs=P(ax, None), check_vma=False)
         return fn(x.reshape(n1, n2)).astype(jnp.complex64)
 
+    @property
+    def kept_pad(self) -> int:
+        """n2_kept rounded up so the natural-order corner turn divides."""
+        return -(-self.n2_kept // self.D) * self.D
+
+    @property
+    def nat_bins(self) -> int:
+        """Length of fft_natural's output (>= m_bins; pad bins at the end)."""
+        return self.n1 * self.kept_pad
+
+    def fft_natural(self, x):
+        """Six-step FFT: fft() plus the FINAL corner turn, returning the
+        NATURAL-ORDER spectrum as one global [n1*kept_pad] array sharded
+        contiguously over `axis` (device d owns bins [d*nat/D, (d+1)*nat/D)).
+
+        Natural order is what makes the sharded engine fast: every dense
+        gather (the tiled channelizer, noise windows, spur notches) then
+        runs unchanged on the sharded array under GSPMD — measured ~20x
+        faster than per-element digit-order gathers at the flagship
+        geometry. The extra all-to-all moves N/D bins per device once per
+        block (~0.3 ms of ICI at the flagship), far less than the gather
+        time it buys back. Real masters keep only k2 <= n2/2 columns
+        (rounded up to a D multiple); pad bins land at flat indices
+        >= n1*n2_kept > N/2, past everything the engine reads.
+
+        x may stay float32 for real masters: the first corner turn then
+        moves half the bytes and the MXU first stage runs as two real
+        matmuls — the dense master's real-input saving.
+        """
+        from ..ops.filterbank import split_fft_mxu
+
+        n1, n2, N, ax = self.n1, self.n2, self.N, self.axis
+        D = self.D
+        cols = n2 // D
+        kp = self.kept_pad
+
+        def body(xs):
+            i = jax.lax.axis_index(ax)
+            At = jax.lax.all_to_all(xs, ax, split_axis=1, concat_axis=0, tiled=True)  # [n1, cols]
+            if self.mxu1 is not None:
+                A1 = jnp.swapaxes(
+                    split_fft_mxu(jnp.swapaxes(At, -1, -2), self.mxu1,
+                                  precision=self.precision), -1, -2)
+            else:
+                A1 = jnp.fft.fft(At.astype(jnp.complex64), axis=0)
+            k1 = jnp.arange(n1, dtype=jnp.int32)[:, None]
+            j = jnp.arange(cols, dtype=jnp.int32)[None, :]
+            b0 = (i * cols).astype(jnp.int32)
+            t1 = (k1 * b0) % np.int32(N)
+            t2 = (k1 * j) % np.int32(N)
+            phase = t1 - (np.int32(N) - t2)
+            phase = jnp.where(phase < 0, phase + np.int32(N), phase)
+            tw = jnp.exp(np.complex64(-2j * np.pi / N) * phase.astype(jnp.float32))
+            A1 = A1 * tw.astype(jnp.complex64)
+            Bt = jax.lax.all_to_all(A1, ax, split_axis=0, concat_axis=1, tiled=True)  # [rows, n2]
+            if self.mxu2 is not None:
+                C = split_fft_mxu(Bt, self.mxu2, kp if kp < n2 else None,
+                                  precision=self.precision)[..., :kp]
+            else:
+                C = jnp.fft.fft(Bt, axis=1)
+                C = (jnp.pad(C, ((0, 0), (0, kp - n2))) if kp > n2
+                     else C[..., :kp])
+            # FINAL corner turn (the six-step's third): shard k2, own all
+            # k1 -> k2-major local transpose flattens to natural order
+            Ct = jax.lax.all_to_all(C, ax, split_axis=1, concat_axis=0, tiled=True)  # [n1, kp/D]
+            return Ct.T.reshape(-1)  # bins k = k1 + n1*k2, k2-major
+
+        fn = shard_map(body, mesh=self.mesh, in_specs=P(ax, None),
+                       out_specs=P(ax), check_vma=False)
+        return fn(x.reshape(n1, n2)).astype(jnp.complex64)
+
     # -- gathers -------------------------------------------------------------
     def take(self, Zd, idx, scatter: bool = True):
         """Gather master bins idx (int32, in [0, N)) from the digit-order

@@ -853,14 +853,12 @@ class Engine:
                     raise ValueError(
                         f"group {g.name}: channel input {c.input} outside "
                         f"{self.n_inputs} stream(s)")
-                if (c.input is not None and c.input != g.input
-                        and mesh is not None and not self.time_shards):
-                    raise ValueError(
-                        f"group {g.name}: per-channel inputs need the dense "
-                        "engine (the distributed master gathers per stream)")
+        # the tiled channelizer runs in every mode: the sharded master
+        # (fft_natural) hands back a NATURAL-ORDER contiguously-sharded
+        # spectrum, so dense gathers work under GSPMD
         self.groups = {g.name: _Group(g, self.master, self.samprate, blocktime, use_matmul,
                                       center=self.centers,
-                                      use_tiled=use_tiled and (mesh is None or self.time_shards > 0),
+                                      use_tiled=use_tiled,
                                       noise_every=self.noise_every,
                                       n_inputs=self.n_inputs)
                        for g in groups}
@@ -981,58 +979,50 @@ class Engine:
         B = self.n_inputs
         jobnum = state["master"]["jobnum"]
         if self.digit is not None:
-            # distributed master: complex digit-order FFT over the mesh
-            # (zero imaginary part for real A/D); bins never densify.
-            # Multiple inputs run the transform per stream (each already
-            # saturates the mesh; batching them would multiply the
-            # all-to-all payloads, not overlap them).
+            # distributed master over the mesh: the six-step transform
+            # (parallel.master.fft_natural) leaves the spectrum in NATURAL
+            # order, contiguously sharded over the axis — so the dense
+            # gather machinery below (tiled channelizer, noise windows,
+            # spur notches) runs unchanged under GSPMD. Multiple inputs
+            # run the transform per stream (each already saturates the
+            # mesh).
             from jax.sharding import NamedSharding, PartitionSpec as P
-            from ..parallel.master import DigitSpectrum
 
             m = self.master
             x = jnp.concatenate([state["master"]["tail"], block], axis=-1)
             mstate = {"tail": x[..., m.L:], "jobnum": jobnum + 1}
             new_state = {"master": mstate}
-            Fs, tracks = [], []
+            Fs = []
             for b in range(B):
                 xb = x[b] if B > 1 else x
+                # real A/D stays f32 into the distributed transform (the
+                # first stage runs as two real matmuls, half the bytes
+                # through the first corner turn)
                 xc = jax.lax.with_sharding_constraint(
-                    xb.astype(jnp.complex64),
+                    xb if m.real else xb.astype(jnp.complex64),
                     NamedSharding(self.mesh, P(self.shard_axis)))
-                Zd = self.digit.fft(xc)
-                if self.spur_bins is not None:
-                    prev = state["spurs"][b] if B > 1 else state["spurs"]
-                    vals = self.digit.take(Zd, jnp.asarray(self.spur_bins), scatter=False)
-                    track = prev + alpha * (vals - prev)
-                    Zd = self.digit.notch(Zd, self.spur_bins, track)
-                    tracks.append(track)
-                Fs.append(DigitSpectrum(self.digit, Zd, m.real))
-            if self.spur_bins is not None:
-                new_state["spurs"] = jnp.stack(tracks) if B > 1 else tracks[0]
+                Fs.append(self.digit.fft_natural(xc)[: m.bins])
+            F = jnp.stack(Fs) if B > 1 else Fs[0]
         else:
             mstate, F = master_fft(self.master, state["master"], block)
             new_state = {"master": mstate}
-            if self.spur_bins is not None:
-                if B > 1:
-                    vals = F[:, self.spur_bins]
-                    track = state["spurs"] + alpha * (vals - state["spurs"])
-                    F = F.at[:, self.spur_bins].add(-track)
-                else:
-                    vals = F[self.spur_bins]
-                    track = state["spurs"] + alpha * (vals - state["spurs"])
-                    F = F.at[self.spur_bins].add(-track)
-                new_state["spurs"] = track
-            Fs = None  # dense path: groups take the whole [B, bins] F
+        if self.spur_bins is not None:
+            if B > 1:
+                vals = F[:, self.spur_bins]
+                track = state["spurs"] + alpha * (vals - state["spurs"])
+                F = F.at[:, self.spur_bins].add(-track)
+            else:
+                vals = F[self.spur_bins]
+                track = state["spurs"] + alpha * (vals - state["spurs"])
+                F = F.at[self.spur_bins].add(-track)
+            new_state["spurs"] = track
         new_groups, outputs = {}, {}
         for name, g in self.groups.items():
-            inp = g.spec.input
-            blk_g = block[inp] if B > 1 else block
-            # distributed masters are per-input handles; the dense F goes
-            # in whole (2-D when B > 1) and per-channel inputs offset the
-            # gathers inside the group
-            Fg = Fs[inp] if Fs is not None else F
+            blk_g = block[g.spec.input] if B > 1 else block
+            # the dense F goes in whole (2-D when B > 1); per-channel
+            # inputs offset the gathers inside the group
             gs, audio, info = g.step(state["groups"][name], params[name],
-                                     Fg, blk_g, jobnum)
+                                     F, blk_g, jobnum)
             new_groups[name] = gs
             outputs[name] = {"audio": audio, "info": info}
         # front-end metrics (frontend->if_power smoothing, rx888.c contract)
