@@ -154,13 +154,24 @@ class Radiod:
         self._use_matmul = use_matmul
         self._n_inputs = int(getattr(cfg, "n_inputs", 1))
         self._noise_every = int(cfg.options.get("noise-every", 4))
-        # [global] time-shards = yes (with mesh = yes): process D = mesh
-        # size consecutive blocks per dispatch (Engine.step_time, SURVEY
-        # §2.5 P5) instead of sharding one block's master transform
+        # [global] time-shards: process D consecutive blocks per dispatch.
+        # With mesh = yes, D = mesh size and blocks run one-per-device
+        # (Engine.step_time, SURVEY §2.5 P5). WITHOUT a mesh, D blocks
+        # scan inside ONE compiled dispatch on the single device — same
+        # outputs, but the host<->device round trip amortizes D-fold
+        # (essential for realtime pacing over high-RTT links like the
+        # axon tunnel, where per-block dispatch costs ~30 ms; local PCIe
+        # hosts don't need it). `yes` = mesh size (or 8); a number = D.
         self._time_shards = 0
-        if self._mesh is not None and str(cfg.options.get("time-shards", "n")).lower() in (
-                "y", "yes", "true", "1", "on"):
-            self._time_shards = int(self._mesh.devices.size)
+        ts_opt = str(cfg.options.get("time-shards", "n")).lower()
+        if ts_opt not in ("n", "no", "false", "0", "off", ""):
+            if self._mesh is not None:
+                self._time_shards = int(self._mesh.devices.size)
+            else:
+                self._time_shards = int(ts_opt) if ts_opt.isdigit() else 8
+            if self._n_inputs > 1:
+                raise ValueError("time-shards with multiple hardware "
+                                 "sections is not supported yet")
         self.engine = Engine(
             samprate=cfg.samprate, real=cfg.real, groups=cfg.groups,
             blocktime=cfg.blocktime, overlap=cfg.overlap,
@@ -171,19 +182,18 @@ class Radiod:
             fft_precision=str(cfg.options.get("fft-precision", "high")).lower(),
             n_inputs=self._n_inputs,
             noise_every=self._noise_every,
-            time_shards=self._time_shards,
+            time_shards=self._time_shards if self._mesh is not None else 0,
         )
         # initial state built INSIDE jit: remote-TPU tunnels (axon) are
         # unreliable for eager device ops; compiled programs are the solid path
         self.state = jax.jit(self.engine.init_state)()
-        if self._time_shards:
+        if self._time_shards and self._mesh is not None:
             from ..parallel import shard_engine_tree
 
             # replicate the state over the mesh up front so the first and
             # second dispatches share one compiled program
             self.state = shard_engine_tree(self.engine, self._mesh, self.state)
-        self.step = jax.jit(self.engine.step_time if self._time_shards
-                            else self.engine.step, donate_argnums=0)
+        self.step = self._mk_step(self.engine)
         self.params = self.engine.init_params()
         self.source_state = None
         self.frontend = None
@@ -363,6 +373,26 @@ class Radiod:
         # creates channels in ms, radio_status.c:92-105)
         for pname in str(cfg.options.get("prealloc", "")).split():
             self._prealloc(pname.lower())
+
+    def _mk_step(self, eng) -> Any:
+        """The jitted per-dispatch function for the configured mode:
+        plain step, mesh step_time, or (no mesh) a lax.scan of D blocks
+        inside one dispatch — identical outputs to D step() calls, with
+        the host round trip amortized D-fold."""
+        if self._time_shards and self._mesh is not None:
+            return jax.jit(eng.step_time, donate_argnums=0)
+        if self._time_shards:
+            D = self._time_shards
+
+            def step_many(state, prms, blocks):
+                def body(st, blk):
+                    st, out = eng.step(st, prms, blk)
+                    return st, out
+
+                return jax.lax.scan(body, state, blocks)  # outs: [D, ...]
+
+            return jax.jit(step_many, donate_argnums=0)
+        return jax.jit(eng.step, donate_argnums=0)
 
     def _init_multi_sources(self, cfg):
         """Per-input feeders for a multi-front-end engine. All-sig_gen
@@ -913,9 +943,9 @@ class Radiod:
                          fft_precision=str(self.cfg.options.get("fft-precision", "high")).lower(),
                          n_inputs=self._n_inputs,
                          noise_every=self._noise_every,
-                         time_shards=self._time_shards)
+                         time_shards=self._time_shards if self._mesh is not None else 0)
         new_init = jax.jit(new_eng.init_state)()
-        if self._time_shards:
+        if self._time_shards and self._mesh is not None:
             from ..parallel import shard_engine_tree
 
             new_init = shard_engine_tree(new_eng, self._mesh, new_init)
@@ -925,8 +955,7 @@ class Radiod:
         self.state = new_state
         self.params = new_params
         self.engine = new_eng
-        self.step = jax.jit(new_eng.step_time if self._time_shards
-                            else new_eng.step, donate_argnums=0)
+        self.step = self._mk_step(new_eng)
         self._engine_epoch += 1  # void any in-flight background restock
         self._group_dests.clear()
         if self.edges:
@@ -944,7 +973,7 @@ class Radiod:
             fft=str(self.cfg.options.get("fft", "auto")).lower(),
             fft_precision=str(self.cfg.options.get("fft-precision", "high")).lower(),
             n_inputs=self._n_inputs, noise_every=self._noise_every,
-            time_shards=self._time_shards)
+            time_shards=self._time_shards if self._mesh is not None else 0)
 
     def _schedule_restock(self, gname: str):
         """Adaptive pool restock OFF the command path: the reference
@@ -975,12 +1004,11 @@ class Radiod:
         def work():
             try:
                 new_eng = Engine(groups=specs, **kwargs)
-                step = jax.jit(new_eng.step_time if self._time_shards
-                               else new_eng.step, donate_argnums=0)
+                step = self._mk_step(new_eng)
                 # full compile now: one throwaway dispatch on zeros (the
                 # donated state is scratch; the REAL state migrates at swap)
                 st = jax.jit(new_eng.init_state)()
-                if self._time_shards:
+                if self._time_shards and self._mesh is not None:
                     from ..parallel import shard_engine_tree
 
                     st = shard_engine_tree(new_eng, self._mesh, st)

@@ -8,13 +8,16 @@ bench.py):
   wide     — the wideband spectrum accumulate alone
   full     — the complete Engine.step
 
-Measured on v5e (round 2, after the bisection noise quantile):
-  master 0.47, chan-master ~0.10, noise-master ~0.21, full 1.00 ms/block
-  (= ~2,590 Msps sustained). Rejected experiments, measured same setup:
-  fused two-order-stat bisection scan 0.685 vs 0.675 (the count pass is
-  gather-bound either way); packed even/odd half-length rfft cascade
-  0.469 + 0.113 unpack vs 0.494 full-length (out_bins halving + f32
-  first stage already capture the real-input saving).
+Measured on v5e (round 3, after the lax.cond noise cadence):
+  master 0.486, chan-master ~0.09, noise-master 0.196 every-block /
+  0.055 at cadence 4, full ~0.89 ms/block (= 2,911 Msps sustained).
+  Rejected experiments, measured same setup (scratch_noise.py):
+  complex-tile noise gather (square after gather) 0.207 vs 0.196;
+  16-step truncated-key bisection saves only 0.023 (the stage is
+  gather-bound, not compare-bound); round-2 rejects: fused two-order-
+  stat bisection scan 0.685 vs 0.675; packed even/odd half-length rfft
+  cascade 0.469 + 0.113 unpack vs 0.494 full-length (out_bins halving +
+  f32 first stage already capture the real-input saving).
 
 Prints one JSON line per stage. NOT part of the test suite; a scratch
 tool for perf work (run in a background shell, tunnel is flaky/slow).

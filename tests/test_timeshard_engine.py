@@ -162,3 +162,52 @@ def test_time_shards_validation():
         Engine(samprate=FS, real=False, groups=_groups(), mesh=mesh, time_shards=8)
     with pytest.raises(ValueError, match="mesh"):
         Engine(samprate=FS, real=False, groups=_groups(), time_shards=8)
+
+
+def test_radiod_dispatch_batching_without_mesh():
+    """time-shards WITHOUT a mesh: D blocks scan inside one dispatch on a
+    single device — same audio as a plain daemon, D blocks per step_block
+    (amortizes host<->device RTT for realtime pacing over remote links)."""
+    from ka9q_radio_tpu.config.loader import load_config
+    from ka9q_radio_tpu.runtime.radiod import Radiod
+
+    base = """
+[global]
+hardware = gen
+{opts}status = 127.0.0.1
+data = 127.0.0.1
+update = 1
+
+[gen]
+device = sig_gen
+samprate = 1m024
+complex = yes
+carrier = 100k
+amplitude = -20
+noise = -80
+
+[am]
+demod = am
+samprate = 16k
+low = -5k
+high = 5k
+freq = 100k
+"""
+    rd_b = Radiod(load_config(base.format(opts="time-shards = 4\n")),
+                  use_network=False)
+    rd_p = Radiod(load_config(base.format(opts="")), use_network=False)
+    assert rd_b._time_shards == 4 and rd_b._mesh is None
+    out_b = [rd_b.step_block() for _ in range(3)]   # 12 blocks
+    out_p = [rd_p.step_block() for _ in range(12)]
+    assert rd_b.blocks == rd_p.blocks == 12
+    np.testing.assert_allclose(
+        np.asarray(out_b[-1]["am"]["audio"]), np.asarray(out_p[-1]["am"]["audio"]),
+        rtol=2e-4, atol=3e-5)
+    # commands stay recompile-free through the scan wrapper
+    n = rd_b.step._cache_size()
+    from ka9q_radio_tpu.net.status import StatusType as T, encode_status
+
+    rd_b.handle_packet(encode_status(
+        {T.OUTPUT_SSRC: 100, T.RADIO_FREQUENCY: 120_000.0}, cmd=True))
+    rd_b.step_block()
+    assert rd_b.step._cache_size() == n

@@ -128,7 +128,12 @@ def test_tpu_realtime_soak(tmp_path):
     import re
 
     conf = tmp_path / "soak.conf"
-    conf.write_text(CONF)
+    # dispatch batching: over the axon tunnel a per-block dispatch costs a
+    # ~30 ms round trip (the earlier soak measured p50 31.6 ms with ZERO
+    # device backlog); time-shards scans 16 blocks per dispatch so pacing
+    # reflects device throughput. Local-PCIe deployments don't need it.
+    conf.write_text(CONF + "\n")
+    conf.write_text(CONF.replace("[global]", "[global]\ntime-shards = 16"))
     log_path = tmp_path / "radiod.log"
     log = open(log_path, "wb")
     # 7500 paced blocks = 150 s of stream time after the first compiles
