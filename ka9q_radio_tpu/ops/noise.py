@@ -98,6 +98,14 @@ def gather_noise_bins(F, shifts, nbins: int, real_master: bool, master_N: int,
     return Ef[jnp.mod(lo + k, m_bins) + off * m_bins]
 
 
+# rows per bisection chunk: keys [CHUNK, 1024] i32 = 8 MB stay VMEM-
+# resident across all 31 count passes. Without chunking, a 32k-channel
+# group's [C, 1024] keys re-read ~130 MB from HBM per pass (62 passes =
+# ~8 GB/estimate, measured ~14 ms/block on v5e — THE channel-count
+# scaling cliff past ~16k channels).
+_EST_CHUNK = 2048
+
+
 def estimate_noise(energies, master_bins: int, samprate: float):
     """N0 (power spectral density per Hz) per channel from bin energies.
 
@@ -109,6 +117,16 @@ def estimate_noise(energies, master_bins: int, samprate: float):
 
     Returns [C] float32 N0 estimates.
     """
+    C = energies.shape[0] if energies.ndim > 1 else None
+    if C is not None and C > _EST_CHUNK:
+        # big groups: sequential VMEM-sized chunks (values identical —
+        # each row's statistic only reads that row)
+        pad = (-C) % _EST_CHUNK
+        e = jnp.pad(energies, ((0, pad), (0, 0)))
+        e = e.reshape(-1, _EST_CHUNK, energies.shape[-1])
+        out = jax.lax.map(
+            lambda ch: estimate_noise(ch, master_bins, samprate), e)
+        return out.reshape(-1)[:C]
     nbins = energies.shape[-1]
     # linear-interpolated NQ quantile (radio.c quantile()) from order
     # statistics i and i+1 only, each found exactly by binary search on

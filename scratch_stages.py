@@ -36,42 +36,42 @@ def _mkblocks():
     return jax.random.normal(key, shape, jnp.float32) * 1e-3
 
 
-def chan_bb(st, F):
+def chan_bb(st, F, params):
     p = params["hf"]
     bb = g._channelize(p, F)
     bb, acc = fine_tune(bb, st["acc"], p["inc_q32"], p["adj_q32"])
     return bb, acc
 
 
-def stage_master(st, blk):
+def stage_master(st, blk, prms):
     mst, F = master_fft(m, st["m"], blk)
-    return {"m": mst, "acc": st["acc"]}, jnp.sum(jnp.abs(F[..., :64]))
+    return {**st, "m": mst}, jnp.sum(jnp.abs(F[..., :64]))
 
 
-def stage_chan(st, blk):
+def stage_chan(st, blk, prms):
     mst, F = master_fft(m, st["m"], blk)
-    bb, acc = chan_bb(st, F)
-    return {"m": mst, "acc": acc}, jnp.sum(bb.real)
+    bb, acc = chan_bb(st, F, prms)
+    return {**st, "m": mst, "acc": acc}, jnp.sum(bb.real)
 
 
-def stage_noise(st, blk):
+def stage_noise(st, blk, prms):
     mst, F = master_fft(m, st["m"], blk)
-    n0 = g._noise_est(params["hf"], F)
-    return {"m": mst, "acc": st["acc"]}, jnp.sum(n0)
+    n0 = g._noise_est(prms["hf"], F)
+    return {**st, "m": mst}, jnp.sum(n0)
 
 
-def stage_demod(st, blk):
+def stage_demod(st, blk, prms):
     mst, F = master_fft(m, st["m"], blk)
-    bb, acc = chan_bb(st, F)
+    bb, acc = chan_bb(st, F, prms)
     bbp = jnp.mean(bb.real * bb.real + bb.imag * bb.imag, axis=-1)
     dst, audio, info = linear_demod(
-        st["d"], bb, bbp, st["n0"], params["hf"]["demod"],
+        st["d"], bb, bbp, st["n0"], prms["hf"]["demod"],
         samprate=g.spec.samprate, blocktime=g.blocktime)
-    return {"m": mst, "acc": acc, "d": dst, "n0": st["n0"]}, jnp.sum(audio)
+    return {**st, "m": mst, "acc": acc, "d": dst}, jnp.sum(audio)
 
 
-def stage_full(st, blk):
-    st, out = eng.step(st, params, blk)
+def stage_full(st, blk, prms):
+    st, out = eng.step(st, prms, blk)
     acc = jnp.float32(0)
     for name, gg in out.items():
         if not name.startswith("_"):
@@ -84,10 +84,10 @@ STAGES = {"master": stage_master, "chan": stage_chan, "noise": stage_noise,
 
 
 def runner(body):
-    def run(state, blocks):
+    def run(state, prms, blocks):
         def body_fn(carry, blk):
             st, acc = carry
-            st, add = body(st, blk)
+            st, add = body(st, blk, prms)
             return (st, acc + add), None
 
         def rep(_, carry):
@@ -122,7 +122,7 @@ def main():
 
                 def span():
                     t0 = time.perf_counter()
-                    _st, acc = rn(st, blocks)
+                    _st, acc = rn(st, params, blocks)
                     float(acc)
                     return time.perf_counter() - t0
 
