@@ -222,10 +222,12 @@ class Session:
             if seconds >= L - 1.0:
                 return  # still in second L-1
             if seconds < 1.0:
-                # first datagram of second 0 starts the series
+                # first datagram of second 0 starts the series; clear any
+                # stale RTP baseline so the single process() call below
+                # re-baselines from this packet (gap 0, no spurious dupe)
                 self.sync_state = "active"
                 self._open_file(now_wall - (now_wall % L))
-                self.rtp.process(hdr, 0)  # baseline, no gap accounting yet
+                self.rtp.init = False
             else:
                 self.sync_state = "startup"  # missed the boundary: rearm
                 return
@@ -246,9 +248,10 @@ class Session:
             frames = frames[take:]
             if self.frames_written >= target:
                 self.close_file()
-                # resync if the sample clock drifted > 1 s from wall time
+                # resync if the sample clock drifted > ~2 s from wall time
+                # (wd-record.c:321,742 wd_tolerance)
                 next_epoch = self.opened_wall + L
-                if abs(now_wall - next_epoch) > 1.0 + L:
+                if abs(now_wall - next_epoch) > 2.0:
                     self.sync_state = "startup"
                     return
 

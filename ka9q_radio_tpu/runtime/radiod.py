@@ -1053,7 +1053,7 @@ class Radiod:
         gname, count = r["gname"], r["count"]
         try:
             new_init = jax.jit(new_eng.init_state)()
-            if self._time_shards:
+            if self._time_shards and self._mesh is not None:
                 from ..parallel import shard_engine_tree
 
                 new_init = shard_engine_tree(new_eng, self._mesh, new_init)

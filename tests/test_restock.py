@@ -82,3 +82,25 @@ def test_foreground_rebuild_voids_stale_restock():
     assert rd.engine is eng
     assert rd._engine_epoch == epoch
     rd.step_block()
+
+def test_restock_lands_in_timeshard_no_mesh_mode():
+    """time-shards WITHOUT a mesh (single-device D-block scan dispatch): the
+    background restock swap must still land — regression for a guard that
+    called shard_engine_tree with mesh=None and silently dropped every
+    swap (radiod.py _finish_restock)."""
+    conf = CONF.replace("dyn-slots = 2", "dyn-slots = 2\ntime-shards = 2")
+    rd = Radiod(load_config(conf), use_network=False)
+    assert rd._time_shards == 2 and rd._mesh is None
+    rd.handle_packet(encode_status(
+        {T.OUTPUT_SSRC: 7001, T.RADIO_FREQUENCY: 50_000.0}, cmd=True))
+    rd.handle_packet(encode_status(
+        {T.OUTPUT_SSRC: 7002, T.RADIO_FREQUENCY: 51_000.0}, cmd=True))
+    assert rd._restock is not None
+    gname = next(c.group for c in rd.chans.values() if c.dynamic)
+    c_before = rd.engine.groups[gname].C
+    rd._finish_restock(wait=True)
+    assert rd._restock is None
+    # the swap landed: the pool actually grew
+    assert rd.engine.groups[gname].C > c_before
+    out = rd.step_block()
+    assert np.all(np.isfinite(np.asarray(out[gname]["audio"])))
