@@ -32,6 +32,7 @@ plane's no-recompile property (CLAUDE.md invariant) holds under the mesh.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 
 import numpy as np
@@ -89,6 +90,24 @@ class DigitMaster:
     def D(self) -> int:
         return self.mesh.shape[self.axis]
 
+    @functools.cached_property
+    def _tw_table(self) -> np.ndarray:
+        """[n1, n2] four-step twiddle W_N^{k1*b}, host-built with EXACT
+        int64 phase (mod N) — the same precomputed-constant discipline as
+        the dense cascade's _twiddle_c64. Replaces the former per-block
+        on-device `jnp.exp` of n1*n2 angles (3.24M transcendentals per
+        block at the flagship — measured 0.30 ms of the 0.5 ms/block
+        mesh-of-1 overhead). Sharded P(None, axis) into the shard_map, so
+        each device holds only its n1 x n2/D column slice."""
+        k1 = np.arange(self.n1, dtype=np.int64)[:, None]
+        b = np.arange(self.n2, dtype=np.int64)[None, :]
+        return np.exp((-2j * np.pi / self.N) * ((k1 * b) % self.N)).astype(np.complex64)
+
+    def _tw_sharded(self):
+        return jax.lax.with_sharding_constraint(
+            jnp.asarray(self._tw_table),
+            NamedSharding(self.mesh, P(None, self.axis)))
+
     @property
     def rows(self) -> int:
         return self.n1 // self.D
@@ -109,10 +128,11 @@ class DigitMaster:
         cols = n2 // self.D
         kept = self.n2_kept
 
-        def body(xs):
+        def body(xs, tw):
             # xs: [n1/D, n2] contiguous time rows of A[a, b] = x[a*n2 + b].
             # X[k1 + n1*k2] = FFT_{n2,b}( W_N^{b*k1} * FFT_{n1,a}(A)[k1, b] )
-            i = jax.lax.axis_index(ax)
+            # tw: [n1, cols] this device's slice of the exact host twiddle
+            # table W_N^{k1*b} (_tw_table)
             At = jax.lax.all_to_all(xs, ax, split_axis=1, concat_axis=0, tiled=True)  # [n1, cols]
             if self.mxu1 is not None:
                 A1 = jnp.swapaxes(
@@ -120,20 +140,7 @@ class DigitMaster:
                                   precision=self.precision), -1, -2)
             else:
                 A1 = jnp.fft.fft(At, axis=0)
-            # twiddle W_N^{k1*b}: the residue (k1*b) mod N is computed with
-            # EXACT int32 arithmetic (each partial product < N < 2^31), so
-            # there is no N < 2^24 f32-product plan bound; converting the
-            # residue to f32 bounds the angle error at 2pi*2^-24 (-127 dB),
-            # below the cascade's own bf16x3 floor.
-            k1 = jnp.arange(n1, dtype=jnp.int32)[:, None]
-            j = jnp.arange(cols, dtype=jnp.int32)[None, :]
-            b0 = (i * cols).astype(jnp.int32)
-            t1 = (k1 * b0) % np.int32(N)  # k1*b0 < n1*n2 = N
-            t2 = (k1 * j) % np.int32(N)   # k1*j  < n1*cols = N/D
-            phase = t1 - (np.int32(N) - t2)  # in (-N, N): overflow-free sum mod N
-            phase = jnp.where(phase < 0, phase + np.int32(N), phase)
-            tw = jnp.exp(np.complex64(-2j * np.pi / N) * phase.astype(jnp.float32))
-            A1 = A1 * tw.astype(jnp.complex64)
+            A1 = A1 * tw
             Bt = jax.lax.all_to_all(A1, ax, split_axis=0, concat_axis=1, tiled=True)  # [rows, n2]
             if self.mxu2 is not None:
                 C = split_fft_mxu(Bt, self.mxu2,
@@ -142,9 +149,9 @@ class DigitMaster:
                 return C[..., :kept]
             return jnp.fft.fft(Bt, axis=1)[..., :kept]  # C[k1_local, k2]
 
-        fn = shard_map(body, mesh=self.mesh, in_specs=P(ax, None),
+        fn = shard_map(body, mesh=self.mesh, in_specs=(P(ax, None), P(None, ax)),
                        out_specs=P(ax, None), check_vma=False)
-        return fn(x.reshape(n1, n2)).astype(jnp.complex64)
+        return fn(x.reshape(n1, n2), self._tw_sharded()).astype(jnp.complex64)
 
     @property
     def kept_pad(self) -> int:
@@ -182,8 +189,7 @@ class DigitMaster:
         cols = n2 // D
         kp = self.kept_pad
 
-        def body(xs):
-            i = jax.lax.axis_index(ax)
+        def body(xs, tw):
             At = jax.lax.all_to_all(xs, ax, split_axis=1, concat_axis=0, tiled=True)  # [n1, cols]
             if self.mxu1 is not None:
                 A1 = jnp.swapaxes(
@@ -191,15 +197,7 @@ class DigitMaster:
                                   precision=self.precision), -1, -2)
             else:
                 A1 = jnp.fft.fft(At.astype(jnp.complex64), axis=0)
-            k1 = jnp.arange(n1, dtype=jnp.int32)[:, None]
-            j = jnp.arange(cols, dtype=jnp.int32)[None, :]
-            b0 = (i * cols).astype(jnp.int32)
-            t1 = (k1 * b0) % np.int32(N)
-            t2 = (k1 * j) % np.int32(N)
-            phase = t1 - (np.int32(N) - t2)
-            phase = jnp.where(phase < 0, phase + np.int32(N), phase)
-            tw = jnp.exp(np.complex64(-2j * np.pi / N) * phase.astype(jnp.float32))
-            A1 = A1 * tw.astype(jnp.complex64)
+            A1 = A1 * tw  # exact host table slice (_tw_table), not per-block exps
             Bt = jax.lax.all_to_all(A1, ax, split_axis=0, concat_axis=1, tiled=True)  # [rows, n2]
             if self.mxu2 is not None:
                 C = split_fft_mxu(Bt, self.mxu2, kp if kp < n2 else None,
@@ -213,9 +211,9 @@ class DigitMaster:
             Ct = jax.lax.all_to_all(C, ax, split_axis=1, concat_axis=0, tiled=True)  # [n1, kp/D]
             return Ct.T.reshape(-1)  # bins k = k1 + n1*k2, k2-major
 
-        fn = shard_map(body, mesh=self.mesh, in_specs=P(ax, None),
+        fn = shard_map(body, mesh=self.mesh, in_specs=(P(ax, None), P(None, ax)),
                        out_specs=P(ax), check_vma=False)
-        return fn(x.reshape(n1, n2)).astype(jnp.complex64)
+        return fn(x.reshape(n1, n2), self._tw_sharded()).astype(jnp.complex64)
 
     # -- gathers -------------------------------------------------------------
     def take(self, Zd, idx, scatter: bool = True):

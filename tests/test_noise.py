@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import pytest
 
 from ka9q_radio_tpu.ops.filterbank import MasterConfig, master_init, master_fft, compute_tuning
-from ka9q_radio_tpu.ops.noise import gather_noise_bins, estimate_noise, noise_correction
+from ka9q_radio_tpu.ops.noise import NQ, N_CUTOFF, gather_noise_bins, estimate_noise, noise_correction
 
 FS = 240_000
 
@@ -90,3 +90,83 @@ def test_quantile_selection_matches_full_sort():
         a = np.asarray(estimate_noise(jnp.asarray(e), 1_620_001, 129.6e6))
         b = np.asarray(sort_reference(jnp.asarray(e), 1_620_001, 129.6e6))
         np.testing.assert_array_equal(a, b)
+
+
+def test_chunked_equals_unchunked_bitexact(monkeypatch):
+    """The VMEM-chunked path (C > _EST_CHUNK: sequential lax.map over row
+    chunks) adds NOTHING numerically: each row's order statistics are found
+    by integer bisection (exact, order-independent), so the only tolerance
+    is the truncated-mean row SUM, whose accumulation order XLA tiles by
+    program shape — bounded here at 1 ulp, across four C (pad and
+    exact-multiple cases). The pad rows (all-zero) must not leak into any
+    real row."""
+    import ka9q_radio_tpu.ops.noise as noise_mod
+
+    rng = np.random.default_rng(11)
+    CH = 2048
+    for C in (2049, 3000, 4096, 5000):  # exact multiple + pad cases
+        e = jnp.asarray(rng.exponential(1e-7, (C, 1024)).astype(np.float32))
+        monkeypatch.setattr(noise_mod, "_EST_CHUNK", 1 << 30)
+        plain = np.asarray(estimate_noise(e, 1_620_001, 129.6e6))
+        monkeypatch.setattr(noise_mod, "_EST_CHUNK", CH)
+        chunked = np.asarray(estimate_noise(e, 1_620_001, 129.6e6))
+        assert chunked.shape == (C,)
+        # 1-ulp equality with the single-shot program (row sums only)
+        np.testing.assert_allclose(chunked, plain, rtol=1.5e-7)
+        # the SELECTED quantile thresholds are exact: verify the bins kept
+        # per row agree with a float32 numpy sort reference exactly
+        en = np.asarray(e)
+        srt = np.sort(en, axis=-1)
+        pos = NQ * (en.shape[-1] - 1)
+        i, frac = int(np.floor(pos)), np.float32(pos - int(np.floor(pos)))
+        q = (srt[:, i] * (np.float32(1) - frac) + srt[:, i + 1] * frac).astype(np.float32)
+        mask = en <= (np.float32(N_CUTOFF) * q)[:, None]
+        cnt = np.maximum(mask.sum(-1), 1)
+        want = (mask * en.astype(np.float64)).sum(-1) / cnt * noise_correction() / (1_620_001 * 129.6e6)
+        # f32 row-sum vs f64: a few ulps; a mis-selected quantile/mask
+        # would show as percent-level error, so 1e-6 still pins selection
+        np.testing.assert_allclose(chunked, want, rtol=1e-6)
+
+
+def test_radiod_group_beyond_chunk_size():
+    """Radiod end-to-end with a single >2048-channel group: exercises the
+    chunked estimator inside the real jitted step (the flagship bench's
+    hot path at 16k-200k channels runs exactly this code)."""
+    from ka9q_radio_tpu.config.loader import load_config
+    from ka9q_radio_tpu.runtime.radiod import Radiod
+
+    conf = """
+[global]
+hardware = gen
+status = 127.0.0.1
+data = 127.0.0.1
+mode = usb
+
+[gen]
+device = sig_gen
+samprate = 2m048
+complex = yes
+carrier = 300k
+amplitude = -20
+noise = -60
+
+[wall]
+demod = am
+samprate = 12k
+low = -5k
+high = 5k
+raster = -950k 949k 900.0
+"""
+    rd = Radiod(load_config(conf), use_network=False)
+    (gname, g), = rd.engine.groups.items()
+    assert g.C > 2048, g.C  # must cross the chunk boundary
+    for _ in range(3):
+        out = rd.step_block()
+    aud = np.asarray(out[gname]["audio"])
+    assert np.all(np.isfinite(aud))
+    n0 = np.asarray(out[gname]["info"]["n0"])
+    assert n0.shape[-1] == g.C and np.all(np.isfinite(n0)) and np.all(n0 > 0)
+    # N0 of the -60 dBFS/...-scaled gaussian noise: all channels see the
+    # same floor -> the spread across channels should be tight
+    med = np.median(n0)
+    assert np.all(np.abs(10 * np.log10(n0 / med)) < 3.0)
