@@ -163,7 +163,7 @@ class DigitMaster:
         """Length of fft_natural's output (>= m_bins; pad bins at the end)."""
         return self.n1 * self.kept_pad
 
-    def fft_natural(self, x):
+    def fft_natural(self, x, cols_in: bool = False):
         """Six-step FFT: fft() plus the FINAL corner turn, returning the
         NATURAL-ORDER spectrum as one global [n1*kept_pad] array sharded
         contiguously over `axis` (device d owns bins [d*nat/D, (d+1)*nat/D)).
@@ -181,6 +181,14 @@ class DigitMaster:
         x may stay float32 for real masters: the first corner turn then
         moves half the bytes and the MXU first stage runs as two real
         matmuls — the dense master's real-input saving.
+
+        cols_in=True: x is ALREADY the [n1, n2] sample matrix sharded over
+        its COLUMN axis (P(None, axis), x[a, b] = time sample a*n2 + b) —
+        the first corner turn is skipped entirely. The engine carries its
+        master tail in this layout when n2 divides both L and N-L (block
+        advance = whole rows), so the per-block transform pays only TWO
+        all-to-alls; mesh-of-1 ablation measured the three turns at 0.29
+        ms/block of pure data movement on the flagship.
         """
         from ..ops.filterbank import split_fft_mxu
 
@@ -190,7 +198,10 @@ class DigitMaster:
         kp = self.kept_pad
 
         def body(xs, tw):
-            At = jax.lax.all_to_all(xs, ax, split_axis=1, concat_axis=0, tiled=True)  # [n1, cols]
+            if cols_in:
+                At = xs  # already [n1, cols] on each device
+            else:
+                At = jax.lax.all_to_all(xs, ax, split_axis=1, concat_axis=0, tiled=True)  # [n1, cols]
             if self.mxu1 is not None:
                 A1 = jnp.swapaxes(
                     split_fft_mxu(jnp.swapaxes(At, -1, -2), self.mxu1,
@@ -206,12 +217,17 @@ class DigitMaster:
                 C = jnp.fft.fft(Bt, axis=1)
                 C = (jnp.pad(C, ((0, 0), (0, kp - n2))) if kp > n2
                      else C[..., :kp])
-            # FINAL corner turn (the six-step's third): shard k2, own all
-            # k1 -> k2-major local transpose flattens to natural order
-            Ct = jax.lax.all_to_all(C, ax, split_axis=1, concat_axis=0, tiled=True)  # [n1, kp/D]
-            return Ct.T.reshape(-1)  # bins k = k1 + n1*k2, k2-major
+            # FINAL corner turn (the six-step's third): transpose FIRST
+            # (XLA folds the swap into the last cascade matmul's output
+            # layout — measured free in the casc1_nt ablation), then shard
+            # k2 and own all k1: local row-major flatten IS natural order
+            # (k = k1 + n1*k2).
+            Ct = jax.lax.all_to_all(jnp.swapaxes(C, -1, -2), ax,
+                                    split_axis=0, concat_axis=1, tiled=True)  # [kp/D, n1]
+            return Ct.reshape(-1)
 
-        fn = shard_map(body, mesh=self.mesh, in_specs=(P(ax, None), P(None, ax)),
+        in0 = P(None, ax) if cols_in else P(ax, None)
+        fn = shard_map(body, mesh=self.mesh, in_specs=(in0, P(None, ax)),
                        out_specs=P(ax), check_vma=False)
         return fn(x.reshape(n1, n2), self._tw_sharded()).astype(jnp.complex64)
 

@@ -53,11 +53,16 @@ def engine_sharding_tree(engine, mesh: Mesh, tree):
                      if g.C % mesh.devices.size == 0})
     chan = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
+    digit_cols = bool(getattr(engine, "digit_cols", False))
 
     def pick(path, leaf):
-        gname = next((k.key for k in path
-                      if isinstance(k, jtu.DictKey) and k.key in group_C), None)
+        keys = [k.key for k in path if isinstance(k, jtu.DictKey)]
         shape = getattr(leaf, "shape", ())
+        if digit_cols and keys[-2:] == ["master", "tail"] and len(shape) >= 2:
+            # column-layout master tail (engine.digit_cols): whole sample
+            # rows, sharded over the transform's column axis
+            return NamedSharding(mesh, P(*([None] * (len(shape) - 1)), axis))
+        gname = next((k for k in keys if k in group_C), None)
         if gname is not None and len(shape) >= 1 and shape[0] == group_C[gname]:
             return chan
         return repl

@@ -838,6 +838,14 @@ class Engine:
                 mesh, shard_axis, self.master.N, real=self.master.real,
                 mxu=self.master.mxu is not None,
                 precision=self.master.fft_precision)
+        # column-sharded master tail: when the block advance L and the tail
+        # N-L are whole [*, n2] rows, the sample matrix is carried ALREADY
+        # in the four-step transform's column layout and the first corner
+        # turn disappears from the per-block path (fft_natural cols_in).
+        # Flagship: L = 1440 rows, tail = 360 rows of n2 = 1800.
+        self.digit_cols = (self.digit is not None
+                           and self.master.L % self.digit.n2 == 0
+                           and (self.master.N - self.master.L) % self.digit.n2 == 0)
         self.use_matmul = use_matmul
         self.noise_every = max(1, int(noise_every))
         names = [g.name for g in groups]
@@ -909,6 +917,11 @@ class Engine:
 
     def init_state(self):
         mst = master_init(self.master)
+        if self.digit_cols:
+            # column-layout tail: [(N-L)/n2, n2] whole rows of the sample
+            # matrix (sharded P(None, axis) by the mesh policy)
+            n2 = self.digit.n2
+            mst["tail"] = mst["tail"].reshape(-1, n2)
         if self.n_inputs > 1:
             mst["tail"] = jnp.zeros((self.n_inputs,) + mst["tail"].shape,
                                     mst["tail"].dtype)
@@ -989,20 +1002,41 @@ class Engine:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             m = self.master
-            x = jnp.concatenate([state["master"]["tail"], block], axis=-1)
-            mstate = {"tail": x[..., m.L:], "jobnum": jobnum + 1}
-            new_state = {"master": mstate}
-            Fs = []
-            for b in range(B):
-                xb = x[b] if B > 1 else x
-                # real A/D stays f32 into the distributed transform (the
-                # first stage runs as two real matmuls, half the bytes
-                # through the first corner turn)
-                xc = jax.lax.with_sharding_constraint(
-                    xb if m.real else xb.astype(jnp.complex64),
-                    NamedSharding(self.mesh, P(self.shard_axis)))
-                Fs.append(self.digit.fft_natural(xc)[: m.bins])
-            F = jnp.stack(Fs) if B > 1 else Fs[0]
+            if self.digit_cols:
+                # tail carried as whole [*, n2] rows in the transform's
+                # COLUMN layout: concat is a row append, the first corner
+                # turn is skipped (fft_natural cols_in=True), and the new
+                # tail is a row slice that keeps the column sharding
+                n2 = self.digit.n2
+                colspec = NamedSharding(self.mesh, P(None, self.shard_axis))
+                blk2 = block.reshape(block.shape[:-1] + (m.L // n2, n2))
+                if B == 1:
+                    blk2 = jax.lax.with_sharding_constraint(blk2, colspec)
+                x = jnp.concatenate([state["master"]["tail"], blk2], axis=-2)
+                mstate = {"tail": x[..., m.L // n2:, :], "jobnum": jobnum + 1}
+                new_state = {"master": mstate}
+                Fs = []
+                for b in range(B):
+                    xb = x[b] if B > 1 else x
+                    xc = jax.lax.with_sharding_constraint(
+                        xb if m.real else xb.astype(jnp.complex64), colspec)
+                    Fs.append(self.digit.fft_natural(xc, cols_in=True)[: m.bins])
+                F = jnp.stack(Fs) if B > 1 else Fs[0]
+            else:
+                x = jnp.concatenate([state["master"]["tail"], block], axis=-1)
+                mstate = {"tail": x[..., m.L:], "jobnum": jobnum + 1}
+                new_state = {"master": mstate}
+                Fs = []
+                for b in range(B):
+                    xb = x[b] if B > 1 else x
+                    # real A/D stays f32 into the distributed transform (the
+                    # first stage runs as two real matmuls, half the bytes
+                    # through the first corner turn)
+                    xc = jax.lax.with_sharding_constraint(
+                        xb if m.real else xb.astype(jnp.complex64),
+                        NamedSharding(self.mesh, P(self.shard_axis)))
+                    Fs.append(self.digit.fft_natural(xc)[: m.bins])
+                F = jnp.stack(Fs) if B > 1 else Fs[0]
         else:
             mstate, F = master_fft(self.master, state["master"], block)
             new_state = {"master": mstate}

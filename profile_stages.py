@@ -117,9 +117,92 @@ STAGES = {
 }
 
 
+def mesh_stages():
+    """--mesh: ablate the SHARDED engine (mesh over all local devices; a
+    mesh of 1 isolates the distributed master's overhead vs the dense path
+    with zero actual ICI traffic).  Stages:
+      m_digit  — DigitMaster.fft (two corner turns, digit order)
+      m_fft    — fft_natural (+ the third corner turn + [:bins] slice)
+      m_chan   — m_fft + hf tiled channelizer + fine tune
+      m_noise  — m_fft + noise gather/estimate
+      m_full   — complete sharded Engine.step
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ka9q_radio_tpu.parallel import make_mesh
+    from ka9q_radio_tpu.runtime.engine import Engine as _E
+
+    mesh = make_mesh()
+    engm = _E(samprate=eng.samprate, real=eng.master.real, groups=eng.specs,
+              blocktime=eng.blocktime, mesh=mesh)
+    m = engm.master
+    hfm = engm.groups["hf"]
+    spec_in = NamedSharding(mesh, P(engm.shard_axis))
+
+    def nat_fft(st, blk):
+        x = jnp.concatenate([st["tail"], blk], axis=-1)
+        xc = jax.lax.with_sharding_constraint(x, spec_in)
+        F = engm.digit.fft_natural(xc)[: m.bins]
+        return {"tail": x[m.L:], "jobnum": st["jobnum"] + 1}, F
+
+    def stage_m_digit(st, params, blk):
+        x = jnp.concatenate([st["tail"], blk], axis=-1)
+        xc = jax.lax.with_sharding_constraint(x, spec_in)
+        Zd = engm.digit.fft(xc if not m.real else xc.astype(jnp.complex64))
+        return ({"tail": x[m.L:], "jobnum": st["jobnum"] + 1},
+                jnp.sum(jnp.abs(Zd[:8, :8])))
+
+    def stage_m_fft(st, params, blk):
+        st, F = nat_fft(st, blk)
+        return st, jnp.sum(jnp.abs(F[:64]))
+
+    def stage_m_chan(st, params, blk):
+        mst, F = nat_fft(st["master"], blk)
+        p = params["hf"]
+        bb = tiled_channelize(F, p["resp_tiles"], p["tile_lo"], p["slope"],
+                              p["shifts"], hfm.tile_E, hfm.n_bins, hfm.olen,
+                              m.real, m.N)
+        bb, acc = fine_tune(bb, st["acc"], p["inc_q32"], p["adj_q32"])
+        return {"master": mst, "acc": acc}, jnp.sum(bb.real)
+
+    def stage_m_noise(st, params, blk):
+        mst, F = nat_fft(st, blk)
+        p = params["hf"]
+        energies = gather_noise_bins(F, p["shifts"], hfm.noise_bins, m.real, m.N)
+        n0 = estimate_noise(energies, m.bins, hfm.fs_in)
+        return mst, jnp.sum(n0)
+
+    def stage_m_full(st, params, blk):
+        st, out = engm.step(st, params, blk)
+        acc = jnp.float32(0)
+        for name, g in out.items():
+            if not name.startswith("_"):
+                acc = acc + jnp.sum(g["audio"])
+        return st, acc
+
+    def mst0():
+        s = jax.jit(engm.init_state)()["master"]
+        return s
+
+    stages = {
+        "m_digit": (stage_m_digit, mst0),
+        "m_fft": (stage_m_fft, mst0),
+        "m_chan": (stage_m_chan, lambda: {"master": mst0(),
+                                          "acc": jnp.zeros((hfm.C,), jnp.int32)}),
+        "m_noise": (stage_m_noise, mst0),
+        "m_full": (stage_m_full, lambda: jax.jit(engm.init_state)()),
+    }
+    return stages, engm.init_params()
+
+
 def main():
     import sys
-    names = sys.argv[1:] or list(STAGES)
+    global params
+    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--mesh" in sys.argv:
+        mst, params = mesh_stages()
+        STAGES.clear()
+        STAGES.update(mst)
+    names = names or list(STAGES)
     blocks = _mkblocks()
     for name in names:
         body, init = STAGES[name]
