@@ -468,6 +468,11 @@ class Radiod:
             spec = g.spec
             if spec.demod == "spectrum":
                 continue
+            if spec.demod == "wfm":
+                # WFM flips channel count + payload type per block on pilot
+                # loss (wfm.c:226-276); the fixed-shape edge can't. Station
+                # counts are small — the Python path handles them fine.
+                continue
             group_chans = [c for c in self.chans.values()
                            if c.group == gname and not c.rds
                            and (edge_opus or c.encoding not in (Encoding.OPUS, Encoding.OPUS_VOIP))
@@ -1935,6 +1940,21 @@ class Radiod:
                 audio = np.asarray(info["rds_baseband"][ch.idx]) if "rds_baseband" in info else np.zeros(0)
             else:
                 audio = np.asarray(gout["audio"][ch.idx])
+            if not ch.rds and "stereo" in info and audio.ndim == 2:
+                # WFM mono fallback switches the wire format per block:
+                # channel count follows pilot presence and the payload type
+                # is re-derived (wfm.c:226-276). Both model output columns
+                # carry the deemphasized mono in fallback; send one.
+                nch_now = 2 if bool(np.asarray(info["stereo"][ch.idx])) else 1
+                if nch_now != ch.channels:
+                    if ch.agg:  # flush queued blocks under the OLD format
+                        self._emit_rtp(ch, np.concatenate(ch.agg), send=True)
+                        ch.agg = []
+                    ch.channels = nch_now
+                    ch.pt = self.registry.pt_from_info(ch.samprate, nch_now,
+                                                       ch.encoding)
+                if nch_now == 1:
+                    audio = audio[:, 0]
             if audio.size:
                 agg_n = ch.maxdelay if ch.maxdelay is not None else self.agg_blocks
                 if agg_n > 0 and not ch.rds:

@@ -103,7 +103,14 @@ gcc $CFLAGS -c "$SRC/sig_gen.c" -o sig_gen_p.o
 gcc $CFLAGS -c "$SRC/gauss.c" -o gauss_p.o
 gcc -shared -o sig_gen.so sig_gen_p.o gauss_p.o -lm
 
-echo "built: $BUILD/radiod + $BUILD/sig_gen.so"
+# file-playback front end (ORIGINAL shim code, shims/file.c): plays a raw
+# float32 capture into radiod through the same plugin seam — lets the
+# golden captures exercise demods sig_gen can't drive (WFM stereo: its FM
+# modulation is unimplemented upstream, sig_gen.c:291)
+gcc $CFLAGS -c "$HERE/shims/file.c" -o file_p.o
+gcc -shared -o file.so file_p.o -lm
+
+echo "built: $BUILD/radiod + $BUILD/sig_gen.so + $BUILD/file.so"
 
 # LD_PRELOAD stub that keeps radiod off SCHED_FIFO (no RT runtime in this
 # container's cgroup -> FIFO threads starve); capture_golden.py preloads it

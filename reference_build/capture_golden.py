@@ -27,6 +27,7 @@ os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "reference_build"))
 BUILD = "/tmp/refbuild"
 GOLDEN_DIR = os.path.join(REPO, "tests", "golden")
 
@@ -84,6 +85,20 @@ freq = 50k0 60k0 70k0 80k0 90k0 110k0 120k0 130k0
     ),
 }
 
+# WFM stereo: the composite is synthesized offline (reference sig_gen can't
+# FM-modulate, sig_gen.c:291) and played through the file.so plugin front
+# end — see wfm_scene.py for the scene. Needs >= 7 s of capture to span the
+# stereo->mono pilot-gate transition at t=3 s in the 6 s looping file.
+import wfm_scene  # noqa: E402  (same directory)
+
+SCENARIOS["wfm"] = dict(
+    carrier=None,
+    conf=wfm_scene.CONF,
+    ssrcs=[wfm_scene.SSRC],
+    path_hook=wfm_scene.write_composite,
+    min_seconds=8.0,
+)
+
 KEEP_KEYS = [  # TLV keys captured per ssrc (engineering units, see status.h)
     "NOISE_DENSITY", "BASEBAND_POWER", "OUTPUT_LEVEL", "GAIN", "FM_SNR",
     "PLL_SNR", "OUTPUT_SAMPRATE", "LOW_EDGE", "HIGH_EDGE", "RADIO_FREQUENCY",
@@ -104,8 +119,13 @@ def capture(name: str, sc: dict, seconds: float):
 
     tag = f"gold-{name}-{os.getpid()}"
     stat, data = f"{tag}-st.local", f"{tag}-pcm.local"
-    conf = sc["conf"].format(stat=stat, data=data,
-                             siggen=SIGGEN.format(carrier=sc["carrier"]))
+    fmt = dict(stat=stat, data=data)
+    if sc.get("path_hook"):
+        fmt["path"] = sc["path_hook"](f"/tmp/{tag}.cf32")
+    else:
+        fmt["siggen"] = SIGGEN.format(carrier=sc["carrier"])
+    conf = sc["conf"].format(**fmt)
+    seconds = max(seconds, sc.get("min_seconds", 0.0))
     cfile = f"/tmp/{tag}.conf"
     with open(cfile, "w") as f:
         f.write(conf)
@@ -142,6 +162,9 @@ def capture(name: str, sc: dict, seconds: float):
                         continue
                     audio.setdefault(h.ssrc, []).append(payload)
                     pts[h.ssrc] = h.type
+                    # per-PT split: channels can change mid-stream (WFM
+                    # mono fallback switches the payload type, wfm.c:266)
+                    audio.setdefault((h.ssrc, h.type), []).append(payload)
                 else:
                     try:
                         ptype, fields, _ = decode_status(pkt)
@@ -170,6 +193,10 @@ def capture(name: str, sc: dict, seconds: float):
         raw = b"".join(audio.get(ssrc, []))
         out[f"audio_{ssrc}"] = np.frombuffer(raw, ">i2").astype(np.int16)
         out[f"pt_{ssrc}"] = np.int32(pts.get(ssrc, -1))
+        for key in audio:
+            if isinstance(key, tuple) and key[0] == ssrc:
+                raw = b"".join(audio[key])
+                out[f"audio_{ssrc}_pt{key[1]}"] = np.frombuffer(raw, ">i2").astype(np.int16)
     # status: keep the tail-half mean of each metric (settled values)
     stat_json = {}
     for ssrc, d in status.items():
@@ -183,9 +210,14 @@ def capture(name: str, sc: dict, seconds: float):
 
 
 def main():
-    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 6.0
+    args = sys.argv[1:]
+    names = [a for a in args if not a.replace(".", "").isdigit()]
+    secs = [float(a) for a in args if a.replace(".", "").isdigit()]
+    seconds = secs[0] if secs else 6.0
     build()
     for name, sc in SCENARIOS.items():
+        if names and name not in names:
+            continue
         capture(name, sc, seconds)
 
 

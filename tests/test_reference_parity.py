@@ -10,6 +10,8 @@ realizations — the two systems use different PRNGs by design).
 """
 import json
 import os
+import re
+import sys
 
 import numpy as np
 import pytest
@@ -90,6 +92,95 @@ def test_linear8_parity():
     # wire format identical: PT maps to 12 kHz mono s16be on both sides
     info = rd.registry.info_from_pt(int(z["pt_50"]))
     assert info == (12_000, 1, Encoding.S16BE)
+
+
+def _tone_amp_db(a, f0, fs=48_000):
+    """Amplitude (dBFS) of the tone at f0: hann-windowed cluster ENERGY
+    (±4 bins), which is independent of both segment length and where the
+    tone falls between bins (peak-bin readings scallop by up to 1.4 dB)."""
+    n = a.size
+    w = np.hanning(n)
+    X = np.fft.rfft(a * w)
+    f = np.fft.rfftfreq(n, 1 / fs)
+    k = int(np.argmin(np.abs(f - f0)))
+    e = float(np.sum(np.abs(X[k - 4 : k + 5]) ** 2))
+    amp = 2.0 * np.sqrt(e / (n * np.sum(w**2)))
+    return 20 * np.log10(amp + 1e-15)
+
+
+def _trim(a, frac=0.15):
+    n = int(a.shape[0] * frac)
+    return a[n : a.shape[0] - n]
+
+
+def test_wfm_parity(tmp_path):
+    """WFM stereo golden parity: the SAME deterministic composite file
+    (reference_build/wfm_scene.py) drives the reference radiod (captured in
+    ref_wfm.npz via the file.so plugin) and our radiod (device = file).
+    Holds the stereo matrix (wfm.c:237-258), the pilot-gated mono fallback
+    + per-block payload-type switch (wfm.c:226-276), and levels to the
+    0.1 dB BASELINE bound."""
+    z, gold, conf = _load("wfm")
+    sys.path.insert(0, os.path.join(os.path.dirname(GOLDEN), "..", "reference_build"))
+    import wfm_scene
+
+    path = wfm_scene.write_composite(str(tmp_path / "wfm.cf32"))
+    conf = re.sub(r"(?m)^path = .*$", f"path = {path}", conf)
+
+    rd = Radiod(load_config(conf), use_network=False)
+    for _ in range(400):  # 8 s — spans stereo [0,3) / mono [3,6) / stereo
+        rd.step_block()
+    runs: list[tuple[int, list]] = []  # contiguous same-PT packet runs
+    for kind, pkt in rd._sent:
+        if kind != "data":
+            continue
+        h, payload = RtpHeader.unpack(pkt)
+        assert h.ssrc == wfm_scene.SSRC
+        if not runs or runs[-1][0] != h.type:
+            runs.append((h.type, []))
+        runs[-1][1].append(decode_samples(payload, Encoding.S16BE))
+
+    pt_st = rd.registry.pt_from_info(48_000, 2, Encoding.S16BE)
+    pt_mo = rd.registry.pt_from_info(48_000, 1, Encoding.S16BE)
+    # same static payload-type numbers as the reference's PT_table
+    assert (pt_st, pt_mo) == (113, 112)
+    # pilot gating drove stereo -> mono -> stereo payload-type switches
+    assert [pt for pt, _ in runs] == [pt_st, pt_mo, pt_st], runs
+
+    # decode_samples already normalizes to [-1, 1]; compare the FIRST
+    # stereo run and the mono run (junction blocks stay at the run edges
+    # where _trim drops them)
+    ours_st = np.concatenate(runs[0][1]).astype(np.float64).reshape(-1, 2)
+    ours_mo = np.concatenate(runs[1][1]).astype(np.float64)
+    # stereo re-entry after the mono gap, ~2 s of it (mirrors ref pt77)
+    n_re = sum(x.size for x in runs[2][1])
+    assert n_re > 48_000 * 2  # frames*2ch: > 1 s of resumed stereo
+    # reference segments: 113 = first stereo, 77 = re-entry stereo (the
+    # reference re-allocates from its dynamic pool), 112 = mono
+    ref_st = z["audio_100100_pt113"].reshape(-1, 2).astype(np.float64) / 32767.0
+    ref_mo = z["audio_100100_pt112"].astype(np.float64) / 32767.0
+    assert z["audio_100100_pt77"].size > 0  # stereo resumed after mono
+
+    for chan, f0, f_other in ((0, 700.0, 1100.0), (1, 1100.0, 700.0)):
+        ref_a = _tone_amp_db(_trim(ref_st[:, chan]), f0)
+        our_a = _tone_amp_db(_trim(ours_st[:, chan]), f0)
+        assert abs(ref_a - our_a) < 0.1, (chan, ref_a, our_a)
+        # stereo separation: the other channel's tone suppressed > 30 dB
+        assert _tone_amp_db(_trim(ours_st[:, chan]), f_other) < our_a - 30
+        assert _tone_amp_db(_trim(ref_st[:, chan]), f_other) < ref_a - 30
+    # mono fallback: both tones at (L+R)/2 amplitude, level parity
+    for f0 in (700.0, 1100.0):
+        ref_a = _tone_amp_db(_trim(ref_mo), f0)
+        our_a = _tone_amp_db(_trim(ours_mo), f0)
+        assert abs(ref_a - our_a) < 0.1, (f0, ref_a, our_a)
+
+    g = gold[str(wfm_scene.SSRC)]
+    ch = rd.chans[wfm_scene.SSRC]
+    _, fields, _ = decode_status(rd.encode_channel_status(ch))
+    assert abs(float(fields[T.BASEBAND_POWER]) - g["BASEBAND_POWER"]) < 0.1
+    assert int(fields[T.OUTPUT_SAMPRATE]) == int(g["OUTPUT_SAMPRATE"]) == 48_000
+    assert int(fields[T.DEMOD_TYPE]) == int(g["DEMOD_TYPE"]) == 2
+    assert abs(float(fields[T.RADIO_FREQUENCY]) - g["RADIO_FREQUENCY"]) < 1e-3
 
 
 def test_nbfm_parity():
