@@ -150,6 +150,14 @@ def main() -> None:
 
     state = _init_state()
     params = eng.init_params()
+    if "--sweep-idle" in sys.argv:
+        # unpolled spectrum sweeps under the daemon's lazy poll gating
+        # (spectrum.c:161-186): armed=0 skips the whole sweep stage at run
+        # time via lax.cond — measures what idle sweeps cost (~nothing)
+        for gname in list(params):
+            if "armed" in params[gname]:
+                params[gname] = dict(params[gname])
+                params[gname]["armed"] = np.float32(0.0)
     # time K chained blocks per dispatch (lax.scan over DISTINCT random
     # blocks — no loop-invariant input for the compiler to exploit) so
     # host<->device round trips don't pollute the measurement; audio is
@@ -241,7 +249,10 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"{config}{'_matmul' if use_matmul else ''}{'_mesh' if use_mesh else ''}_input_rate",
+                "metric": (f"{config}{'_matmul' if use_matmul else ''}"
+                           f"{'_mesh' if use_mesh else ''}"
+                           f"{'_sweepidle' if '--sweep-idle' in sys.argv else ''}"
+                           "_input_rate"),
                 "value": round(msps, 3),
                 "unit": "Msps",
                 "vs_baseline": round(msps / baseline, 3),

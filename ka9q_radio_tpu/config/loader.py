@@ -173,7 +173,7 @@ _GROUP_KEYS = {
     "deemph-gain", "dc-cut", "shift", "beam", "a-amp", "a-phase", "b-amp", "b-phase",
     # spectrum
     "resolution-bw", "bin-count", "window-type", "spectrum-shape",
-    "fft-avg", "spectrum-overlap",
+    "fft-avg", "spectrum-overlap", "lazy", "idle-timeout",
 }
 
 
@@ -272,6 +272,10 @@ def _build_group(name: str, settings: dict[str, Any], freqs: list[tuple],
             kw["fft_avg"] = int(s["fft-avg"])
         if "spectrum-overlap" in s:
             kw["spectrum_overlap"] = float(s["spectrum-overlap"])
+        if "lazy" in s:
+            kw["spectrum_lazy"] = parse_bool(s["lazy"])
+        if "idle-timeout" in s:
+            kw["spectrum_idle_s"] = float(s["idle-timeout"])
     return GroupSpec(**kw)
 
 

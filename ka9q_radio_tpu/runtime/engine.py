@@ -181,6 +181,14 @@ class GroupSpec:
     fft_avg: int = 10
     spectrum_overlap: float = 0.0
     crossover: float = 200.0  # rbw above this -> wideband raw-A/D algorithm
+    # lazy poll gating (spectrum.c:161-186: bins only on response_needed):
+    # the daemon keeps the group disarmed until a poll/command touches one
+    # of its channels, then lets it decay idle-timeout seconds later.
+    # Delta vs the reference: it rings baseband continuously so the poll
+    # answer covers history; ours starts accumulating at arm time, so the
+    # first poll after idle pays ~fft_avg blocks of averaging latency.
+    spectrum_lazy: bool = True
+    spectrum_idle_s: float = 10.0
     # which front-end stream feeds this group (multi-front-end engines:
     # the reference needs one radiod+host per SDR, README.md:10-12; here
     # one chip serves several wideband inputs batched over the master's
@@ -433,6 +441,10 @@ class _Group:
             "snr_squelch_enable": bools(np.full(self.C, spec.snr_squelch)),
         }
         if spec.demod == "spectrum":
+            # poll-gating flag (spectrum.c:161-186): 1 = accumulate this
+            # block. Engine default is armed (always-on); the daemon's
+            # control plane disarms lazy groups and re-arms on poll.
+            p["armed"] = np.float32(1.0)
             p["demod"] = {}
             self.host = p
             self.pristine_demod = {}
@@ -617,7 +629,37 @@ class _Group:
         estimate every block)."""
         m = self.master
         sharded = not hasattr(F, "shape")  # DigitSpectrum handle
-        if self.spec.demod == "spectrum" and self.spectrum_wide:
+        if self.spec.demod == "spectrum" and not sharded and "armed" in params:
+            # poll-gated lazy compute (spectrum.c:161-186: bins are only
+            # produced when a response is needed): a disarmed sweep group
+            # costs ~nothing per block — lax.cond executes one branch at
+            # run time, and "armed" is a params scalar, so the control
+            # plane arms/disarms without recompiling. Sharded masters skip
+            # the gate (the channelize gathers are shard_map collectives,
+            # fragile inside a conditional — same rule as the N0 cadence).
+            nb = (self.spec.bin_count if self.spectrum_wide
+                  else self.spectrum_geo.bin_count)
+
+            def _idle(st):
+                info = {"bin_data": jnp.zeros((self.C, nb), jnp.float32),
+                        "baseband_power": jnp.zeros((self.C,), jnp.float32),
+                        "n0": (jnp.zeros((self.C,), jnp.float32)
+                               if self.spectrum_wide else st["dc"]["n0"])}
+                return st, jnp.zeros((self.C, 0), jnp.float32), info
+
+            return jax.lax.cond(
+                params["armed"] != 0,
+                lambda st: self._step_spectrum(st, params, F, block, jobnum),
+                _idle, state)
+        if self.spec.demod == "spectrum":
+            return self._step_spectrum(state, params, F, block, jobnum)
+        return self._step_main(state, params, F, block, jobnum)
+
+    def _step_spectrum(self, state, params, F, block, jobnum):
+        """The spectrum compute, both algorithms — identical to the
+        always-on path (the armed lazy gate wraps exactly this)."""
+        m = self.master
+        if self.spectrum_wide:
             demod_state, pwr = wide_accumulate(state["demod"], block, self.wide_geo)
             bins = wide_extract(pwr, params["shifts"], m.N, self.wide_geo, self.spec.bin_count)
             audio = jnp.zeros((self.C, 0), jnp.float32)
@@ -625,6 +667,12 @@ class _Group:
                     "baseband_power": jnp.sum(bins, axis=-1),
                     "n0": jnp.zeros((self.C,), jnp.float32)}
             return {"dc": state["dc"], "demod": demod_state}, audio, info
+        return self._step_main(state, params, F, block, jobnum)
+
+    def _step_main(self, state, params, F, block, jobnum):
+        """Channelize + N0 cadence + stateful demod tail (all non-wide
+        demod types, including narrowband spectrum accumulation)."""
+        sharded = not hasattr(F, "shape")  # DigitSpectrum handle
         bb = self._channelize(params, F)
 
         prev_n0 = state["dc"]["n0"]
@@ -733,19 +781,34 @@ class _Group:
             new_state, (audio, info) = jax.lax.scan(wbody, state, (F, blocks))
             return new_state, audio, info
 
-        bb = jax.vmap(lambda Fd: self._channelize(params, Fd))(F)
-        n0_est = jax.vmap(lambda Fd: self._noise_est(params, Fd))(F)
+        def _scan_main(st):
+            bb = jax.vmap(lambda Fd: self._channelize(params, Fd))(F)
+            n0_est = jax.vmap(lambda Fd: self._noise_est(params, Fd))(F)
 
-        def body(gs, xs):
-            bb_d, n0e_d, jn_d = xs
-            warm = gs["dc"]["warmup"] > 0
-            due = (jnp.bool_(True) if self.noise_every == 1
-                   else warm | (jn_d % self.noise_every == 0))
-            gs, audio, info = self._demod_tail(gs, params, bb_d, n0e_d, due)
-            return gs, (audio, info)
+            def body(gs, xs):
+                bb_d, n0e_d, jn_d = xs
+                warm = gs["dc"]["warmup"] > 0
+                due = (jnp.bool_(True) if self.noise_every == 1
+                       else warm | (jn_d % self.noise_every == 0))
+                gs, audio, info = self._demod_tail(gs, params, bb_d, n0e_d, due)
+                return gs, (audio, info)
 
-        new_state, (audio, info) = jax.lax.scan(body, state, (bb, n0_est, jobnums))
-        return new_state, audio, info
+            ns, (audio, info) = jax.lax.scan(body, st, (bb, n0_est, jobnums))
+            return ns, audio, info
+
+        if self.spec.demod == "spectrum" and "armed" in params:
+            # lazy poll gate at window granularity — value-identical to D
+            # gated step() calls (armed is constant across one dispatch)
+            nb = self.spectrum_geo.bin_count
+
+            def _idle(st):
+                info = {"bin_data": jnp.zeros((D, self.C, nb), jnp.float32),
+                        "baseband_power": jnp.zeros((D, self.C), jnp.float32),
+                        "n0": jnp.broadcast_to(st["dc"]["n0"], (D, self.C))}
+                return st, jnp.zeros((D, self.C, 0), jnp.float32), info
+
+            return jax.lax.cond(params["armed"] != 0, _scan_main, _idle, state)
+        return _scan_main(state)
 
 
 class Engine:

@@ -240,6 +240,12 @@ class Radiod:
         self.default_mode = str(cfg.options.get("mode", cfg.options.get("preset", "usb"))).lower()
         # [global] lifetime (seconds; 0 = infinite, radio.c:71,294)
         self.lifetime_blocks = int(float(cfg.options.get("lifetime", 0.0)) / cfg.blocktime)
+        # lazy spectrum gating (spectrum.c:161-186): {group: (armed_at,
+        # armed_until) block numbers}; absent = disarmed
+        self._spectrum_armed: dict[str, tuple[int, int]] = {}
+        # spectrum polls answered after their first armed block (ssrc, tag)
+        self._deferred_status: list[tuple[int, int]] = []
+        self._sync_spectrum_lazy()
         self.free_slots: dict[str, list[int]] = {}
         self._restock: "dict[str, Any] | None" = None  # in-flight background grow
         self._engine_epoch = 0  # bumped by foreground rebuilds (voids restocks)
@@ -654,8 +660,74 @@ class Radiod:
         ch.commands += 1
         if ch.dynamic and ch.lifetime_init:
             ch.lifetime = ch.lifetime_init  # poll/command restarts the countdown
+        self._arm_spectrum(ch)
         self.apply_command(ch, fields)
+        # geometry commands can relocate the channel into a fresh group
+        # class — re-arm under the group it landed in
+        self._arm_spectrum(ch)
+        g = self.engine.groups.get(ch.group)
+        if (g is not None and g.spec.demod == "spectrum"
+                and not self._spectrum_bins_ready(ch)):
+            # the reference responds to a spectrum poll only AFTER running
+            # the FFT it just armed (spectrum.c:64-66: response() sits at
+            # the top of the next loop pass) — defer ours the same way so
+            # single-shot pollers get bins in the first response
+            self._deferred_status.append((ssrc, tag))
+            return
         self._send_status(self.encode_channel_status(ch, tag), ch)
+
+    # ------------------------------------------------ lazy spectrum gating
+    def _set_spectrum_armed(self, gname: str, armed: bool) -> None:
+        """Flip one spectrum group's `armed` params scalar (host mirror +
+        full-leaf h2d transfer — params surgery, never a recompile)."""
+        g = self.engine.groups[gname]
+        want = np.float32(1.0 if armed else 0.0)
+        if "armed" not in g.host or float(g.host["armed"]) == float(want):
+            return
+        g.host["armed"] = want
+        p = dict(self.params)
+        gp = dict(p[gname])
+        gp["armed"] = g.put(want)
+        p[gname] = gp
+        self.params = p
+
+    def _sync_spectrum_lazy(self) -> None:
+        """(Re)apply the armed flags after engine construction/rebuild:
+        lazy groups are disarmed unless a live arming window says
+        otherwise (fresh engines come up armed by default)."""
+        for gname, g in self.engine.groups.items():
+            if g.spec.demod != "spectrum" or not g.spec.spectrum_lazy:
+                continue
+            self._set_spectrum_armed(gname, gname in self._spectrum_armed)
+
+    def _arm_spectrum(self, ch: "_Chan") -> None:
+        """A poll/command touched `ch`: arm its group for idle-timeout
+        seconds (spectrum.c computes bins only on response_needed; ours
+        accumulates while the arming window is open)."""
+        g = self.engine.groups.get(ch.group)
+        if g is None or g.spec.demod != "spectrum" or not g.spec.spectrum_lazy:
+            return
+        idle = max(1, int(g.spec.spectrum_idle_s / self.cfg.blocktime))
+        armed_at, _ = self._spectrum_armed.get(ch.group, (self.blocks, 0))
+        self._spectrum_armed[ch.group] = (armed_at, self.blocks + idle)
+        self._set_spectrum_armed(ch.group, True)
+
+    def _decay_spectrum(self) -> None:
+        """Disarm lazy spectrum groups whose arming window expired."""
+        for gname, (_, until) in list(self._spectrum_armed.items()):
+            if self.blocks >= until:
+                del self._spectrum_armed[gname]
+                self._set_spectrum_armed(gname, False)
+
+    def _spectrum_bins_ready(self, ch: "_Chan") -> bool:
+        """BIN_DATA belongs in a status packet only when the sweep has
+        actually accumulated: always-on groups always have it; lazy groups
+        need an open arming window with >= 1 block run inside it."""
+        g = self.engine.groups.get(ch.group)
+        if g is None or not g.spec.spectrum_lazy:
+            return True
+        win = self._spectrum_armed.get(ch.group)
+        return win is not None and self.blocks > win[0]
 
     # ------------------------------------------------ dynamic channel table
     def _setp(self, gname: str, idx: int, key: str, value):
@@ -962,6 +1034,7 @@ class Radiod:
         self.engine = new_eng
         self.step = self._mk_step(new_eng)
         self._engine_epoch += 1  # void any in-flight background restock
+        self._sync_spectrum_lazy()  # fresh engines come up armed
         self._group_dests.clear()
         if self.edges:
             self._refresh_edges()
@@ -1073,6 +1146,7 @@ class Radiod:
         self.state, self.params, self.engine = new_state, new_params, new_eng
         self.step = r["step"]
         self._engine_epoch += 1
+        self._sync_spectrum_lazy()
         self._group_dests.clear()
         for s in range(old_C, old_C + count):
             self._mute_slot(gname, s)
@@ -1494,7 +1568,7 @@ class Radiod:
                 fields[T.NOISE_BW] = geo.noise_bw
             fields[T.SPECTRUM_FFT_N] = geo.fft_n
             fields[T.SPECTRUM_AVG] = geo.fft_avg
-            if "bin_data" in info:
+            if "bin_data" in info and self._spectrum_bins_ready(ch):
                 bins = np.asarray(info["bin_data"][ch.idx], np.float64)  # lowest-first
                 if self.spectrum_byte:
                     # v2 byte format (encode_byte_data, spectrum.c:536-554):
@@ -1907,6 +1981,7 @@ class Radiod:
         """Host-side emission for ONE block's outputs: RTP packetization,
         beacons, dynamic-channel lifetimes, front-end metrics."""
         beacon = True  # per-channel cadence checked in _beacon_due
+        self._decay_spectrum()
         fe = host_out.pop("_frontend", None)
         if fe is not None:
             # EMA like frontend->if_power smoothing in the drivers
@@ -1980,6 +2055,19 @@ class Radiod:
                     expired.append(ssrc)
         for ssrc in expired:
             self.remove_channel(ssrc)
+        if self._deferred_status:
+            # spectrum polls held for their first armed block (spectrum.c's
+            # response-after-FFT ordering) — answer the ones now ready
+            still = []
+            for ssrc, tag in self._deferred_status:
+                ch = self.chans.get(ssrc)
+                if ch is None:
+                    continue
+                if self._spectrum_bins_ready(ch):
+                    self._send_status(self.encode_channel_status(ch, tag), ch)
+                else:
+                    still.append((ssrc, tag))
+            self._deferred_status = still
         return host_out
 
     def run(self, nblocks: int | None = None, realtime: bool = False):

@@ -122,7 +122,10 @@ def mesh_stages():
     mesh of 1 isolates the distributed master's overhead vs the dense path
     with zero actual ICI traffic).  Stages:
       m_digit  — DigitMaster.fft (two corner turns, digit order)
-      m_fft    — fft_natural (+ the third corner turn + [:bins] slice)
+      m_rowin  — fft_natural from a ROW-sharded window (all three turns,
+                 the pre-digit_cols per-block path)
+      m_fft    — fft_natural as the engine now runs it (digit_cols
+                 column layout when the geometry allows: two turns)
       m_chan   — m_fft + hf tiled channelizer + fine tune
       m_noise  — m_fft + noise gather/estimate
       m_full   — complete sharded Engine.step
@@ -137,19 +140,35 @@ def mesh_stages():
     m = engm.master
     hfm = engm.groups["hf"]
     spec_in = NamedSharding(mesh, P(engm.shard_axis))
+    n2 = engm.digit.n2
+    colspec = NamedSharding(mesh, P(None, engm.shard_axis))
 
-    def nat_fft(st, blk):
-        x = jnp.concatenate([st["tail"], blk], axis=-1)
+    def rowin_fft(st, blk):
+        x = jnp.concatenate([st["tail"].reshape(-1), blk], axis=-1)
         xc = jax.lax.with_sharding_constraint(x, spec_in)
         F = engm.digit.fft_natural(xc)[: m.bins]
-        return {"tail": x[m.L:], "jobnum": st["jobnum"] + 1}, F
+        return {"tail": x[m.L:].reshape(-1, n2), "jobnum": st["jobnum"] + 1}, F
+
+    def nat_fft(st, blk):
+        if not engm.digit_cols:
+            return rowin_fft(st, blk)
+        blk2 = jax.lax.with_sharding_constraint(
+            blk.reshape(m.L // n2, n2), colspec)
+        x = jnp.concatenate([st["tail"], blk2], axis=-2)
+        xc = jax.lax.with_sharding_constraint(x, colspec)
+        F = engm.digit.fft_natural(xc, cols_in=True)[: m.bins]
+        return {"tail": x[m.L // n2:, :], "jobnum": st["jobnum"] + 1}, F
 
     def stage_m_digit(st, params, blk):
-        x = jnp.concatenate([st["tail"], blk], axis=-1)
+        x = jnp.concatenate([st["tail"].reshape(-1), blk], axis=-1)
         xc = jax.lax.with_sharding_constraint(x, spec_in)
         Zd = engm.digit.fft(xc if not m.real else xc.astype(jnp.complex64))
-        return ({"tail": x[m.L:], "jobnum": st["jobnum"] + 1},
+        return ({"tail": x[m.L:].reshape(-1, n2), "jobnum": st["jobnum"] + 1},
                 jnp.sum(jnp.abs(Zd[:8, :8])))
+
+    def stage_m_rowin(st, params, blk):
+        st, F = rowin_fft(st, blk)
+        return st, jnp.sum(jnp.abs(F[:64]))
 
     def stage_m_fft(st, params, blk):
         st, F = nat_fft(st, blk)
@@ -185,6 +204,7 @@ def mesh_stages():
 
     stages = {
         "m_digit": (stage_m_digit, mst0),
+        "m_rowin": (stage_m_rowin, mst0),
         "m_fft": (stage_m_fft, mst0),
         "m_chan": (stage_m_chan, lambda: {"master": mst0(),
                                           "acc": jnp.zeros((hfm.C,), jnp.int32)}),

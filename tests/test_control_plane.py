@@ -49,6 +49,7 @@ mode = spectrum
 freq = 0
 resolution-bw = 100
 bin-count = 32
+idle-timeout = 0.2
 """
 
 
@@ -385,3 +386,37 @@ def test_parked_channel_stays_muted_through_commands_and_moves(rd):
     np.testing.assert_allclose(host_val(rd, ch, "squelch_open"), 10 ** 0.5, rtol=1e-4)
     rd.step_block()
     assert np.isfinite(np.asarray(rd.chans[200].last_info["baseband_power"])).all()
+
+
+def test_spectrum_lazy_poll_gating(rd):
+    """The daemon mirrors spectrum.c:54-77: sweep groups idle DISARMED
+    (no device compute, no BIN_DATA in status); any poll/command arms the
+    group via params surgery (same engine, same compiled step), and the
+    arming window decays idle-timeout seconds after the last poll."""
+    ch = rd.chans[0]  # the [spect] channel (freq = 0)
+    gname = ch.group
+    g = rd.engine.groups[gname]
+    assert g.spec.demod == "spectrum" and g.spec.spectrum_lazy
+    assert float(g.host["armed"]) == 0.0  # starts disarmed
+    eng_before, step_before = rd.engine, rd.step
+    for _ in range(3):
+        rd.step_block()
+    from ka9q_radio_tpu.net.status import decode_status as _dec
+    _, fields, _ = _dec(rd.encode_channel_status(ch))
+    assert T.BIN_DATA not in fields  # nothing accumulated -> nothing claimed
+
+    cmd(rd, 0)  # bare poll arms it
+    assert float(rd.engine.groups[gname].host["armed"]) == 1.0
+    assert rd.engine is eng_before and rd.step is step_before  # surgery only
+    rd.step_block()
+    rd.step_block()
+    _, fields, _ = _dec(rd.encode_channel_status(ch))
+    assert T.BIN_DATA in fields and max(fields[T.BIN_DATA]) > 0.0
+
+    # idle-timeout = 0.2 s = 10 blocks: the window decays and it disarms
+    for _ in range(12):
+        rd.step_block()
+    assert float(rd.engine.groups[gname].host["armed"]) == 0.0
+    _, fields, _ = _dec(rd.encode_channel_status(ch))
+    assert T.BIN_DATA not in fields
+    assert rd.engine is eng_before and rd.step is step_before

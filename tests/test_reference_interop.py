@@ -179,6 +179,9 @@ def test_spectrum_cross_implementation(ref_radiod):
     conf = CONF.replace(f"{TAG}-st.local", "x.local").replace(f"{TAG}-pcm.local", "y.local")
     conf += "\n[sweep]\nmode = spectrum\nfreq = 51k0\nresolution-bw = 1000\nbin-count = 40\n"
     rd = Radiod(load_config(conf), use_network=False)
+    # spectrum is poll-gated on BOTH daemons (spectrum.c:54-77); mirror
+    # the poll the reference side got
+    rd.handle_packet(encode_status({T.OUTPUT_SSRC: 51}, cmd=True))
     for _ in range(30):
         rd.step_block()
     ours = None

@@ -101,6 +101,10 @@ bin-count = 64
 freq = 240k0
 """)
     rd = Radiod(cfg, use_network=False)
+    # spectrum groups are poll-gated like the reference (spectrum.c:54-77:
+    # bins only on response_needed) — a bare poll arms the sweep
+    from ka9q_radio_tpu.net.status import encode_status
+    rd.handle_packet(encode_status({T.OUTPUT_SSRC: 240}, cmd=True))
     for _ in range(8):
         rd.step_block()
     stats = [p for k, p in rd._sent if k == "status"]
@@ -148,3 +152,68 @@ def test_wide_geometry_plans_mxu_at_scale():
     geo = wide_geometry(samprate=129_600_000, L=2_592_000, real=True, bin_bw=1000.0)
     assert geo.mxu is not None
     assert int(np.prod(geo.mxu)) == geo.fft_n
+
+
+def _lazy_engine(bin_bw, bin_count):
+    return Engine(
+        samprate=FS, real=False,
+        groups=[GroupSpec(
+            name="sp", demod="spectrum", samprate=32_000,
+            bin_bw=bin_bw, bin_count=bin_count,
+            channels=(ChannelSpec(freq=200_000.0, low=-16_000.0, high=16_000.0),),
+        )],
+    )
+
+
+def _lazy_blocks(eng, n):
+    src = SigGenConfig(samprate=FS, real=False, carrier_hz=201_000.0,
+                       amplitude=0.5, noise_n0=1e-30)
+    st = siggen_init(src, 0)
+    out = []
+    for _ in range(n):
+        st, blk = siggen_block(src, st, eng.L)
+        out.append(blk)
+    return out
+
+
+import pytest
+
+
+@pytest.mark.parametrize("bin_bw", [100.0, 2000.0])  # narrow / wideband algo
+def test_spectrum_lazy_gating_engine(bin_bw):
+    """armed=0 freezes a spectrum group (zero bins, demod state bit-frozen
+    behind a run-time lax.cond — no recompile to flip); re-arming converges
+    to the always-on bins (spectrum.c:54-77 response_needed gating)."""
+    import jax.numpy as jnp
+
+    a = _lazy_engine(bin_bw, 64)
+    b = _lazy_engine(bin_bw, 64)
+    blocks = _lazy_blocks(a, 40)
+    sa, pa = jax.jit(a.init_state)(), a.init_params()
+    sb, pb = jax.jit(b.init_state)(), b.init_params()
+    assert float(pb["sp"]["armed"]) == 1.0  # engines default armed
+    pb = {"sp": dict(pb["sp"])}
+    pb["sp"]["armed"] = jnp.float32(0.0)
+    step_a, step_b = jax.jit(a.step), jax.jit(b.step)
+
+    for i in range(8):
+        sa, out_a = step_a(sa, pa, blocks[i])
+        sb, out_b = step_b(sb, pb, blocks[i])
+    # disarmed: zero bins, frozen demod state; armed side is live
+    assert float(np.max(np.abs(out_b["sp"]["info"]["bin_data"]))) == 0.0
+    fresh = jax.jit(b.init_state)()
+    for k, v in sb["groups"]["sp"]["demod"].items():
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(fresh["groups"]["sp"]["demod"][k]))
+    assert float(np.max(out_a["sp"]["info"]["bin_data"])) > 0.0
+
+    # re-arm WITHOUT recompiling (params value flip on the same jit)
+    pb["sp"]["armed"] = jnp.float32(1.0)
+    for i in range(8, 40):
+        sa, out_a = step_a(sa, pa, blocks[i])
+        sb, out_b = step_b(sb, pb, blocks[i])
+    pa_bins = np.asarray(out_a["sp"]["info"]["bin_data"][0], np.float64)
+    pb_bins = np.asarray(out_b["sp"]["info"]["bin_data"][0], np.float64)
+    pk = int(np.argmax(pa_bins))
+    assert int(np.argmax(pb_bins)) == pk
+    # stationary noiseless scene: both averages land on the same value
+    assert abs(10 * np.log10(pa_bins[pk]) - 10 * np.log10(pb_bins[pk])) < 0.1
