@@ -629,14 +629,17 @@ class _Group:
         estimate every block)."""
         m = self.master
         sharded = not hasattr(F, "shape")  # DigitSpectrum handle
-        if self.spec.demod == "spectrum" and not sharded and "armed" in params:
+        if (self.spec.demod == "spectrum" and "armed" in params
+                and (not sharded or self.spectrum_wide)):
             # poll-gated lazy compute (spectrum.c:161-186: bins are only
             # produced when a response is needed): a disarmed sweep group
             # costs ~nothing per block — lax.cond executes one branch at
             # run time, and "armed" is a params scalar, so the control
-            # plane arms/disarms without recompiling. Sharded masters skip
-            # the gate (the channelize gathers are shard_map collectives,
-            # fragile inside a conditional — same rule as the N0 cadence).
+            # plane arms/disarms without recompiling. Sharded NARROW
+            # groups skip the gate (their channelize gathers are shard_map
+            # collectives, fragile inside a conditional — same rule as the
+            # N0 cadence); the wide algorithm reads the raw block at GSPMD
+            # level, where a replicated-predicate cond is safe.
             nb = (self.spec.bin_count if self.spectrum_wide
                   else self.spectrum_geo.bin_count)
 
