@@ -34,22 +34,25 @@ def batch_master_fft(cfg: MasterConfig, tail, blocks, mesh: Mesh, axis: str = "c
     Args:
       cfg: master geometry (L, M, real).
       tail: [M-1] carried context (the batch-boundary halo from the
-        previous call; from master_init()["tail"] initially).
-      blocks: [D, L] consecutive input blocks, sharded P(axis, None).
+        previous call; from master_init()["tail"] initially). Multi-
+        front-end engines pass [B, M-1] — the halo exchange and the
+        transform batch over the leading axis.
+      blocks: [D, L] (or [D, B, L]) consecutive input blocks, sharded
+        P(axis, None[, None]).
       mesh/axis: the device mesh; D = mesh.shape[axis].
 
-    Returns (new_tail, F): F [D, bins] complex64 — F[d] identical to the
-    d-th sequential master_fft() — and the new carried tail (device D-1's
-    block end) for the next batch.
+    Returns (new_tail, F): F [D, bins] (or [D, B, bins]) complex64 —
+    F[d] identical to the d-th sequential master_fft() — and the new
+    carried tail (device D-1's block end) for the next batch.
     """
     D = mesh.shape[axis]
     L, M = cfg.L, cfg.M
     halo = M - 1
 
     def body(tail_l, blk):
-        # blk: [1, L] (this device's block); tail_l replicated [M-1]
+        # blk: [1(, B), L] (this device's block); tail_l replicated
         d = jax.lax.axis_index(axis)
-        my_halo = blk[0, L - halo:]
+        my_halo = blk[0, ..., L - halo:]
 
         def as_pair(v):  # complex collectives are unimplemented in some
             # TPU AOT pipelines (axon); move/reduce f32 pairs instead
@@ -66,7 +69,7 @@ def batch_master_fft(cfg: MasterConfig, tail, blocks, mesh: Mesh, axis: str = "c
             jax.lax.ppermute(as_pair(my_halo), axis,
                              [(i, (i + 1) % D) for i in range(D)]), my_halo)
         prev = jnp.where(d == 0, tail_l, prev)
-        x = jnp.concatenate([prev, blk[0]])
+        x = jnp.concatenate([prev, blk[0]], axis=-1)
         F = master_transform(cfg, x)  # same plan as master_fft (bit-match)
         # the last device's halo becomes the next batch's carried context
         new_tail = from_pair(jax.lax.psum(
@@ -74,6 +77,7 @@ def batch_master_fft(cfg: MasterConfig, tail, blocks, mesh: Mesh, axis: str = "c
                       jnp.zeros_like(as_pair(my_halo))), axis), my_halo)
         return new_tail, F[None]
 
-    fn = shard_map(body, mesh=mesh, in_specs=(P(), P(axis, None)),
-                   out_specs=(P(), P(axis, None)), check_vma=False)
+    rest = (None,) * (blocks.ndim - 1)
+    fn = shard_map(body, mesh=mesh, in_specs=(P(), P(axis, *rest)),
+                   out_specs=(P(), P(axis, *rest)), check_vma=False)
     return fn(tail, blocks)

@@ -892,8 +892,8 @@ class Engine:
                 raise ValueError(
                     f"time_shards={time_shards} != mesh axis size "
                     f"{mesh.shape[shard_axis]} (one block per device)")
-            if self.n_inputs > 1:
-                raise ValueError("time_shards + n_inputs>1 not supported yet")
+            # n_inputs > 1 composes: the halo exchange and the transform
+            # batch over the [B] input axis (blocks arrive [D, B, L])
         elif mesh is not None:
             from ..parallel.master import DigitMaster
 
@@ -1152,6 +1152,7 @@ class Engine:
         if not self.time_shards:
             raise ValueError("engine built without time_shards")
         m = self.master
+        B = self.n_inputs
         alpha = np.float32(0.01)  # spur tracker (filter.c:447)
         jobnum0 = state["master"]["jobnum"]
         tail, F = batch_master_fft(m, state["master"]["tail"], blocks,
@@ -1159,25 +1160,28 @@ class Engine:
         new_state = {"master": {"tail": tail,
                                 "jobnum": jobnum0 + self.time_shards}}
         if self.spur_bins is not None:
-            vals = F[:, self.spur_bins]  # [D, S]
+            vals = F[..., self.spur_bins]  # [D(, B), S]
 
             def spur_body(tr, v):
                 tr = tr + alpha * (v - tr)
                 return tr, tr
 
             last, tracks = jax.lax.scan(spur_body, state["spurs"], vals)
-            F = F - jnp.zeros_like(F).at[:, self.spur_bins].add(tracks)
+            F = F - jnp.zeros_like(F).at[..., self.spur_bins].add(tracks)
             new_state["spurs"] = last
         new_groups, outputs = {}, {}
         for name, g in self.groups.items():
+            blk_g = blocks[:, g.spec.input] if B > 1 else blocks
             gs, audio, info = g.step_scan(state["groups"][name], params[name],
-                                          F, blocks, jobnum0)
+                                          F, blk_g, jobnum0)
             new_groups[name] = gs
             outputs[name] = {"audio": audio, "info": info}
         p_in = blocks.real * blocks.real
         if not m.real:
             p_in = p_in + blocks.imag * blocks.imag
-        outputs["_frontend"] = {"if_power": jnp.mean(p_in, axis=-1)[:, None]}
+        # [D, B] per-input powers (B = 1 column for single-input engines)
+        outputs["_frontend"] = {"if_power": (jnp.mean(p_in, axis=-1) if B > 1
+                                             else jnp.mean(p_in, axis=-1)[:, None])}
         new_state["groups"] = new_groups
         return new_state, outputs
 

@@ -169,9 +169,8 @@ class Radiod:
                 self._time_shards = int(self._mesh.devices.size)
             else:
                 self._time_shards = int(ts_opt) if ts_opt.isdigit() else 8
-            if self._n_inputs > 1:
-                raise ValueError("time-shards with multiple hardware "
-                                 "sections is not supported yet")
+            # multiple [hardware] sections compose: blocks run [D, B, L]
+            # (the halo exchange batches over the input axis)
         self.engine = Engine(
             samprate=cfg.samprate, real=cfg.real, groups=cfg.groups,
             blocktime=cfg.blocktime, overlap=cfg.overlap,
@@ -413,9 +412,21 @@ class Radiod:
             def _init():
                 return [siggen_init(s) for s in srcs]
 
-            def _gen(states):
+            def _gen1(states):
                 outs = [siggen_block(s, st, L) for s, st in zip(srcs, states)]
                 return [o[0] for o in outs], jnp.stack([o[1] for o in outs])
+
+            if self._time_shards:
+                D = self._time_shards
+
+                def _gen(states):  # [D, B, L] consecutive multi-stream blocks
+                    def body(sts, _):
+                        sts, blk = _gen1(sts)
+                        return sts, blk
+
+                    return jax.lax.scan(body, states, None, length=D)
+            else:
+                _gen = _gen1
 
             self.source_state = jax.jit(_init)()
             self._siggen = jax.jit(_gen)
@@ -1902,8 +1913,14 @@ class Radiod:
         try:
             if block is None:
                 if self.frontends is not None:
-                    block = np.stack([np.asarray(fe.read_block(self.engine.L))
+                    if D:  # [D, B, L]: D consecutive multi-stream reads
+                        block = np.stack([
+                            np.stack([np.asarray(fe.read_block(self.engine.L))
                                       for fe in self.frontends])
+                            for _ in range(D)])
+                    else:
+                        block = np.stack([np.asarray(fe.read_block(self.engine.L))
+                                          for fe in self.frontends])
                 elif self.frontend is not None:
                     if D:
                         block = np.stack([np.asarray(self.frontend.read_block(self.engine.L))

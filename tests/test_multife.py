@@ -292,3 +292,66 @@ hardware1 = fe1
     eng = Engine(samprate=cfg.samprate, real=cfg.real, groups=cfg.groups,
                  n_inputs=cfg.n_inputs)
     assert list(eng.groups["scan"].inputs) == [0, 0, 1]
+
+
+def test_radiod_multi_front_end_time_shards():
+    """time-shards × multi-[hardware] in the daemon: the fused sig_gen
+    generator scans [D, B, L] and step_time demods both streams — same
+    per-channel results as the plain multi-FE daemon."""
+    from ka9q_radio_tpu.config.loader import load_config
+    from ka9q_radio_tpu.runtime.radiod import Radiod
+
+    base = """
+[global]
+hardware = fe0 fe1
+{opts}status = 127.0.0.1
+data = 127.0.0.1
+update = 1
+
+[fe0]
+device = sig_gen
+samprate = 1m024
+complex = yes
+carrier = 100k
+amplitude = -20
+noise = -90
+
+[fe1]
+device = sig_gen
+samprate = 1m024
+complex = yes
+carrier = -200k
+amplitude = -40
+noise = -90
+
+[chan-a]
+hardware = fe0
+demod = am
+samprate = 16k
+low = -5k
+high = 5k
+freq = 100k
+
+[chan-b]
+hardware = fe1
+demod = am
+samprate = 16k
+low = -5k
+high = 5k
+freq = -200k
+"""
+    rd_t = Radiod(load_config(base.format(opts="mesh = yes\ntime-shards = yes\n")),
+                  use_network=False)
+    rd_p = Radiod(load_config(base.format(opts="")), use_network=False)
+    D = rd_t._time_shards
+    assert D == len(jax.devices()) and rd_t.engine.n_inputs == 2
+    out_t = [rd_t.step_block() for _ in range(2)]
+    out_p = [rd_p.step_block() for _ in range(2 * D)]
+    assert rd_t.blocks == rd_p.blocks == 2 * D
+    for ch in ("chan-a", "chan-b"):
+        np.testing.assert_allclose(
+            np.asarray(out_t[-1][ch]["audio"]), np.asarray(out_p[-1][ch]["audio"]),
+            rtol=2e-4, atol=3e-5, err_msg=ch)
+    # per-input IF power split survives the composition
+    assert rd_t.if_power_in.shape == (2,)
+    assert rd_t.if_power_in[0] > rd_t.if_power_in[1] * 10

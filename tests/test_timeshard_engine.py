@@ -211,3 +211,59 @@ freq = 100k
         {T.OUTPUT_SSRC: 100, T.RADIO_FREQUENCY: 120_000.0}, cmd=True))
     rd_b.step_block()
     assert rd_b.step._cache_size() == n
+
+
+def test_time_sharded_multi_input_equals_sequential():
+    """time_shards × n_inputs composes: the halo exchange and the master
+    batch over the [B] input axis; step_time([D, B, L]) == D× step([B, L])
+    (VERDICT r3 #6 — the mode-composition matrix)."""
+    B = 2
+    mesh = make_mesh(jax.devices()[:D])
+
+    def _g():
+        lin0 = tuple(ChannelSpec(freq=float(f), low=50.0, high=3000.0, input=0)
+                     for f in np.linspace(-400e3, 400e3, 3))
+        lin1 = tuple(ChannelSpec(freq=float(f), low=50.0, high=3000.0, input=1)
+                     for f in np.linspace(-350e3, 350e3, 3))
+        return [GroupSpec(name="usb", demod="linear", samprate=16_000,
+                          snr_squelch=True, channels=lin0 + lin1)]
+
+    eng_t = Engine(samprate=FS, real=False, groups=_g(), mesh=mesh,
+                   time_shards=D, n_inputs=B)
+    eng_s = Engine(samprate=FS, real=False, groups=_g(), n_inputs=B)
+
+    blocks = _blocks(eng_s.L, 2 * D, seed=3)          # input 0's stream
+    blocks_b = _blocks(eng_s.L, 2 * D, seed=7) * 0.5  # input 1's stream
+    both = np.stack([blocks, blocks_b], axis=1)       # [2D, B, L]
+
+    st = jax.jit(eng_t.init_state)()
+    ss = jax.jit(eng_s.init_state)()
+    pt, ps = eng_t.init_params(), eng_s.init_params()
+    step_t = jax.jit(eng_t.step_time, donate_argnums=0)
+    step_s = jax.jit(eng_s.step, donate_argnums=0)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    shard = NamedSharding(mesh, P("c", None, None))
+
+    for batch in range(2):
+        bt = jax.device_put(jnp.asarray(both[batch * D:(batch + 1) * D]), shard)
+        st, out_t = step_t(st, pt, bt)
+        outs_s = []
+        for d in range(D):
+            ss, o = step_s(ss, ps, jnp.asarray(both[batch * D + d]))
+            outs_s.append(o)
+        a_t = np.asarray(out_t["usb"]["audio"])  # [D, C, olen]
+        for d in range(D):
+            np.testing.assert_allclose(
+                a_t[d], np.asarray(outs_s[d]["usb"]["audio"]),
+                rtol=2e-5, atol=2e-6, err_msg=f"block {d} batch {batch}")
+        # per-input front-end powers line up [D, B]
+        np.testing.assert_allclose(
+            np.asarray(out_t["_frontend"]["if_power"]),
+            np.stack([np.asarray(o["_frontend"]["if_power"]) for o in outs_s]),
+            rtol=1e-5)
+
+    # carried master tail identical after 2*D blocks, per input
+    np.testing.assert_allclose(
+        np.asarray(st["master"]["tail"]), np.asarray(ss["master"]["tail"]),
+        rtol=1e-6, atol=1e-7)
