@@ -36,7 +36,8 @@ def poll_once(tx, rx, ssrc: int, timeout: float):
             ptype, f, _ = decode_status(pkt)
         except Exception:
             continue
-        if ptype == PacketType.STATUS and f.get(T.OUTPUT_SSRC) == ssrc and T.BIN_DATA in f:
+        if ptype == PacketType.STATUS and f.get(T.OUTPUT_SSRC) == ssrc \
+                and (T.BIN_DATA in f or T.BIN_RICE_DATA in f):
             return f
 
 
@@ -80,9 +81,19 @@ def main(argv=None) -> int:
         if f is None:
             print("no response", file=sys.stderr)
             return 1
-        bins = np.asarray(f[T.BIN_DATA], np.float64)
-        # BIN_DATA arrives in FFT order (powers.c); rotate to lowest-first
-        bins = np.roll(bins, bins.size // 2)
+        if T.BIN_RICE_DATA in f:
+            # Rice-coded quantized levels (net/rice.py) — already
+            # lowest-frequency-first like BIN_BYTE_DATA
+            from ..net.rice import rice_decode, dequantize_bins
+            n = int(f.get(T.BIN_COUNT, 0))
+            lv = rice_decode(bytes(f[T.BIN_RICE_DATA]), n)
+            dbq = dequantize_bins(lv, float(f.get(T.SPECTRUM_BASE, -120.0)),
+                                  float(f.get(T.SPECTRUM_STEP, 0.5)))
+            bins = 10.0 ** (dbq / 10.0)
+        else:
+            bins = np.asarray(f[T.BIN_DATA], np.float64)
+            # BIN_DATA arrives in FFT order (powers.c); rotate lowest-first
+            bins = np.roll(bins, bins.size // 2)
         rbw = float(f.get(T.RESOLUTION_BW, 0.0))
         freq = float(f.get(T.RADIO_FREQUENCY, 0.0))
         n = bins.size

@@ -148,6 +148,9 @@ class StatusType(enum.IntEnum):
     SPECTRUM_STEP = 115
     SPECTRUM_OVERLAP = 116
     LIFETIME = 117
+    # ---- private extensions (above upstream's last assigned key, 117;
+    # TLV readers skip unknown keys, so stock clients are unaffected)
+    BIN_RICE_DATA = 125  # Rice-coded spectrum levels (net/rice.py)
 
 
 class Kind(enum.Enum):
@@ -166,7 +169,8 @@ KINDS: dict[StatusType, Kind] = {
     _T.COMMAND_TAG: Kind.INT, _T.CMD_CNT: Kind.INT, _T.GPS_TIME: Kind.INT,
     _T.DESCRIPTION: Kind.STRING, _T.STATUS_DEST_SOCKET: Kind.SOCKET,
     _T.SETOPTS: Kind.INT, _T.CLEAROPTS: Kind.INT, _T.RTP_TIMESNAP: Kind.INT,
-    _T.BIN_BYTE_DATA: Kind.BYTES, _T.INPUT_SAMPRATE: Kind.INT,
+    _T.BIN_BYTE_DATA: Kind.BYTES, _T.BIN_RICE_DATA: Kind.BYTES,
+    _T.INPUT_SAMPRATE: Kind.INT,
     _T.SPECTRUM_BASE: Kind.FLOAT, _T.SPECTRUM_AVG: Kind.INT,
     _T.INPUT_SAMPLES: Kind.INT, _T.WINDOW_TYPE: Kind.INT, _T.NOISE_BW: Kind.FLOAT,
     _T.OUTPUT_DATA_SOURCE_SOCKET: Kind.SOCKET, _T.OUTPUT_DATA_DEST_SOCKET: Kind.SOCKET,

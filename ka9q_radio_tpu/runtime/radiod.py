@@ -233,7 +233,11 @@ class Radiod:
         self._last_good = time.monotonic()
         self._drop_burst = 0
         self.command_drops = 0  # control commands lost to device flakes
-        self.spectrum_byte = str(cfg.options.get("spectrum-format", "")).lower() == "byte"
+        _sf = str(cfg.options.get("spectrum-format", "")).lower()
+        self.spectrum_byte = _sf == "byte"
+        # `rice`: Rice-coded quantized levels (net/rice.py) — our working
+        # form of the reference's dead #if RICE experiment
+        self.spectrum_rice = _sf == "rice"
         self.spectrum_base = float(cfg.options.get("spectrum-base", -120.0))
         self.spectrum_step = float(cfg.options.get("spectrum-step", 0.5))
         self.default_mode = str(cfg.options.get("mode", cfg.options.get("preset", "usb"))).lower()
@@ -1581,7 +1585,15 @@ class Radiod:
             fields[T.SPECTRUM_AVG] = geo.fft_avg
             if "bin_data" in info and self._spectrum_bins_ready(ch):
                 bins = np.asarray(info["bin_data"][ch.idx], np.float64)  # lowest-first
-                if self.spectrum_byte:
+                if self.spectrum_rice:
+                    from ..net.rice import quantize_bins, rice_encode
+
+                    base = ch.spectrum_base if ch.spectrum_base is not None else self.spectrum_base
+                    step = ch.spectrum_step if ch.spectrum_step is not None else self.spectrum_step
+                    fields[T.SPECTRUM_BASE] = base
+                    fields[T.SPECTRUM_STEP] = step
+                    fields[T.BIN_RICE_DATA] = rice_encode(quantize_bins(bins, base, step))
+                elif self.spectrum_byte:
                     # v2 byte format (encode_byte_data, spectrum.c:536-554):
                     # most-negative-first — our internal order already;
                     # base/step per channel (SPECTRUM_BASE/STEP commands)

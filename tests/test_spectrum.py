@@ -217,3 +217,67 @@ def test_spectrum_lazy_gating_engine(bin_bw):
     assert int(np.argmax(pb_bins)) == pk
     # stationary noiseless scene: both averages land on the same value
     assert abs(10 * np.log10(pa_bins[pk]) - 10 * np.log10(pb_bins[pk])) < 0.1
+
+
+def test_rice_codec_roundtrip():
+    """net/rice.py: the reference's #if RICE experiment finished into a
+    real codec (spectrum.c:718-795 never emits — its own guard disables
+    it). Roundtrip-exact in both modes, and smooth spectra beat the
+    1 byte/bin byte format."""
+    from ka9q_radio_tpu.net.rice import rice_encode, rice_decode
+
+    rng = np.random.default_rng(5)
+    # smooth noise-floor-ish sweep (delta mode should win) + spiky data
+    smooth = np.clip(40 + np.cumsum(rng.integers(-2, 3, 512)), 0, None)
+    spiky = rng.integers(0, 200, 64)
+    flat = np.full(128, 37)
+    for levels in (smooth, spiky, flat, np.zeros(16, np.int64)):
+        enc = rice_encode(levels)
+        dec = rice_decode(enc, len(levels))
+        np.testing.assert_array_equal(dec, levels)
+    # compression: the smooth sweep codes well under a byte per bin
+    assert len(rice_encode(smooth)) < smooth.size
+    assert len(rice_encode(flat)) < flat.size // 2
+
+
+def test_spectrum_rice_format():
+    """spectrum-format = rice: beacons carry BIN_RICE_DATA (private TLV
+    key 125, skipped by stock readers) that decodes to the byte-format
+    dB reading."""
+    from ka9q_radio_tpu.config import load_config
+    from ka9q_radio_tpu.runtime.radiod import Radiod
+    from ka9q_radio_tpu.net.status import StatusType as T, decode_status, encode_status
+    from ka9q_radio_tpu.net.rice import rice_decode, dequantize_bins
+
+    cfg = load_config("""
+[global]
+hardware = sig_gen
+update = 2
+spectrum-format = rice
+[sig_gen]
+device = sig_gen
+carrier = 250k0
+amplitude = -6
+noise = -120
+samprate = 1m024
+real = no
+[sweep]
+mode = spectrum
+samprate = 32k
+resolution-bw = 2k
+bin-count = 64
+freq = 240k0
+""")
+    rd = Radiod(cfg, use_network=False)
+    rd.handle_packet(encode_status({T.OUTPUT_SSRC: 240}, cmd=True))
+    for _ in range(8):
+        rd.step_block()
+    stats = [p for k, p in rd._sent if k == "status"]
+    _, f, _ = decode_status(stats[-1])
+    assert T.BIN_RICE_DATA in f and T.BIN_DATA not in f and T.BIN_BYTE_DATA not in f
+    lv = rice_decode(bytes(f[T.BIN_RICE_DATA]), 64)
+    db = dequantize_bins(lv, f[T.SPECTRUM_BASE], f[T.SPECTRUM_STEP])
+    peak = int(np.argmax(db))
+    assert abs(db[peak] - (-6.0)) < 2.5
+    # the Rice payload beats the byte format on this sweep
+    assert len(bytes(f[T.BIN_RICE_DATA])) < 64
