@@ -502,3 +502,55 @@ def test_panel_digit_columns_and_windows():
         assert p in lines[-1]
     # the freq line is where the cursor map points
     assert lines[FREQ_ROW].startswith("  freq ")
+
+
+def test_set_xcvr(tmp_path):
+    """set-xcvr-tpu: the reference's SA818 programmer + PTT keyer
+    (set_xcvr.c) — AT+DMO command sequence over a pty, GPIO writes
+    through an injectable sysfs root."""
+    import os
+    import pty
+
+    from ka9q_radio_tpu.cli import set_xcvr
+
+    # --- serial programming against a pty standing in for the module
+    conf = tmp_path / "xcvr.conf"
+    conf.write_text("""
+[radio]
+serial = IGNORED
+txfreq = 147.36
+rxfreq = 146.76
+txtone = 123
+squelch = 2
+lowpower = yes
+busylock = yes
+txgain = 7
+vox = 0
+sleep = 1000
+""")
+    mfd, sfd = pty.openpty()
+    rc = set_xcvr.main(["-f", str(conf)], gpio_root=str(tmp_path / "nogpio"),
+                       serial_opener=lambda port: sfd)
+    assert rc == 0
+    data = os.read(mfd, 4096).decode()
+    os.close(mfd)
+    # pty output processing may duplicate CRs; normalize before splitting
+    lines = [l for l in data.replace("\r", "").split("\n") if l]
+    # same sequence and field order as set_xcvr.c:222-233
+    assert lines[0] == "AT+DMOSETGROUP=1,147.3600,146.7600,0,2,123,5"
+    assert lines[1] == "AT+DMOSETMIC=7,0"
+    assert lines[2] == "AT+DMOAUTOPOWCONTR=1"
+    assert lines[3] == "AT+DMOSETVOLUME=1"
+    assert lines[4] == "AT+DMOSETVOX=0"
+
+    # --- PTT keying through a fake sysfs gpio tree
+    root = tmp_path / "gpio"
+    for pin in (20, 21):
+        (root / f"gpio{pin}").mkdir(parents=True)
+    (root / "export").write_text("")
+    assert set_xcvr.main(["txon"], gpio_root=str(root)) == 0
+    assert (root / "gpio20" / "value").read_text() == "0"  # transmit
+    assert (root / "gpio21" / "value").read_text() == "1"  # enabled
+    assert set_xcvr.main(["txoff"], gpio_root=str(root)) == 0
+    assert (root / "gpio20" / "value").read_text() == "1"  # receive
+    assert set_xcvr.main(["bogus"], gpio_root=str(root)) == 64
