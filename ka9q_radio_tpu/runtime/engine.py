@@ -31,6 +31,7 @@ Per-block per-group pipeline (mirrors downconvert(), radio.c:1451-1562):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Sequence
 
 import numpy as np
@@ -224,7 +225,8 @@ class _Group:
 
     def __init__(self, spec: GroupSpec, master: MasterConfig, samprate: float, blocktime: float,
                  use_matmul: bool = False, center: "float | Sequence[float]" = 0.0,
-                 use_tiled: bool = True, noise_every: int = 4, n_inputs: int = 1):
+                 use_tiled: bool = True, noise_every: int = 4, n_inputs: int = 1,
+                 allow_chan_kernel: bool = True):
         # host->device placement for params leaves; sharded engines set
         # `placement` (Engine.__init__) so retune/set_edges surgery
         # preserves the channel-axis sharding and stays recompile-free
@@ -338,6 +340,19 @@ class _Group:
             else:
                 self.tile_E = tiled_idft_matrix(self.n_bins, self.olen, S)
         self.params = self._build_params()
+        # fused Pallas channelizer (ops/pallas_channelize.py): dense
+        # many-channel groups fold gather + response + IDFT + ramp into
+        # one VMEM pass (measured 1.63 -> 0.64 ms at C=32k on v5e —
+        # the dominant marginal cost of the channels/chip curve).
+        # Eligibility beyond the static gates is RUNTIME data (chan_ok
+        # + row0 params, lax.cond fallback to the XLA path), so retunes
+        # stay recompile-free even when they scatter a run.
+        self.chan_kernel = False
+        if (allow_chan_kernel and self.tiled and self.tile_E is not None
+                and not spec.beam and not self.multi and self.C >= 512
+                and (jax.default_backend() == "tpu"
+                     or os.environ.get("KA9Q_CHAN_KERNEL") == "force")):
+            self._init_chan_kernel()
 
     # -- retunable params ---------------------------------------------------
     def _tuning_arrays(self, freqs: np.ndarray):
@@ -515,6 +530,101 @@ class _Group:
         self.host["tile_lo"][idx] = tl[0]
         self.host["slope"][idx] = sl[0]
 
+    # -- fused pallas channelizer (dense groups) ----------------------------
+    def _chan_pad_tl(self) -> np.ndarray:
+        from ..ops.pallas_channelize import _CB
+
+        tl = self.host["tile_lo"]
+        pad = (-self.C) % _CB
+        return np.concatenate([tl, np.repeat(tl[-1:], pad)]) if pad else tl
+
+    def _init_chan_kernel(self) -> None:
+        from ..ops.pallas_channelize import plan_runs
+
+        T = _CTILE
+        S = self.host["resp_tiles"].shape[-1]
+        self.chan_ntiles = S // T
+        m_bins = self.master.bins
+        self.chan_nrows = (m_bins + ((-m_bins) % T)) // T
+        plan = plan_runs(self._chan_pad_tl(), self.chan_ntiles, self.chan_nrows)
+        if plan is None:
+            return  # sparse/wrapped layout: the XLA gather is the right tool
+        row0, span = plan
+        self.chan_span = span
+        self.chan_olen_pad = -(-self.olen // 128) * 128
+        Ep = np.zeros((S, self.chan_olen_pad), np.complex64)
+        Ep[:, : self.olen] = self.tile_E
+        self.chan_E_r = np.ascontiguousarray(Ep.real)  # trace-time constants
+        self.chan_E_i = np.ascontiguousarray(Ep.imag)
+        self.chan_kernel = True
+        self._refresh_chan_host(row0)
+        # device params carry the f32 PAIR form of the responses (the
+        # fallback branch reconstructs complex64 in-graph); dropping the
+        # c64 leaf keeps the resp memory single-copy
+        p = {k: v for k, v in self.params.items() if k != "resp_tiles"}
+        for k in ("chan_rr", "chan_ri", "chan_off", "chan_sgn",
+                  "chan_ramp_r", "chan_ramp_i", "chan_row0", "chan_ok"):
+            p[k] = self.put(self.host[k])
+        self.params = p
+
+    def _refresh_chan_host(self, row0=None) -> None:
+        """(Re)derive every chan_* host mirror from the tile mirrors.
+        row0=None re-plans the run windows; an unfittable layout just
+        disarms the kernel (chan_ok = 0 — the lax.cond takes the XLA
+        path, no recompile)."""
+        from ..ops.pallas_channelize import _CB, recompute_row0, build_ramp
+
+        tlp = self._chan_pad_tl()
+        Cp = tlp.shape[0]
+        if row0 is None:
+            row0 = recompute_row0(tlp, self.chan_ntiles, self.chan_nrows,
+                                  self.chan_span)
+        h = self.host
+        if row0 is None:
+            h["chan_ok"] = np.float32(0.0)
+            h.setdefault("chan_row0", np.zeros(Cp // _CB, np.int32))
+            if "chan_off" in h:
+                return  # keep the last consistent tables; kernel disarmed
+            row0 = np.zeros(Cp // _CB, np.int32)
+            ok = np.float32(0.0)
+        else:
+            ok = np.float32(1.0)
+        pad = Cp - self.C
+        rt = h["resp_tiles"]
+        rr = np.zeros((Cp, rt.shape[-1]), np.float32)
+        ri = np.zeros((Cp, rt.shape[-1]), np.float32)
+        rr[: self.C] = rt.real
+        ri[: self.C] = rt.imag
+        off = (tlp - np.repeat(np.asarray(row0, np.int64), _CB)).astype(np.int32)
+        sgn = np.ones(Cp, np.float32)
+        if self.master.real:
+            sgn[: self.C] = np.where(h["shifts"] < 0, -1.0, 1.0)
+        slp = np.concatenate([h["slope"], np.zeros(pad, h["slope"].dtype)])
+        ramp_r, ramp_i = build_ramp(slp, self.n_bins, self.olen,
+                                    self.chan_olen_pad)
+        h["chan_rr"], h["chan_ri"] = rr, ri
+        h["chan_off"] = off[:, None]
+        h["chan_sgn"] = sgn[:, None]
+        h["chan_ramp_r"], h["chan_ramp_i"] = ramp_r, ramp_i
+        h["chan_row0"] = np.asarray(row0, np.int32)
+        h["chan_ok"] = ok
+
+    def _device_host_tree(self, refresh: bool = False) -> dict:
+        """The host mirrors that become device params: kernel groups ship
+        the f32 resp pairs instead of the c64 resp_tiles mirror."""
+        if self.chan_kernel:
+            if refresh:
+                self._refresh_chan_host()
+            return {k: v for k, v in self.host.items() if k != "resp_tiles"}
+        return self.host
+
+    def _chan_surgery_keys(self) -> list[str]:
+        """Params leaves to re-place after tile surgery when the kernel is
+        active (replaces the c64 resp_tiles put)."""
+        self._refresh_chan_host()
+        return ["chan_rr", "chan_ri", "chan_off", "chan_sgn",
+                "chan_ramp_r", "chan_ramp_i", "chan_row0", "chan_ok"]
+
     def retune(self, params: dict[str, Any], idx: int, freq: float) -> dict[str, Any]:
         """New params pytree with channel idx retuned to freq (set_freq,
         radio.c:1140-1175). Pure host-side array surgery — the jitted step
@@ -529,7 +639,9 @@ class _Group:
         keys = ["shifts", "inc_q32", "adj_q32"]
         if self.tiled:
             self._refresh_tile_row(idx)
-            keys += ["resp_tiles", "tile_lo", "slope"]
+            keys += ["tile_lo", "slope"]
+            keys += (self._chan_surgery_keys() if self.chan_kernel
+                     else ["resp_tiles"])
         p = dict(params)
         for k in keys:
             p[k] = self.put(self.host[k])
@@ -545,7 +657,11 @@ class _Group:
         p["responses"] = self.put(self.host["responses"])
         if self.tiled:
             self._refresh_tile_row(idx)
-            p["resp_tiles"] = self.put(self.host["resp_tiles"])
+            if self.chan_kernel:
+                for k in self._chan_surgery_keys():
+                    p[k] = self.put(self.host[k])
+            else:
+                p["resp_tiles"] = self.put(self.host["resp_tiles"])
         if self.f2_N:
             self.host["responses2"][idx] = self._design_f2(low, high, filter2_kaiser_beta)
             p["responses2"] = self.put(self.host["responses2"])
@@ -600,8 +716,33 @@ class _Group:
             if self.use_matmul and not self.spec.isb:
                 return ((fd * params["responses"]) @ self.idft).astype(jnp.complex64)
             return finish_channelize(fd * params["responses"], self.olen)
+        if self.chan_kernel and not sharded and getattr(F, "ndim", 1) == 1:
+            from ..ops.pallas_channelize import pallas_channelize
+
+            def _kern(_):
+                bb = pallas_channelize(
+                    F, params["chan_rr"], params["chan_ri"],
+                    params["chan_off"], params["chan_sgn"],
+                    params["chan_ramp_r"], params["chan_ramp_i"],
+                    params["chan_row0"], self.chan_E_r, self.chan_E_i,
+                    ntiles=self.chan_ntiles, span=self.chan_span,
+                    olen=self.olen, nrows=self.chan_nrows,
+                    interpret=jax.default_backend() != "tpu")
+                return bb[: self.C]
+
+            def _xla(_):
+                rt = jax.lax.complex(params["chan_rr"][: self.C],
+                                     params["chan_ri"][: self.C])
+                return tiled_channelize(F, rt, params["tile_lo"], params["slope"],
+                                        params["shifts"], self.tile_E, self.n_bins,
+                                        self.olen, m.real, m.N, inputs=inp)
+
+            return jax.lax.cond(params["chan_ok"] != 0, _kern, _xla, None)
         if self.tiled:
-            return tiled_channelize(F, params["resp_tiles"], params["tile_lo"], params["slope"],
+            rt = (params["resp_tiles"] if "resp_tiles" in params
+                  else jax.lax.complex(params["chan_rr"][: self.C],
+                                       params["chan_ri"][: self.C]))
+            return tiled_channelize(F, rt, params["tile_lo"], params["slope"],
                                     params["shifts"], self.tile_E, self.n_bins, self.olen,
                                     m.real, m.N, inputs=inp)
         if self.use_matmul and not self.spec.isb:
@@ -934,7 +1075,11 @@ class Engine:
                                       center=self.centers,
                                       use_tiled=use_tiled,
                                       noise_every=self.noise_every,
-                                      n_inputs=self.n_inputs)
+                                      n_inputs=self.n_inputs,
+                                      # mesh/time-shard paths keep the XLA
+                                      # channelizer (pallas_call won't
+                                      # partition under GSPMD / vmap)
+                                      allow_chan_kernel=mesh is None)
                        for g in groups}
         if mesh is not None and self.time_shards:
             # params stay REPLICATED over the mesh (every device demods all
@@ -1046,7 +1191,8 @@ class Engine:
                 o = og.host["demod"].get(key)
                 if o is not None and arr.shape[1:] == o.shape[1:]:
                     arr[:n] = o[:n]
-        return {name: g.put_tree(g.host) for name, g in self.groups.items()}
+        return {name: g.put_tree(g._device_host_tree(refresh=True))
+                for name, g in self.groups.items()}
 
     def step(self, state, params, block):
         """One block: [L] input samples ([B, L] for an n_inputs=B engine)

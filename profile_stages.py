@@ -35,7 +35,12 @@ from bench import build_engine
 from ka9q_radio_tpu.ops.filterbank import master_fft, tiled_channelize, fine_tune
 from ka9q_radio_tpu.ops.noise import gather_noise_bins, estimate_noise
 
-eng, FS, baseline = build_engine("rx888")
+import sys as _sys
+
+_cfg = "rx888"
+if "--config" in _sys.argv:
+    _cfg = _sys.argv[_sys.argv.index("--config") + 1]
+eng, FS, baseline = build_engine(_cfg)
 m = eng.master
 hf = eng.groups["hf"]
 params = eng.init_params()
@@ -97,24 +102,50 @@ def stage_full(st, params, blk):
     return st, acc
 
 
-from ka9q_radio_tpu.models.spectrum import wide_accumulate
+def stage_demod(st, params, blk):
+    """chan + the full linear demod tail (AGC/squelch/PLL) — the marginal
+    per-channel cost beyond the shared master splits as (chan - master) +
+    (noise - master) + (demod - chan)."""
+    from ka9q_radio_tpu.models.linear import linear_demod
 
-sweep = eng.groups["sweep"]
-
-
-def stage_wide(st, params, blk):
-    dst, pwr = wide_accumulate(st, blk, sweep.wide_geo)
-    return dst, jnp.sum(pwr[:64])
+    mst, F = master_fft(m, st["master"], blk)
+    p = params["hf"]
+    bb = tiled_channelize(F, p["resp_tiles"], p["tile_lo"], p["slope"], p["shifts"],
+                          hf.tile_E, hf.n_bins, hf.olen, m.real, m.N)
+    bb, acc = fine_tune(bb, st["g"]["dc"]["acc_q32"], p["inc_q32"], p["adj_q32"])
+    bb_power = jnp.mean(bb.real * bb.real + bb.imag * bb.imag, axis=-1)
+    n0 = st["g"]["dc"]["n0"]
+    ds, audio, info = linear_demod(st["g"]["demod"], bb, bb_power, n0, p["demod"],
+                                   samprate=hf.spec.samprate, blocktime=eng.blocktime)
+    g = dict(st["g"])
+    g["demod"] = ds
+    dc = dict(st["g"]["dc"])
+    dc["acc_q32"] = acc
+    g["dc"] = dc
+    return {"master": mst, "g": g}, jnp.sum(audio)
 
 
 STAGES = {
     "master": (stage_master, lambda: eng.init_state()["master"]),
-    "wide": (stage_wide, lambda: eng.init_state()["groups"]["sweep"]["demod"]),
     "chan": (stage_chan, lambda: {"master": eng.init_state()["master"],
                                   "acc": jnp.zeros((hf.C,), jnp.int32)}),
     "noise": (stage_noise, lambda: eng.init_state()["master"]),
+    "demod": (stage_demod, lambda: {"master": eng.init_state()["master"],
+                                    "g": eng.init_state()["groups"]["hf"]}),
     "full": (stage_full, eng.init_state),
 }
+
+if "sweep" in eng.groups:
+    from ka9q_radio_tpu.models.spectrum import wide_accumulate
+
+    sweep = eng.groups["sweep"]
+
+    def stage_wide(st, params, blk):
+        dst, pwr = wide_accumulate(st, blk, sweep.wide_geo)
+        return dst, jnp.sum(pwr[:64])
+
+    STAGES["wide"] = (stage_wide,
+                      lambda: eng.init_state()["groups"]["sweep"]["demod"])
 
 
 def mesh_stages():
@@ -217,7 +248,11 @@ def mesh_stages():
 def main():
     import sys
     global params
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    if "--config" in argv:
+        i = argv.index("--config")
+        argv = argv[:i] + argv[i + 2:]
+    names = [a for a in argv if not a.startswith("--")]
     if "--mesh" in sys.argv:
         mst, params = mesh_stages()
         STAGES.clear()
