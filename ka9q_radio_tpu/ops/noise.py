@@ -136,7 +136,7 @@ def estimate_noise(energies, master_bins: int, samprate: float):
     frac = pos - i
     keys = jax.lax.bitcast_convert_type(energies, jnp.int32)
 
-    def kth_smallest(kk: int):
+    def kth_smallest_key(kk: int):
         """Exact 0-indexed kk-th order statistic per row: the smallest key
         v with count(keys <= v) >= kk+1. 31 steps cover [0, 2^31-1]."""
 
@@ -150,9 +150,25 @@ def estimate_noise(energies, master_bins: int, samprate: float):
         lo0 = jnp.zeros(keys.shape[:-1], jnp.int32)
         hi0 = jnp.full(keys.shape[:-1], np.int32(2**31 - 1))
         (lo, _), _ = jax.lax.scan(step, (lo0, hi0), None, length=31)
-        return jax.lax.bitcast_convert_type(lo, jnp.float32)
+        return lo
 
-    q = kth_smallest(i) * (1.0 - frac) + kth_smallest(min(i + 1, nbins - 1)) * frac
+    vi = kth_smallest_key(i)
+    if min(i + 1, nbins - 1) == i:
+        v_i1 = vi
+    else:
+        # the (i+1)-th statistic follows from the i-th in TWO data passes
+        # instead of a second 31-pass bisection (the stage runs at the
+        # VPU compare roofline — this halves it): if the i-th key's tie
+        # group extends past rank i+1 it IS the next statistic, otherwise
+        # the next statistic is the smallest key strictly above it. Both
+        # rules are exactly kth_smallest_key(i+1)'s definition (smallest
+        # v with count(<= v) >= i+2), bit for bit.
+        cnt_le = jnp.sum((keys <= vi[..., None]).astype(jnp.int32), axis=-1)
+        bigger = jnp.where(keys > vi[..., None], keys, np.int32(2**31 - 1))
+        vnext = jnp.min(bigger, axis=-1)
+        v_i1 = jnp.where(cnt_le >= i + 2, vi, vnext)
+    q = (jax.lax.bitcast_convert_type(vi, jnp.float32) * (1.0 - frac)
+         + jax.lax.bitcast_convert_type(v_i1, jnp.float32) * frac)
     thresh = N_CUTOFF * q
     mask = energies <= thresh[..., None]
     count = jnp.maximum(jnp.sum(mask, axis=-1), 1)

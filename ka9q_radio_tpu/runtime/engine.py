@@ -348,8 +348,12 @@ class _Group:
         # + row0 params, lax.cond fallback to the XLA path), so retunes
         # stay recompile-free even when they scatter a run.
         self.chan_kernel = False
+        # measured crossover on v5e: the kernel wins from ~10k channels up
+        # (+35% whole-block at 32k, +45% at 150k); below that the XLA
+        # path's fixed costs are smaller (8k: 2,434 vs 2,159 Msps)
+        min_c = 10_000 if os.environ.get("KA9Q_CHAN_KERNEL") != "force" else 512
         if (allow_chan_kernel and self.tiled and self.tile_E is not None
-                and not spec.beam and not self.multi and self.C >= 512
+                and not spec.beam and not self.multi and self.C >= min_c
                 and (jax.default_backend() == "tpu"
                      or os.environ.get("KA9Q_CHAN_KERNEL") == "force")):
             self._init_chan_kernel()
