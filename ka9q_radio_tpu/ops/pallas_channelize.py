@@ -219,3 +219,111 @@ def pallas_channelize(F, resp_r, resp_i, off, sgn, ramp_r, ramp_i, row0,
         interpret=interpret,
     )(row0, fr, fi, resp_r, resp_i, off, sgn, ramp_r, ramp_i, E_r, E_i)
     return (outr[:, :olen] + 1j * outi[:, :olen]).astype(jnp.complex64)
+
+
+# ---------------------------------------------------------------------------
+# Fused noise estimate: window DMA + |F|^2 + one-hot gather + the exact
+# order-statistics bisection, all in VMEM (ops/noise.py does the same in
+# three materialized stages; the [C, nbins] energies round trip measured
+# 1.35 ms/block at C=32k). Real masters only (complex windows wrap).
+# ---------------------------------------------------------------------------
+
+
+def _noise_kernel(row0_ref, fr_hbm, fi_hbm, off_ref, o_ref,
+                  winr, wini, semr, semi, *, ntiles, span, i_idx, frac,
+                  scale):
+    f32 = jnp.float32
+    hi = jax.lax.Precision.HIGHEST
+    r = pl.program_id(0)
+    row0 = row0_ref[r]
+    cpr = pltpu.make_async_copy(fr_hbm.at[pl.ds(row0, span), :], winr, semr)
+    cpi = pltpu.make_async_copy(fi_hbm.at[pl.ds(row0, span), :], wini, semi)
+    cpr.start()
+    cpi.start()
+    cpr.wait()
+    cpi.wait()
+    wr = winr[:]
+    wi = wini[:]
+    e_win = wr * wr + wi * wi  # [span, 128] energies
+
+    off = off_ref[:]  # [Cb, 1] i32
+    iota = jax.lax.broadcasted_iota(jnp.int32, (_CB, span), 1)
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32, precision=hi)
+
+    tiles = []
+    for t in range(ntiles):
+        sel = (iota == off + t).astype(f32)
+        tiles.append(dot(sel, e_win))
+    energ = jnp.concatenate(tiles, axis=1)  # [Cb, nbins]
+    keys = pltpu.bitcast(energ, jnp.int32)  # non-negative f32: int order ok
+
+    def step(k, c):
+        lo, hic = c
+        mid = lo + ((hic - lo) >> 1)
+        cnt = jnp.sum((keys <= mid).astype(jnp.int32), axis=-1, keepdims=True)
+        take = cnt >= (i_idx + 1)
+        return (jnp.where(take, lo, mid + 1), jnp.where(take, mid, hic))
+
+    lo0 = jnp.zeros((_CB, 1), jnp.int32)
+    hi0 = jnp.full((_CB, 1), np.int32(2**31 - 1))
+    vi, _ = jax.lax.fori_loop(0, 31, step, (lo0, hi0))
+    cnt_le = jnp.sum((keys <= vi).astype(jnp.int32), axis=-1, keepdims=True)
+    bigger = jnp.where(keys > vi, keys, np.int32(2**31 - 1))
+    vnext = jnp.min(bigger, axis=-1, keepdims=True)
+    v1 = jnp.where(cnt_le >= i_idx + 2, vi, vnext)
+    q = (pltpu.bitcast(vi, f32) * np.float32(1.0 - frac)
+         + pltpu.bitcast(v1, f32) * np.float32(frac))
+    thresh = np.float32(1.5) * q  # N_CUTOFF (radio.c:75)
+    mask = energ <= thresh
+    count = jnp.maximum(jnp.sum(mask.astype(f32), axis=-1, keepdims=True), 1.0)
+    mean = jnp.sum(jnp.where(mask, energ, 0.0), axis=-1, keepdims=True) / count
+    o_ref[:] = jnp.broadcast_to(mean * np.float32(scale), (_CB, 128))
+
+
+@functools.partial(jax.jit, static_argnames=("ntiles", "span", "nrows",
+                                             "nbins", "scale", "interpret"))
+def pallas_noise_est(F, off, row0, *, ntiles: int, span: int, nrows: int,
+                     nbins: int, scale: float, interpret: bool = False):
+    """Fused gather_noise_bins + estimate_noise for REAL masters.
+    F [m_bins] complex64; off [C, 1] i32 (noise window tile row - run
+    row0); row0 [R] i32; scale = noise_correction()/(master_bins*fs).
+    Returns [C] float32 N0 — estimate_noise(gather_noise_bins(...)) to
+    f32 rounding."""
+    from .noise import NQ
+
+    C = off.shape[0]
+    R = C // _CB
+    pos = NQ * (nbins - 1)
+    i_idx = int(np.floor(pos))
+    frac = pos - i_idx
+    pad = nrows * 128 - F.shape[-1]
+    Fp = jnp.pad(F, (0, pad))
+    fr = Fp.real.astype(jnp.float32).reshape(nrows, 128)
+    fi = Fp.imag.astype(jnp.float32).reshape(nrows, 128)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(R,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((_CB, 1), lambda r, row0: (r, 0)),
+        ],
+        out_specs=pl.BlockSpec((_CB, 128), lambda r, row0: (r, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((span, 128), jnp.float32),
+            pltpu.VMEM((span, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kern = functools.partial(_noise_kernel, ntiles=ntiles, span=span,
+                             i_idx=i_idx, frac=frac, scale=scale)
+    out = pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((C, 128), jnp.float32),
+        interpret=interpret,
+    )(row0, fr, fi, off)
+    return out[:, 0]

@@ -348,6 +348,7 @@ class _Group:
         # + row0 params, lax.cond fallback to the XLA path), so retunes
         # stay recompile-free even when they scatter a run.
         self.chan_kernel = False
+        self.noise_kernel = False
         # measured crossover on v5e: the kernel wins from ~10k channels up
         # (+35% whole-block at 32k, +45% at 150k); below that the XLA
         # path's fixed costs are smaller (8k: 2,434 vs 2,159 Msps)
@@ -542,6 +543,18 @@ class _Group:
         pad = (-self.C) % _CB
         return np.concatenate([tl, np.repeat(tl[-1:], pad)]) if pad else tl
 
+    def _noise_tl(self) -> np.ndarray:
+        """Per-channel noise-window tile row, exactly gather_noise_bins'
+        real-master placement (ops/noise.py:75-77), padded to whole runs."""
+        from ..ops.pallas_channelize import _CB
+
+        T = _CTILE
+        w = self.nz_ntiles * T
+        lo = np.abs(self.host["shifts"].astype(np.int64)) - w // 2
+        tl = (np.clip(lo, 0, self.master.bins - w) // T).astype(np.int32)
+        pad = (-self.C) % _CB
+        return np.concatenate([tl, np.repeat(tl[-1:], pad)]) if pad else tl
+
     def _init_chan_kernel(self) -> None:
         from ..ops.pallas_channelize import plan_runs
 
@@ -561,13 +574,27 @@ class _Group:
         self.chan_E_r = np.ascontiguousarray(Ep.real)  # trace-time constants
         self.chan_E_i = np.ascontiguousarray(Ep.imag)
         self.chan_kernel = True
+        # fused noise estimate rides the same run machinery (real masters:
+        # the complex gather wraps through DC, which a window DMA can't)
+        self.noise_kernel = False
+        if self.master.real:
+            from ..ops.pallas_channelize import plan_runs as _pr
+
+            self.nz_ntiles = -(-self.noise_bins // T)
+            nplan = _pr(self._noise_tl(), self.nz_ntiles, self.chan_nrows)
+            if nplan is not None:
+                self.nz_span = nplan[1]
+                self.noise_kernel = True
         self._refresh_chan_host(row0)
         # device params carry the f32 PAIR form of the responses (the
         # fallback branch reconstructs complex64 in-graph); dropping the
         # c64 leaf keeps the resp memory single-copy
         p = {k: v for k, v in self.params.items() if k != "resp_tiles"}
-        for k in ("chan_rr", "chan_ri", "chan_off", "chan_sgn",
-                  "chan_ramp_r", "chan_ramp_i", "chan_row0", "chan_ok"):
+        keys = ["chan_rr", "chan_ri", "chan_off", "chan_sgn",
+                "chan_ramp_r", "chan_ramp_i", "chan_row0", "chan_ok"]
+        if self.noise_kernel:
+            keys += ["nz_off", "nz_row0", "nz_ok"]
+        for k in keys:
             p[k] = self.put(self.host[k])
         self.params = p
 
@@ -612,6 +639,20 @@ class _Group:
         h["chan_ramp_r"], h["chan_ramp_i"] = ramp_r, ramp_i
         h["chan_row0"] = np.asarray(row0, np.int32)
         h["chan_ok"] = ok
+        if self.noise_kernel:
+            from ..ops.pallas_channelize import recompute_row0 as _rr0
+
+            ntl = self._noise_tl()
+            nrow0 = _rr0(ntl, self.nz_ntiles, self.chan_nrows, self.nz_span)
+            if nrow0 is None:
+                h["nz_ok"] = np.float32(0.0)
+                h.setdefault("nz_row0", np.zeros(Cp // _CB, np.int32))
+                h.setdefault("nz_off", np.zeros((Cp, 1), np.int32))
+            else:
+                h["nz_off"] = (ntl - np.repeat(np.asarray(nrow0, np.int64), _CB)
+                               ).astype(np.int32)[:, None]
+                h["nz_row0"] = np.asarray(nrow0, np.int32)
+                h["nz_ok"] = np.float32(1.0)
 
     def _device_host_tree(self, refresh: bool = False) -> dict:
         """The host mirrors that become device params: kernel groups ship
@@ -626,8 +667,11 @@ class _Group:
         """Params leaves to re-place after tile surgery when the kernel is
         active (replaces the c64 resp_tiles put)."""
         self._refresh_chan_host()
-        return ["chan_rr", "chan_ri", "chan_off", "chan_sgn",
+        keys = ["chan_rr", "chan_ri", "chan_off", "chan_sgn",
                 "chan_ramp_r", "chan_ramp_i", "chan_row0", "chan_ok"]
+        if self.noise_kernel:
+            keys += ["nz_off", "nz_row0", "nz_ok"]
+        return keys
 
     def retune(self, params: dict[str, Any], idx: int, freq: float) -> dict[str, Any]:
         """New params pytree with channel idx retuned to freq (set_freq,
@@ -760,6 +804,25 @@ class _Group:
         """Stateless N0 estimate from the master bins around each channel."""
         m = self.master
         sharded = not hasattr(F, "shape")
+        if (self.noise_kernel and not sharded
+                and getattr(F, "ndim", 1) == 1 and "nz_ok" in params):
+            from ..ops.pallas_channelize import pallas_noise_est
+            from ..ops.noise import noise_correction
+
+            def _kern(_):
+                return pallas_noise_est(
+                    F, params["nz_off"], params["nz_row0"],
+                    ntiles=self.nz_ntiles, span=self.nz_span,
+                    nrows=self.chan_nrows, nbins=self.nz_ntiles * _CTILE,
+                    scale=noise_correction() / (float(m.bins) * float(self.fs_in)),
+                    interpret=jax.default_backend() != "tpu")[: self.C]
+
+            def _xla(_):
+                e = gather_noise_bins(F, params["shifts"], self.noise_bins,
+                                      m.real, m.N)
+                return estimate_noise(e, m.bins, self.fs_in)
+
+            return jax.lax.cond(params["nz_ok"] != 0, _kern, _xla, None)
         inp = self.inputs if (not sharded and getattr(F, "ndim", 1) == 2) else None
         e = (F.gather_noise(params["shifts"], self.noise_bins) if sharded
              else gather_noise_bins(F, params["shifts"], self.noise_bins, m.real, m.N,

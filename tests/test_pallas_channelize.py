@@ -158,3 +158,42 @@ def test_engine_kernel_matches_xla(monkeypatch):
     # agree to ~f32 rounding per block (asserted above), the carried state
     # just amplifies it
     assert np.max(np.abs(a_k - a_x)) < 2e-2 * max(np.abs(a_x).max(), 1e-9)
+
+
+def test_noise_kernel_matches_xla():
+    """pallas_noise_est == estimate_noise(gather_noise_bins(...)) on a
+    dense real-master ladder (interpret mode on CPU)."""
+    from ka9q_radio_tpu.ops.noise import (gather_noise_bins, estimate_noise,
+                                          noise_correction)
+    from ka9q_radio_tpu.ops.pallas_channelize import (plan_runs,
+                                                      pallas_noise_est)
+
+    rng = np.random.default_rng(3)
+    master_N = 262_144
+    m_bins = master_N // 2 + 1
+    C, nbins, T = 256, 1024, 128
+    ntiles = nbins // T
+    F = (rng.standard_normal(m_bins) + 1j * rng.standard_normal(m_bins)
+         ).astype(np.complex64) * rng.uniform(0.1, 10.0, m_bins)
+    shifts = np.linspace(2_000, 120_000, C).astype(np.int32)
+    shifts[10] = -shifts[10]  # an inverted channel (|shift| window)
+    fs = 1.0e6
+
+    want = np.asarray(jax.jit(lambda Fv: estimate_noise(
+        gather_noise_bins(Fv, jnp.asarray(shifts), nbins, True, master_N),
+        m_bins, fs))(jnp.asarray(F)))
+
+    nrows = (m_bins + ((-m_bins) % T)) // T
+    lo = np.abs(shifts.astype(np.int64)) - nbins // 2
+    tl = (np.clip(lo, 0, m_bins - nbins) // T).astype(np.int32)
+    plan = plan_runs(tl, ntiles, nrows)
+    assert plan is not None
+    row0, span = plan
+    from ka9q_radio_tpu.ops.pallas_channelize import _CB
+    off = (tl - np.repeat(row0, _CB)).astype(np.int32)[:, None]
+    got = np.asarray(pallas_noise_est(
+        jnp.asarray(F), jnp.asarray(off), jnp.asarray(row0),
+        ntiles=ntiles, span=span, nrows=nrows, nbins=nbins,
+        scale=noise_correction() / (float(m_bins) * fs),
+        interpret=jax.default_backend() != "tpu"))
+    np.testing.assert_allclose(got, want, rtol=2e-5)
