@@ -220,6 +220,19 @@ class GroupSpec:
             object.__setattr__(self, "snr_squelch", True)
 
 
+@jax.jit
+def _row_surgery(leaves, rows, idx):
+    """Device-side row surgery on params leaves: dynamic_update_slice of
+    one changed channel's row into each big table, one compiled program
+    per rows-structure (jit-cached across commands)."""
+    out = dict(leaves)
+    for k, r in rows.items():
+        out[k] = jax.lax.dynamic_update_slice(
+            leaves[k], r.astype(leaves[k].dtype),
+            (idx,) + (0,) * (leaves[k].ndim - 1))
+    return out
+
+
 class _Group:
     """Host-side compiled geometry + initial params for one GroupSpec."""
 
@@ -585,7 +598,7 @@ class _Group:
             if nplan is not None:
                 self.nz_span = nplan[1]
                 self.noise_kernel = True
-        self._refresh_chan_host(row0)
+        self._refresh_chan_host()
         # device params carry the f32 PAIR form of the responses (the
         # fallback branch reconstructs complex64 in-graph); dropping the
         # c64 leaf keeps the resp memory single-copy
@@ -598,35 +611,65 @@ class _Group:
             p[k] = self.put(self.host[k])
         self.params = p
 
-    def _refresh_chan_host(self, row0=None) -> None:
-        """(Re)derive every chan_* host mirror from the tile mirrors.
-        row0=None re-plans the run windows; an unfittable layout just
-        disarms the kernel (chan_ok = 0 — the lax.cond takes the XLA
-        path, no recompile)."""
-        from ..ops.pallas_channelize import _CB, recompute_row0, build_ramp
+    def _chan_replan(self) -> None:
+        """Re-plan the run windows from the tile mirrors — vectorized and
+        cheap (no per-row transcendentals): chan_off/chan_row0/chan_ok and
+        the noise-kernel twins. An unfittable layout only disarms the
+        kernel (chan_ok = 0 — the lax.cond takes the XLA path, no
+        recompile) and keeps the last windows with offsets clamped
+        in-range."""
+        from ..ops.pallas_channelize import _CB, recompute_row0
 
         tlp = self._chan_pad_tl()
         Cp = tlp.shape[0]
-        if row0 is None:
-            row0 = recompute_row0(tlp, self.chan_ntiles, self.chan_nrows,
-                                  self.chan_span)
         h = self.host
+        row0 = recompute_row0(tlp, self.chan_ntiles, self.chan_nrows,
+                              self.chan_span)
         if row0 is None:
             h["chan_ok"] = np.float32(0.0)
-            h.setdefault("chan_row0", np.zeros(Cp // _CB, np.int32))
-            if "chan_off" in h:
-                return  # keep the last consistent tables; kernel disarmed
-            row0 = np.zeros(Cp // _CB, np.int32)
-            ok = np.float32(0.0)
+            row0 = h.get("chan_row0")
+            if row0 is None:
+                row0 = np.zeros(Cp // _CB, np.int32)
         else:
-            ok = np.float32(1.0)
+            h["chan_ok"] = np.float32(1.0)
+        h["chan_row0"] = np.asarray(row0, np.int32)
+        off = tlp - np.repeat(np.asarray(row0, np.int64), _CB)
+        h["chan_off"] = np.clip(off, 0, self.chan_span - self.chan_ntiles
+                                ).astype(np.int32)[:, None]
+        if self.noise_kernel:
+            ntl = self._noise_tl()
+            nrow0 = recompute_row0(ntl, self.nz_ntiles, self.chan_nrows,
+                                   self.nz_span)
+            if nrow0 is None:
+                h["nz_ok"] = np.float32(0.0)
+                nrow0 = h.get("nz_row0")
+                if nrow0 is None:
+                    nrow0 = np.zeros(Cp // _CB, np.int32)
+            else:
+                h["nz_ok"] = np.float32(1.0)
+            h["nz_row0"] = np.asarray(nrow0, np.int32)
+            noff = ntl - np.repeat(np.asarray(nrow0, np.int64), _CB)
+            h["nz_off"] = np.clip(noff, 0, self.nz_span - self.nz_ntiles
+                                  ).astype(np.int32)[:, None]
+
+    def _refresh_chan_host(self) -> None:
+        """(Re)derive EVERY chan_* host mirror from the tile mirrors (full
+        rebuild: kernel init / table rebuild / adopt). The response, sign
+        and ramp tables ALWAYS track the mirrors, fittable layout or not —
+        the disarmed lax.cond fallback rebuilds channel responses from
+        chan_rr/chan_ri against the FRESH tile_lo, so keeping stale tables
+        would misalign every channel retuned while the kernel is down
+        (advisor r4 high: 160% audio error on a disarmed retune)."""
+        from ..ops.pallas_channelize import build_ramp
+
+        h = self.host
+        Cp = self._chan_pad_tl().shape[0]
         pad = Cp - self.C
         rt = h["resp_tiles"]
         rr = np.zeros((Cp, rt.shape[-1]), np.float32)
         ri = np.zeros((Cp, rt.shape[-1]), np.float32)
         rr[: self.C] = rt.real
         ri[: self.C] = rt.imag
-        off = (tlp - np.repeat(np.asarray(row0, np.int64), _CB)).astype(np.int32)
         sgn = np.ones(Cp, np.float32)
         if self.master.real:
             sgn[: self.C] = np.where(h["shifts"] < 0, -1.0, 1.0)
@@ -634,25 +677,26 @@ class _Group:
         ramp_r, ramp_i = build_ramp(slp, self.n_bins, self.olen,
                                     self.chan_olen_pad)
         h["chan_rr"], h["chan_ri"] = rr, ri
-        h["chan_off"] = off[:, None]
         h["chan_sgn"] = sgn[:, None]
         h["chan_ramp_r"], h["chan_ramp_i"] = ramp_r, ramp_i
-        h["chan_row0"] = np.asarray(row0, np.int32)
-        h["chan_ok"] = ok
-        if self.noise_kernel:
-            from ..ops.pallas_channelize import recompute_row0 as _rr0
+        self._chan_replan()
 
-            ntl = self._noise_tl()
-            nrow0 = _rr0(ntl, self.nz_ntiles, self.chan_nrows, self.nz_span)
-            if nrow0 is None:
-                h["nz_ok"] = np.float32(0.0)
-                h.setdefault("nz_row0", np.zeros(Cp // _CB, np.int32))
-                h.setdefault("nz_off", np.zeros((Cp, 1), np.int32))
-            else:
-                h["nz_off"] = (ntl - np.repeat(np.asarray(nrow0, np.int64), _CB)
-                               ).astype(np.int32)[:, None]
-                h["nz_row0"] = np.asarray(nrow0, np.int32)
-                h["nz_ok"] = np.float32(1.0)
+    def _chan_row_host(self, idx: int) -> None:
+        """Rebuild ONE channel's response/sign/ramp mirror rows from the
+        tile mirrors: O(S + olen) host work vs the full rebuild's
+        O(C·olen) transcendentals (advisor r4 medium: at the 250k-channel
+        ceiling the full build_ramp is ~1e8 cos/sin per control command)."""
+        from ..ops.pallas_channelize import build_ramp
+
+        h = self.host
+        h["chan_rr"][idx] = h["resp_tiles"][idx].real
+        h["chan_ri"][idx] = h["resp_tiles"][idx].imag
+        if self.master.real:
+            h["chan_sgn"][idx, 0] = -1.0 if h["shifts"][idx] < 0 else 1.0
+        rr, ri = build_ramp(h["slope"][idx : idx + 1], self.n_bins,
+                            self.olen, self.chan_olen_pad)
+        h["chan_ramp_r"][idx] = rr[0]
+        h["chan_ramp_i"][idx] = ri[0]
 
     def _device_host_tree(self, refresh: bool = False) -> dict:
         """The host mirrors that become device params: kernel groups ship
@@ -663,15 +707,40 @@ class _Group:
             return {k: v for k, v in self.host.items() if k != "resp_tiles"}
         return self.host
 
-    def _chan_surgery_keys(self) -> list[str]:
-        """Params leaves to re-place after tile surgery when the kernel is
-        active (replaces the c64 resp_tiles put)."""
-        self._refresh_chan_host()
-        keys = ["chan_rr", "chan_ri", "chan_off", "chan_sgn",
-                "chan_ramp_r", "chan_ramp_i", "chan_row0", "chan_ok"]
-        if self.noise_kernel:
-            keys += ["nz_off", "nz_row0", "nz_ok"]
-        return keys
+    def _chan_surgery_rows(self, params: dict[str, Any], idx: int,
+                           retuned: bool = True,
+                           new_resp: bool = False) -> dict[str, Any]:
+        """Incremental kernel surgery for ONE changed channel: rebuild
+        just the touched mirror rows on host, re-plan the run windows
+        (vectorized, cheap), and apply the row updates in one jitted
+        device program — a control command moves O(row) bytes over the
+        link instead of re-placing whole [C, S] tables. Returns the
+        updated params leaves; shapes/dtypes unchanged, so the no-
+        recompile property holds."""
+        h = self.host
+        self._chan_row_host(idx)
+        # wide tables ([*, S] / [*, olen_pad] / [*, n_bins]): row surgery
+        rows = {"chan_rr": h["chan_rr"][idx : idx + 1],
+                "chan_ri": h["chan_ri"][idx : idx + 1]}
+        # narrow vectors ([Cp, 1] / [R] / scalars): whole-leaf puts — a
+        # retune can re-center ANY run's window once a previously
+        # unfittable layout becomes fittable again, so these must never
+        # be shipped partially
+        small: list[str] = []
+        if retuned:
+            self._chan_replan()
+            rows.update(chan_ramp_r=h["chan_ramp_r"][idx : idx + 1],
+                        chan_ramp_i=h["chan_ramp_i"][idx : idx + 1])
+            small += ["chan_sgn", "chan_off", "chan_row0", "chan_ok"]
+            if self.noise_kernel:
+                small += ["nz_off", "nz_row0", "nz_ok"]
+        if new_resp:
+            rows["responses"] = h["responses"][idx : idx + 1]
+        leaves = {k: params[k] for k in rows}
+        out = _row_surgery(leaves, device_put_safe(rows), np.int32(idx))
+        for k in small:
+            out[k] = self.put(h[k])
+        return out
 
     def retune(self, params: dict[str, Any], idx: int, freq: float) -> dict[str, Any]:
         """New params pytree with channel idx retuned to freq (set_freq,
@@ -685,12 +754,14 @@ class _Group:
         self.host["inc_q32"][idx] = rev_to_q32(-rem / self.spec.samprate)
         self.host["adj_q32"][idx] = block_phase_adjust_q32(shift, L, N)
         keys = ["shifts", "inc_q32", "adj_q32"]
+        p = dict(params)
         if self.tiled:
             self._refresh_tile_row(idx)
             keys += ["tile_lo", "slope"]
-            keys += (self._chan_surgery_keys() if self.chan_kernel
-                     else ["resp_tiles"])
-        p = dict(params)
+            if self.chan_kernel:
+                p.update(self._chan_surgery_rows(params, idx, retuned=True))
+            else:
+                keys += ["resp_tiles"]
         for k in keys:
             p[k] = self.put(self.host[k])
         return p
@@ -702,13 +773,17 @@ class _Group:
         filter.c:934-1007). Same no-recompile hot-swap property."""
         self.host["responses"][idx] = self._design_main(low, high, kaiser_beta)
         p = dict(params)
-        p["responses"] = self.put(self.host["responses"])
-        if self.tiled:
+        if self.tiled and self.chan_kernel:
+            # response-only surgery: tile_lo/slope are functions of the
+            # shift alone, so the run plan is untouched — one row of the
+            # response pair (+ the c64 responses mirror) updates on device
             self._refresh_tile_row(idx)
-            if self.chan_kernel:
-                for k in self._chan_surgery_keys():
-                    p[k] = self.put(self.host[k])
-            else:
+            p.update(self._chan_surgery_rows(params, idx, retuned=False,
+                                             new_resp=True))
+        else:
+            p["responses"] = self.put(self.host["responses"])
+            if self.tiled:
+                self._refresh_tile_row(idx)
                 p["resp_tiles"] = self.put(self.host["resp_tiles"])
         if self.f2_N:
             self.host["responses2"][idx] = self._design_f2(low, high, filter2_kaiser_beta)

@@ -126,12 +126,19 @@ int file_setup(struct frontend *const frontend, dictionary const *const dictiona
 static long read_frames(struct filestate *fs, float *dst, long n) {
   size_t const w = fs->complex_file ? 2 : 1;
   long got = 0;
+  int rewound_dry = 0; // loop=yes on an empty/unreadable file: one dry
+                       // rewind is allowed (read position at exact EOF);
+                       // a second with zero progress means no data will
+                       // ever come — zero-fill instead of spinning forever
   while (got < n) {
     size_t r = fread(dst + got * w, sizeof(float) * w, n - got, fs->fp);
     got += (long)r;
+    if (r > 0)
+      rewound_dry = 0;
     if (got < n) {
-      if (fs->loop) {
+      if (fs->loop && !rewound_dry) {
         rewind(fs->fp);
+        rewound_dry = 1;
       } else {
         memset(dst + got * w, 0, (n - got) * w * sizeof(float));
         return n;

@@ -148,9 +148,15 @@ def test_engine_kernel_matches_xla(monkeypatch):
     pk = ek.retune(pk, "hf", 10, 1_000_000.0)
     px = ex.retune(px, "hf", 10, 1_000_000.0)
     assert float(np.asarray(pk["hf"]["chan_ok"])) == 0.0
+    # put a carrier AT the retuned channel so the disarmed-fallback path
+    # is pinned on actual signal, not just noise (advisor r4: a stale
+    # response table passed the global max-abs check undetected)
+    x2 = (x + 0.3 * np.cos(2 * np.pi * (1_000_000.0 + 700.0) * t)
+          ).astype(np.float32)
+    blocks2 = x2.reshape(4, ek.L)
     for i in range(2, 4):
-        sk, ok_ = step_k(sk, pk, jnp.asarray(blocks[i]))
-        sx, ox_ = step_x(sx, px, jnp.asarray(blocks[i]))
+        sk, ok_ = step_k(sk, pk, jnp.asarray(blocks2[i]))
+        sx, ox_ = step_x(sx, px, jnp.asarray(blocks2[i]))
     a_k = np.asarray(ok_["hf"]["audio"])
     a_x = np.asarray(ox_["hf"]["audio"])
     # the kernel-vs-XLA rounding delta from the first two blocks has been
@@ -158,6 +164,86 @@ def test_engine_kernel_matches_xla(monkeypatch):
     # agree to ~f32 rounding per block (asserted above), the carried state
     # just amplifies it
     assert np.max(np.abs(a_k - a_x)) < 2e-2 * max(np.abs(a_x).max(), 1e-9)
+    # the retuned channel demodulates its carrier correctly on ITS scale
+    ch_scale = max(np.abs(a_x[10]).max(), 1e-9)
+    assert np.abs(a_x[10]).max() > 1e-3, "retuned channel must hear its carrier"
+    assert np.max(np.abs(a_k[10] - a_x[10])) < 2e-2 * ch_scale
+    # retune BACK inside the dense ladder: the run fits again, the kernel
+    # re-arms, and the rebuilt tables match the XLA engine
+    pk = ek.retune(pk, "hf", 10, float(freqs[10]))
+    px = ex.retune(px, "hf", 10, float(freqs[10]))
+    assert float(np.asarray(pk["hf"]["chan_ok"])) == 1.0
+    sk, ok_ = step_k(sk, pk, jnp.asarray(blocks[0]))
+    sx, ox_ = step_x(sx, px, jnp.asarray(blocks[0]))
+    a_k = np.asarray(ok_["hf"]["audio"])
+    a_x = np.asarray(ox_["hf"]["audio"])
+    assert np.max(np.abs(a_k - a_x)) < 2e-2 * max(np.abs(a_x).max(), 1e-9)
+
+
+def test_engine_noise_kernel_pinned(monkeypatch):
+    """Engine-level N0 pin (radio.c:1821-1904 estimate_noise parity):
+    the fused noise kernel (nz_ok=1), its runtime-disarmed XLA fallback
+    (nz_ok=0) and the unfused engine all report the same per-channel N0,
+    and a noise-only disarm leaves the channel kernel armed."""
+    monkeypatch.setenv("KA9Q_CHAN_KERNEL", "force")
+    from ka9q_radio_tpu.runtime import ChannelSpec, GroupSpec, Engine
+
+    FS = 2_048_000
+    C = 512
+    freqs = np.linspace(0.05 * FS, 0.45 * FS, C)
+    groups = [GroupSpec(name="hf", demod="linear", samprate=8_000,
+                        channels=tuple(ChannelSpec(freq=float(f), low=50.0,
+                                                   high=2_700.0)
+                                       for f in freqs))]
+    ek = Engine(samprate=FS, real=True, groups=groups)
+    gk = ek.groups["hf"]
+    assert gk.chan_kernel and gk.noise_kernel
+    monkeypatch.delenv("KA9Q_CHAN_KERNEL")
+    ex = Engine(samprate=FS, real=True, groups=groups)
+    assert not ex.groups["hf"].noise_kernel
+
+    rng = np.random.default_rng(7)
+    t = np.arange(3 * ek.L) / FS
+    x = (0.05 * rng.standard_normal(3 * ek.L)
+         + 0.2 * np.cos(2 * np.pi * (freqs[C // 2] + 700.0) * t)
+         ).astype(np.float32)
+    blocks = x.reshape(3, ek.L)
+    sk, pk = jax.jit(ek.init_state)(), ek.init_params()
+    sx, px = jax.jit(ex.init_state)(), ex.init_params()
+    assert float(np.asarray(pk["hf"]["nz_ok"])) == 1.0
+    step_k, step_x = jax.jit(ek.step), jax.jit(ex.step)
+
+    sk, ok_ = step_k(sk, pk, jnp.asarray(blocks[0]))
+    sx, ox_ = step_x(sx, px, jnp.asarray(blocks[0]))
+    n0_k = np.asarray(ok_["hf"]["info"]["n0"])
+    n0_x = np.asarray(ox_["hf"]["info"]["n0"])
+    assert n0_x.min() > 0
+    np.testing.assert_allclose(n0_k, n0_x, rtol=2e-4)
+
+    # disarm ONLY the noise plan (runtime flag — same compiled step):
+    # the lax.cond fallback must produce the same estimates while the
+    # channel kernel stays armed
+    gk.host["nz_ok"] = np.float32(0.0)
+    pk2 = dict(pk)
+    gp = dict(pk2["hf"])
+    gp["nz_ok"] = gk.put(gk.host["nz_ok"])
+    pk2["hf"] = gp
+    assert float(np.asarray(pk2["hf"]["chan_ok"])) == 1.0
+    sk, ok_ = step_k(sk, pk2, jnp.asarray(blocks[1]))
+    sx, ox_ = step_x(sx, px, jnp.asarray(blocks[1]))
+    np.testing.assert_allclose(np.asarray(ok_["hf"]["info"]["n0"]),
+                               np.asarray(ox_["hf"]["info"]["n0"]),
+                               rtol=2e-4)
+
+    # re-arm via an ordinary retune (surgery re-plans the windows)
+    pk3 = ek.retune(pk2, "hf", 5, float(freqs[5]) + 1_000.0)
+    px3 = ex.retune(px, "hf", 5, float(freqs[5]) + 1_000.0)
+    assert float(np.asarray(pk3["hf"]["nz_ok"])) == 1.0
+    sk, ok_ = step_k(sk, pk3, jnp.asarray(blocks[2]))
+    sx, ox_ = step_x(sx, px3, jnp.asarray(blocks[2]))
+    np.testing.assert_allclose(np.asarray(ok_["hf"]["info"]["n0"]),
+                               np.asarray(ox_["hf"]["info"]["n0"]),
+                               rtol=2e-4)
 
 
 def test_noise_kernel_matches_xla():
