@@ -174,6 +174,8 @@ _GROUP_KEYS = {
     # spectrum
     "resolution-bw", "bin-count", "window-type", "spectrum-shape",
     "fft-avg", "spectrum-overlap", "lazy", "idle-timeout",
+    # squelch-gated egress compaction (audio.c:42-110 analog)
+    "egress-slots",
 }
 
 
@@ -247,6 +249,7 @@ def _build_group(name: str, settings: dict[str, Any], freqs: list[tuple],
         ttl=int(s["ttl"]) if "ttl" in s else None,
         filter2=int(s.get("filter2", 0) or 0),
         isb=parse_bool(s.get("conj", False)),
+        egress_slots=int(s.get("egress-slots", 0) or 0),
     )
     if parse_bool(s.get("beam", False)):
         import cmath
@@ -380,6 +383,8 @@ def load_config(text_or_path: str, presets: dict[str, dict] | None = None) -> Ra
                 "samprate": samprate, "real": real,
                 "encoding": hw.get("encoding", "s16be"),
                 "ssrc": int(hw["ssrc"]) if "ssrc" in hw else None,
+                # native = n forces the Python reassembly fallback
+                "native": parse_bool(hw.get("native", "y")),
             }
         else:
             # unknown hardware: record geometry; feeder must supply blocks

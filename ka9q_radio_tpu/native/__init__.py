@@ -7,6 +7,8 @@ with the system toolchain on first use and cached next to the sources;
 every consumer has a pure-Python fallback, so the package works without a
 compiler.
 """
-from .edge import RtpEdge, native_available, native_has_opus
+from .edge import (RtpEdge, RtpIngest, ingest_blast, native_available,
+                   native_has_opus)
 
-__all__ = ["RtpEdge", "native_available", "native_has_opus"]
+__all__ = ["RtpEdge", "RtpIngest", "ingest_blast", "native_available",
+           "native_has_opus"]

@@ -33,6 +33,14 @@ int rtp_edge_send_block(int fd, const float *audio, int nchan, int nframes,
                         const int32_t *opus_bitrate, const uint8_t *opus_dtx,
                         const int32_t *opus_app,
                         uint16_t *seq, uint32_t *ts, const uint8_t *marker);
+int rtp_ingest_open(const char *ip, int port, int encoding, int width,
+                    uint32_t ssrc, int ring_log2, int rcvbuf_mb);
+long rtp_ingest_read(int h, float *dst, long nfloats, int timeout_ms);
+void rtp_ingest_stats(int h, long long *out);
+void rtp_ingest_close(int h);
+long long rtp_ingest_blast(const char *ip, int port, int encoding, int width,
+                           uint32_t ssrc, int frames_per_pkt,
+                           long long nframes, long long pace_fps, int ttl);
 }
 
 int main() {
@@ -98,6 +106,38 @@ int main() {
 
   rtp_edge_close(fd);  // frees the Opus slots
   close(rx);
+
+  // ---- ingest surface: reader thread, ring wrap, malformed packets ----
+  {
+    int iport = 48765;
+    int ih = rtp_ingest_open("127.0.0.1", iport, 2 /*s16be*/, 1, 0,
+                             14 /*16k-float ring -> forced wrap*/, 4);
+    if (ih < 0) { fprintf(stderr, "ingest open fail %d\n", ih); return 2; }
+    // malformed garbage + truncated headers must be rejected cleanly
+    int tx = socket(AF_INET, SOCK_DGRAM, 0);
+    sockaddr_in da{};
+    da.sin_family = AF_INET;
+    da.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+    da.sin_port = htons((uint16_t)iport);
+    uint8_t junk[32] = {0};
+    sendto(tx, junk, 4, 0, (sockaddr *)&da, sizeof da);
+    junk[0] = 0x80;
+    sendto(tx, junk, 11, 0, (sockaddr *)&da, sizeof da);
+    junk[0] = 0x9f;  // version 2, 15 CSRCs + extension, but tiny packet
+    sendto(tx, junk, 16, 0, (sockaddr *)&da, sizeof da);
+    // real traffic: enough frames to wrap the 16k ring several times
+    rtp_ingest_blast("127.0.0.1", iport, 2, 1, 7, 704, 200000, 0, 0);
+    std::vector<float> out(4096);
+    long long total = 0;
+    for (int i = 0; i < 8; i++)
+      total += rtp_ingest_read(ih, out.data(), (long)out.size(), 50);
+    long long st[8];
+    rtp_ingest_stats(ih, st);
+    if (st[6] < 2) { fprintf(stderr, "malformed not counted\n"); return 2; }
+    (void)total;
+    rtp_ingest_close(ih);  // joins the reader thread
+    close(tx);
+  }
   printf("edge_selftest OK\n");
   return 0;
 }

@@ -10,9 +10,14 @@
 //
 // Build: g++ -O3 -shared -fPIC rtp_edge.cpp -o librtp_edge.so (see edge.py)
 
+#include <algorithm>
+#include <atomic>
+#include <chrono>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -380,6 +385,458 @@ int rtp_edge_send_block(int fd, const float *audio, int nchan, int nframes,
     done += (size_t)r;
   }
   return (int)pkts.size();
+}
+
+// Compacted-egress variant: audio holds only the OPEN channels' rows
+// (device-side squelch gather, audio.c:42-110 analog); chan_idx[i] maps
+// audio row i -> channel index. Timestamps advance for every channel
+// (muted included); only listed rows packetize. PCM encodings only.
+int rtp_edge_send_indexed(int fd, const float *audio, int nactive,
+                          int nchan_total, int nframes, int nch,
+                          const int32_t *chan_idx, const uint32_t *ssrc,
+                          const uint8_t *pt, const int32_t *encoding,
+                          uint16_t *seq, uint32_t *ts, const uint8_t *marker) {
+  std::vector<Packet> pkts;
+  pkts.reserve((size_t)nactive * 2);
+  static thread_local std::vector<uint8_t> active;
+  active.assign((size_t)nchan_total, 0);
+  for (int i = 0; i < nactive; i++) {
+    int c = chan_idx[i];
+    if (c < 0 || c >= nchan_total) continue;
+    active[(size_t)c] = 1;
+    size_t bytes_per_frame = sample_bytes(encoding[c]) * (size_t)nch;
+    int frames_per_pkt = (int)(MAX_PAYLOAD / bytes_per_frame);
+    if (frames_per_pkt < 1) frames_per_pkt = 1;
+    const float *src = audio + (size_t)i * nframes * nch;  // row i, not c
+    for (int off = 0; off < nframes; off += frames_per_pkt) {
+      int n = nframes - off;
+      if (n > frames_per_pkt) n = frames_per_pkt;
+      pkts.emplace_back();
+      Packet &p = pkts.back();
+      put_rtp_header(p.buf, pt[c], marker[c] && off == 0, seq[c], ts[c], ssrc[c]);
+      size_t plen = encode(src + (size_t)off * nch, (size_t)n * nch, encoding[c], p.buf + 12);
+      p.len = 12 + plen;
+      seq[c] = (uint16_t)(seq[c] + 1);
+      ts[c] += (uint32_t)n;
+    }
+  }
+  for (int c = 0; c < nchan_total; c++)
+    if (!active[(size_t)c]) ts[c] += (uint32_t)nframes;
+  if (pkts.empty()) return 0;
+  auto dit = Edge_dest.find(fd);
+  if (dit == Edge_dest.end()) return -1;
+  std::vector<mmsghdr> hdrs(pkts.size());
+  std::vector<iovec> iovs(pkts.size());
+  for (size_t i = 0; i < pkts.size(); i++) {
+    iovs[i] = {pkts[i].buf, pkts[i].len};
+    std::memset(&hdrs[i], 0, sizeof(mmsghdr));
+    hdrs[i].msg_hdr.msg_iov = &iovs[i];
+    hdrs[i].msg_hdr.msg_iovlen = 1;
+    hdrs[i].msg_hdr.msg_name = (void *)&dit->second;
+    hdrs[i].msg_hdr.msg_namelen = sizeof(sockaddr_in);
+  }
+  size_t done = 0;
+  while (done < hdrs.size()) {
+    int r = sendmmsg(fd, hdrs.data() + done, (unsigned)(hdrs.size() - done), 0);
+    if (r <= 0) return -(int)done;
+    done += (size_t)r;
+  }
+  return (int)pkts.size();
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// rtp_ingest — native at-rate A/D ingest (the recv side of the edge).
+//
+// The reference's front end writes 129.6 Msps straight from the USB
+// completion callback into the shared FFT ring (rx888.c:668-744, async
+// transfer ring of queuedepth x reqsize). Our wire analog is an RTP
+// stream from the SDR host; one Python recvfrom + np.concatenate per
+// packet (runtime/frontends.py RtpSource) is structurally incapable of
+// the ~185k pkts/s that rate means. This reader is the native
+// equivalent of the rx_callback path:
+//
+//   reader thread: recvmmsg() batches -> inline RTP header parse ->
+//   vectorized payload->f32 conversion straight into a preallocated
+//   SPSC float ring (the mirror-buffer analog), RTP timestamp gaps
+//   zero-filled, dup/old packets dropped, loss/overrun accounting.
+//
+//   consumer (the daemon's read_block): blocking ring read with
+//   timeout; starvation zero-fills so the engine keeps cadence,
+//   exactly like the Python fallback.
+//
+// A paced native sender (rtp_ingest_blast) provides the loopback
+// at-rate bench peer: pcmsend semantics (s16be payloads, seq/ts per
+// packet) at a target frames/s without Python in the packet loop.
+// ===========================================================================
+
+namespace {
+
+struct Ingest {
+  int fd = -1;
+  int enc = E_S16BE;
+  int width = 1;      // floats per frame (1 real, 2 complex I/Q)
+  uint32_t ssrc = 0;  // 0 = lock onto the first SSRC seen
+  bool locked = false;
+  // SPSC float ring: producer = reader thread, consumer = read().
+  // Monotonic 64-bit positions (in floats); capacity a power of two.
+  std::vector<float> ring;
+  size_t cap = 0;
+  std::atomic<uint64_t> wr{0};
+  std::atomic<uint64_t> rd{0};
+  std::mutex m;
+  std::condition_variable cv;
+  std::thread reader;
+  std::atomic<bool> run{false};
+  // RTP receive state (rtp.c rtp_process semantics)
+  bool init = false;
+  uint16_t seq = 0;
+  uint32_t ts = 0;  // next expected timestamp (frames)
+  // stats
+  std::atomic<long long> packets{0}, bytes{0}, gap_frames{0}, dups{0},
+      overrun_frames{0}, starve_frames{0}, malformed{0};
+};
+
+std::mutex Ingest_mu;
+std::unordered_map<int, Ingest *> Ingests;
+
+Ingest *ingest_of(int h) {
+  std::lock_guard<std::mutex> g(Ingest_mu);
+  auto it = Ingests.find(h);
+  return it == Ingests.end() ? nullptr : it->second;
+}
+
+size_t ring_space(const Ingest &ig) {
+  return ig.cap - (size_t)(ig.wr.load(std::memory_order_relaxed) -
+                           ig.rd.load(std::memory_order_acquire));
+}
+
+// producer-side: append n floats (or zeros when src == nullptr), dropping
+// the NEWEST data on overrun (consumer owns rd; never steal from it)
+void ring_write(Ingest &ig, const float *src, size_t n) {
+  size_t space = ring_space(ig);
+  if (n > space) {
+    ig.overrun_frames.fetch_add((long long)((n - space) / ig.width),
+                                std::memory_order_relaxed);
+    n = space;
+  }
+  uint64_t w = ig.wr.load(std::memory_order_relaxed);
+  size_t pos = (size_t)(w & (ig.cap - 1));
+  size_t first = std::min(n, ig.cap - pos);
+  if (src) {
+    memcpy(ig.ring.data() + pos, src, first * sizeof(float));
+    if (n > first) memcpy(ig.ring.data(), src + first, (n - first) * sizeof(float));
+  } else {
+    memset(ig.ring.data() + pos, 0, first * sizeof(float));
+    if (n > first) memset(ig.ring.data(), 0, (n - first) * sizeof(float));
+  }
+  ig.wr.store(w + n, std::memory_order_release);
+}
+
+// payload -> f32 frames; returns frames decoded (0 on unknown encoding)
+size_t decode_payload(const uint8_t *p, size_t nbytes, int enc, int width,
+                      float *dst, size_t max_floats) {
+  size_t nfloats;
+  switch (enc) {
+    case E_S16BE: {
+      nfloats = std::min(nbytes / 2, max_floats);
+      constexpr float k = 1.0f / 32767.0f;
+      for (size_t i = 0; i < nfloats; i++) {
+        int16_t v = (int16_t)((p[2 * i] << 8) | p[2 * i + 1]);
+        dst[i] = k * (float)v;
+      }
+      break;
+    }
+    case E_S16LE: {
+      nfloats = std::min(nbytes / 2, max_floats);
+      constexpr float k = 1.0f / 32767.0f;
+      for (size_t i = 0; i < nfloats; i++) {
+        int16_t v;
+        memcpy(&v, p + 2 * i, 2);
+        dst[i] = k * (float)v;
+      }
+      break;
+    }
+    case E_F32LE: {
+      nfloats = std::min(nbytes / 4, max_floats);
+      memcpy(dst, p, nfloats * 4);
+      break;
+    }
+    case E_F32BE: {
+      nfloats = std::min(nbytes / 4, max_floats);
+      for (size_t i = 0; i < nfloats; i++) {
+        uint32_t v = ((uint32_t)p[4 * i] << 24) | ((uint32_t)p[4 * i + 1] << 16) |
+                     ((uint32_t)p[4 * i + 2] << 8) | p[4 * i + 3];
+        memcpy(&dst[i], &v, 4);
+      }
+      break;
+    }
+    default:
+      return 0;
+  }
+  return nfloats / (size_t)width;
+}
+
+void ingest_loop(Ingest *ig) {
+  constexpr int BATCH = 256;
+  constexpr size_t PKT_CAP = 65536;
+  std::vector<uint8_t> bufs((size_t)BATCH * PKT_CAP);
+  std::vector<mmsghdr> hdrs(BATCH);
+  std::vector<iovec> iovs(BATCH);
+  for (int i = 0; i < BATCH; i++) {
+    iovs[i] = {bufs.data() + (size_t)i * PKT_CAP, PKT_CAP};
+    memset(&hdrs[i], 0, sizeof(mmsghdr));
+    hdrs[i].msg_hdr.msg_iov = &iovs[i];
+    hdrs[i].msg_hdr.msg_iovlen = 1;
+  }
+  std::vector<float> scratch(PKT_CAP / 2 + 8);
+  while (ig->run.load(std::memory_order_relaxed)) {
+    int n = recvmmsg(ig->fd, hdrs.data(), BATCH, MSG_WAITFORONE, nullptr);
+    if (n <= 0) continue;  // SO_RCVTIMEO tick: re-check run flag
+    for (int i = 0; i < n; i++) {
+      const uint8_t *p = bufs.data() + (size_t)i * PKT_CAP;
+      size_t len = hdrs[i].msg_len;
+      if (len < 12 || (p[0] >> 6) != 2) {
+        ig->malformed.fetch_add(1, std::memory_order_relaxed);
+        continue;
+      }
+      size_t off = 12 + 4u * (p[0] & 0x0f);  // skip CSRCs
+      if (p[0] & 0x10) {                     // header extension
+        if (len < off + 4) { ig->malformed.fetch_add(1, std::memory_order_relaxed); continue; }
+        off += 4 + 4u * ((p[off + 2] << 8) | p[off + 3]);
+      }
+      if (len < off) { ig->malformed.fetch_add(1, std::memory_order_relaxed); continue; }
+      uint32_t ssrc = ((uint32_t)p[8] << 24) | ((uint32_t)p[9] << 16) |
+                      ((uint32_t)p[10] << 8) | p[11];
+      if (ig->ssrc != 0 && ssrc != ig->ssrc) continue;
+      if (ig->ssrc == 0) {
+        if (!ig->locked) { ig->ssrc = ssrc; ig->locked = true; }
+        else if (ssrc != ig->ssrc) continue;
+      }
+      uint16_t seq = (uint16_t)((p[2] << 8) | p[3]);
+      uint32_t ts = ((uint32_t)p[4] << 24) | ((uint32_t)p[5] << 16) |
+                    ((uint32_t)p[6] << 8) | p[7];
+      size_t frames = decode_payload(p + off, len - off, ig->enc, ig->width,
+                                     scratch.data(), scratch.size());
+      ig->packets.fetch_add(1, std::memory_order_relaxed);
+      ig->bytes.fetch_add((long long)len, std::memory_order_relaxed);
+      if (frames == 0) continue;
+      if (!ig->init) {
+        ig->init = true;
+        ig->seq = seq;
+        ig->ts = ts;
+      }
+      uint16_t sd = (uint16_t)(seq - ig->seq);
+      if (sd >= 0x8000) {  // old / duplicate
+        ig->dups.fetch_add(1, std::memory_order_relaxed);
+        continue;
+      }
+      int32_t tgap = (int32_t)(ts - ig->ts);  // frames lost before this pkt
+      if (tgap > 0) {
+        size_t fill = std::min((size_t)tgap, ig->cap / (2 * (size_t)ig->width));
+        ig->gap_frames.fetch_add(tgap, std::memory_order_relaxed);
+        ring_write(*ig, nullptr, fill * (size_t)ig->width);
+      }
+      ring_write(*ig, scratch.data(), frames * (size_t)ig->width);
+      ig->seq = (uint16_t)(seq + 1);
+      ig->ts = ts + (uint32_t)frames;
+    }
+    ig->cv.notify_one();
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Open a native RTP ingest: bind ip:port (joining when multicast), start
+// the reader thread. width: floats/frame (1 real, 2 complex). ssrc 0 =
+// lock onto first stream seen. ring_log2: ring capacity = 2^ring_log2
+// floats (e.g. 26 -> 64M floats = 256 MB, ~0.5 s at 129.6 Msps real).
+// Returns a handle (the socket fd) or <0.
+int rtp_ingest_open(const char *ip, int port, int encoding, int width,
+                    uint32_t ssrc, int ring_log2, int rcvbuf_mb) {
+  if (width < 1 || width > 2 || ring_log2 < 10 || ring_log2 > 31) return -3;
+  int fd = socket(AF_INET, SOCK_DGRAM, 0);
+  if (fd < 0) return -1;
+  int one = 1;
+  setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof one);
+  int sz = (rcvbuf_mb > 0 ? rcvbuf_mb : 64) << 20;
+  setsockopt(fd, SOL_SOCKET, SO_RCVBUF, &sz, sizeof sz);
+  timeval tv{0, 100000};  // 100 ms: lets the reader thread notice shutdown
+  setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof tv);
+  sockaddr_in sa{};
+  sa.sin_family = AF_INET;
+  sa.sin_port = htons((uint16_t)port);
+  if (inet_pton(AF_INET, ip, &sa.sin_addr) != 1) { close(fd); return -2; }
+  uint32_t a = ntohl(sa.sin_addr.s_addr);
+  bool mcast = a >= 0xE0000000u && a < 0xF0000000u;
+  sockaddr_in bindsa = sa;
+  if (!mcast && a != INADDR_ANY && a != INADDR_LOOPBACK) {
+    // unicast to some other host's address: bind wildcard
+    bindsa.sin_addr.s_addr = htonl(INADDR_ANY);
+  }
+  if (bind(fd, (sockaddr *)&bindsa, sizeof bindsa) < 0) {
+    // multicast bind-to-group can fail on some stacks: retry wildcard
+    bindsa.sin_addr.s_addr = htonl(INADDR_ANY);
+    if (bind(fd, (sockaddr *)&bindsa, sizeof bindsa) < 0) { close(fd); return -4; }
+  }
+  if (mcast) {
+    ip_mreq mr{};
+    mr.imr_multiaddr = sa.sin_addr;
+    mr.imr_interface.s_addr = htonl(INADDR_ANY);
+    if (setsockopt(fd, IPPROTO_IP, IP_ADD_MEMBERSHIP, &mr, sizeof mr) < 0) {
+      close(fd);
+      return -5;
+    }
+  }
+  auto *ig = new Ingest;
+  ig->fd = fd;
+  ig->enc = encoding;
+  ig->width = width;
+  ig->ssrc = ssrc;
+  ig->cap = (size_t)1 << ring_log2;
+  ig->ring.resize(ig->cap);
+  ig->run.store(true);
+  ig->reader = std::thread(ingest_loop, ig);
+  {
+    std::lock_guard<std::mutex> g(Ingest_mu);
+    Ingests[fd] = ig;
+  }
+  return fd;
+}
+
+// Blocking read of nfloats into dst. Returns floats actually received;
+// on timeout the remainder is zero-filled (starvation accounting) so the
+// caller keeps block cadence. A return < nfloats means starvation.
+long rtp_ingest_read(int h, float *dst, long nfloats, int timeout_ms) {
+  Ingest *ig = ingest_of(h);
+  if (!ig || nfloats < 0 || (size_t)nfloats > ig->cap) return -1;
+  auto deadline = std::chrono::steady_clock::now() +
+                  std::chrono::milliseconds(timeout_ms);
+  size_t have;
+  for (;;) {
+    have = (size_t)(ig->wr.load(std::memory_order_acquire) -
+                    ig->rd.load(std::memory_order_relaxed));
+    if (have >= (size_t)nfloats) break;
+    std::unique_lock<std::mutex> lk(ig->m);
+    if (ig->cv.wait_until(lk, deadline) == std::cv_status::timeout) {
+      have = (size_t)(ig->wr.load(std::memory_order_acquire) -
+                      ig->rd.load(std::memory_order_relaxed));
+      break;
+    }
+  }
+  size_t n = std::min(have, (size_t)nfloats);
+  uint64_t r = ig->rd.load(std::memory_order_relaxed);
+  size_t pos = (size_t)(r & (ig->cap - 1));
+  size_t first = std::min(n, ig->cap - pos);
+  memcpy(dst, ig->ring.data() + pos, first * sizeof(float));
+  if (n > first) memcpy(dst + first, ig->ring.data(), (n - first) * sizeof(float));
+  ig->rd.store(r + n, std::memory_order_release);
+  if ((long)n < nfloats) {
+    memset(dst + n, 0, ((size_t)nfloats - n) * sizeof(float));
+    ig->starve_frames.fetch_add((long long)(((size_t)nfloats - n) / ig->width),
+                                std::memory_order_relaxed);
+  }
+  return (long)n;
+}
+
+// out[8]: packets, bytes, gap_frames, dups, overrun_frames, starve_frames,
+//         malformed, buffered_floats
+void rtp_ingest_stats(int h, long long *out) {
+  Ingest *ig = ingest_of(h);
+  if (!ig) { memset(out, 0, 8 * sizeof(long long)); return; }
+  out[0] = ig->packets.load();
+  out[1] = ig->bytes.load();
+  out[2] = ig->gap_frames.load();
+  out[3] = ig->dups.load();
+  out[4] = ig->overrun_frames.load();
+  out[5] = ig->starve_frames.load();
+  out[6] = ig->malformed.load();
+  out[7] = (long long)(ig->wr.load() - ig->rd.load());
+}
+
+void rtp_ingest_close(int h) {
+  Ingest *ig = nullptr;
+  {
+    std::lock_guard<std::mutex> g(Ingest_mu);
+    auto it = Ingests.find(h);
+    if (it != Ingests.end()) { ig = it->second; Ingests.erase(it); }
+  }
+  if (!ig) return;
+  ig->run.store(false);
+  if (ig->reader.joinable()) ig->reader.join();
+  close(ig->fd);
+  delete ig;
+}
+
+// Paced loopback/LAN RTP sender for ingest benches and feeders: streams
+// `nframes` frames of s16be/f32le test pattern (ramp in frame index, so
+// the receiver can verify continuity) to ip:port at pace_fps frames/s
+// (0 = flat out), frames_per_pkt per packet. Returns frames sent, <0 on
+// error. Runs synchronously — call from a thread.
+long long rtp_ingest_blast(const char *ip, int port, int encoding, int width,
+                           uint32_t ssrc, int frames_per_pkt,
+                           long long nframes, long long pace_fps, int ttl) {
+  int fd = rtp_edge_open(ip, port, ttl, 0);
+  if (fd < 0) return -1;
+  auto dit = Edge_dest.find(fd);
+  sockaddr_in dst = dit->second;
+  size_t sbytes = sample_bytes(encoding);
+  size_t plen = (size_t)frames_per_pkt * width * sbytes;
+  if (12 + plen > 65000) { rtp_edge_close(fd); return -2; }
+  constexpr int BATCH = 128;
+  std::vector<uint8_t> bufs((size_t)BATCH * (12 + plen));
+  std::vector<mmsghdr> hdrs(BATCH);
+  std::vector<iovec> iovs(BATCH);
+  for (int i = 0; i < BATCH; i++) {
+    iovs[i] = {bufs.data() + (size_t)i * (12 + plen), 12 + plen};
+    memset(&hdrs[i], 0, sizeof(mmsghdr));
+    hdrs[i].msg_hdr.msg_iov = &iovs[i];
+    hdrs[i].msg_hdr.msg_iovlen = 1;
+    hdrs[i].msg_hdr.msg_name = (void *)&dst;
+    hdrs[i].msg_hdr.msg_namelen = sizeof(sockaddr_in);
+  }
+  uint16_t seq = 0;
+  uint32_t ts = 0;
+  long long sent = 0;
+  auto t0 = std::chrono::steady_clock::now();
+  while (sent < nframes) {
+    int nb = 0;
+    for (; nb < BATCH && sent + (long long)frames_per_pkt * nb < nframes; nb++) {
+      uint8_t *b = bufs.data() + (size_t)nb * (12 + plen);
+      put_rtp_header(b, 97, false, seq, ts, ssrc);
+      seq = (uint16_t)(seq + 1);
+      long long base = sent + (long long)frames_per_pkt * nb;
+      // pattern: sample value == frame index mod 2^15 (sign-folded), so
+      // the receiver can assert continuity after s16 round trip
+      for (int f = 0; f < frames_per_pkt; f++) {
+        int16_t v = (int16_t)(((base + f) & 0x3fff) - 0x2000);
+        for (int w = 0; w < width; w++) {
+          uint8_t *q = b + 12 + ((size_t)f * width + w) * sbytes;
+          if (encoding == E_S16BE) { q[0] = (uint8_t)(v >> 8); q[1] = (uint8_t)v; }
+          else if (encoding == E_S16LE) { q[0] = (uint8_t)v; q[1] = (uint8_t)(v >> 8); }
+          else { float fv = (float)v / 32767.0f; memcpy(q, &fv, 4); }
+        }
+      }
+      ts += (uint32_t)frames_per_pkt;
+    }
+    int done = 0;
+    while (done < nb) {
+      int r = sendmmsg(fd, hdrs.data() + done, (unsigned)(nb - done), 0);
+      if (r <= 0) { rtp_edge_close(fd); return sent; }
+      done += r;
+    }
+    sent += (long long)frames_per_pkt * nb;
+    if (pace_fps > 0) {
+      auto target = t0 + std::chrono::nanoseconds(
+          (long long)(1e9 * (double)sent / (double)pace_fps));
+      std::this_thread::sleep_until(target);
+    }
+  }
+  rtp_edge_close(fd);
+  return sent;
 }
 
 }  // extern "C"

@@ -174,6 +174,14 @@ class GroupSpec:
     b_weight: complex = 0.0 + 0.0j
     # wfm flag: attempt stereo decode (mono fallback is always automatic)
     wfm_stereo: bool = True
+    # squelch-gated egress compaction (audio.c:42-110: the reference
+    # sends only unmuted channels): >0 = the device gathers the open
+    # channels' audio into [egress_slots] rows + an index vector, so the
+    # d2h fetch and host packetization scale with OPEN channels, not C.
+    # Open channels beyond the slot count are dropped for that block
+    # (egress_count > egress_slots flags the overflow to the daemon).
+    # 0 = full [C, olen] audio egress (small groups).
+    egress_slots: int = 0
     # spectrum options (modes.c:69-73)
     bin_bw: float = 200.0  # resolution bandwidth per bin, Hz
     bin_count: int = 64
@@ -1036,6 +1044,22 @@ class _Group:
             )
         info["baseband_power"] = bb_power
         info["n0"] = n0
+        if self.spec.egress_slots and audio.ndim >= 2 and audio.shape[1] > 0 \
+                and "send" in info:
+            # squelch-gated egress compaction (audio.c:42-110): gather the
+            # open channels' audio into K slots; slots are filled in
+            # channel order (cumsum of the send mask), extras drop. The
+            # daemon reads egress_idx[:min(count, K)] and the [K, ...]
+            # audio rows — d2h bytes scale with open channels.
+            K = min(int(self.spec.egress_slots), self.C)
+            act = info["send"]
+            pos = jnp.cumsum(act.astype(jnp.int32)) - 1
+            slot = jnp.where(act, pos, K)  # muted / overflow -> dropped
+            idx = jnp.full((K,), -1, jnp.int32).at[slot].set(
+                jnp.arange(self.C, dtype=jnp.int32), mode="drop")
+            info["egress_idx"] = idx
+            info["egress_count"] = jnp.sum(act.astype(jnp.int32))
+            audio = jnp.take(audio, jnp.maximum(idx, 0), axis=0)
         new_dc = {
             "acc_q32": acc,
             "n0": n0,

@@ -110,6 +110,44 @@ class _Chan:
     opus_app: int | None = None  # OPUS_APPLICATION
 
 
+class _LazyGroupInfo:
+    """Per-dispatch lazily-fetched group info for BIG channel groups:
+    only the leaves the host actually reads (beacon/poll fields) cross
+    the d2h boundary, once per dispatch, instead of every [C]-sized
+    leaf every block. Leaf access returns the same full [C(, ...)]
+    numpy arrays the eager dict would hold; time-sharded dispatches
+    share one cache across their D per-block views."""
+
+    __slots__ = ("_dev", "_cache", "_d")
+
+    def __init__(self, dev: dict, cache: "dict | None" = None, d=None):
+        self._dev = dev
+        self._cache = {} if cache is None else cache
+        self._d = d
+
+    def view(self, d: int) -> "_LazyGroupInfo":
+        return _LazyGroupInfo(self._dev, self._cache, d)
+
+    def __contains__(self, k) -> bool:
+        return k in self._dev
+
+    def __bool__(self) -> bool:
+        return bool(self._dev)
+
+    def keys(self):
+        return self._dev.keys()
+
+    def get(self, k, default=None):
+        return self[k] if k in self._dev else default
+
+    def __getitem__(self, k):
+        v = self._cache.get(k)
+        if v is None:
+            v = np.asarray(jax.device_get(self._dev[k]))
+            self._cache[k] = v
+        return v if self._d is None else v[self._d]
+
+
 class Radiod:
     def __init__(
         self,
@@ -280,6 +318,17 @@ class Radiod:
         # config 'block = 0-4'); >0 buffers audio and disables the native
         # edge (the Python path owns packet timing then)
         self.agg_blocks = max(0, min(int(cfg.options.get("block", 0)), 4))
+        # high-C scalability: groups with C >= big-group channels switch
+        # to the scalable host path — lazy info d2h, native edge with
+        # squelch-compacted audio, staggered beacon slices bounded by
+        # beacon-budget encodes/block (the reference's staggered
+        # all-channel dump discipline, radio_status.c:59-67)
+        self.big_group_c = int(cfg.options.get("big-group", 4096))
+        self.beacon_budget = int(cfg.options.get("beacon-budget", 64))
+        self._send_prev: dict[str, np.ndarray] = {}
+        self._ginfo: dict[str, Any] = {}  # latest per-group info (big groups)
+        self.egress_overflows = 0  # blocks where open channels > egress slots
+        self._dyn_ssrcs: set[int] = set()  # lifetime-scan working set
 
         enc_name = str(cfg.options.get("encoding", "s16be")).upper()
         default_enc = Encoding[enc_name] if enc_name in Encoding.__members__ else Encoding.S16BE
@@ -521,6 +570,8 @@ class Radiod:
         """Rebuild the native sendmmsg edges after the channel table or a
         channel's encoding/redirect/aggregation settings changed."""
         self._group_dests.clear()
+        self._send_prev.clear()  # per-group [C] shapes may have changed
+        self._ginfo.clear()
         if not self.edges and self.data_sock is None:
             return
         for edge, _ in self.edges.values():
@@ -999,6 +1050,7 @@ class Radiod:
                    dynamic=True, lifetime=self.lifetime_blocks,
                    lifetime_init=self.lifetime_blocks, preset=preset)
         self.chans[ssrc] = ch
+        self._dyn_ssrcs.add(ssrc)
         self._retune(ch, freq)
         self.params = self.engine.set_edges(self.params, gname, slot, ch.low, ch.high)
         return ch
@@ -1007,6 +1059,7 @@ class Radiod:
         """Tombstone an idle dynamic channel: mute the slot and recycle it
         for the next dynamic create — zero recompiles."""
         ch = self.chans.pop(ssrc, None)
+        self._dyn_ssrcs.discard(ssrc)
         if ch is None:
             return
         self._park_saves.pop((ch.group, ch.idx), None)
@@ -1466,6 +1519,8 @@ class Radiod:
         if T.LIFETIME in fields:
             ch.lifetime = ch.lifetime_init = int(fields[T.LIFETIME])
             ch.dynamic = ch.dynamic or ch.lifetime > 0
+            if ch.dynamic:
+                self._dyn_ssrcs.add(ch.ssrc)
         if T.SETOPTS in fields:
             ch.options |= int(fields[T.SETOPTS])
         if T.CLEAROPTS in fields:
@@ -1475,7 +1530,15 @@ class Radiod:
     def encode_channel_status(self, ch: _Chan, tag: int = 0) -> bytes:
         """encode_radio_status subset (radio_status.c:706-915)."""
         spec = self.engine.groups[ch.group].spec
-        info = ch.last_info
+        # big-group channels skip the per-channel loop: their info comes
+        # from the group's (lazily fetched) latest dispatch, and RTP
+        # bookkeeping lives in the native edge's arrays
+        info = ch.last_info or self._ginfo.get(ch.group) or {}
+        if ch.group in self.edges and not ch.rds:
+            _edge = self.edges[ch.group][0]
+            if ch.idx < _edge.C:
+                ch.rtp_seq = int(_edge.seq[ch.idx])
+                ch.rtp_timestamp = int(_edge.ts[ch.idx])
         g = lambda k, d=0.0: float(np.asarray(info[k][ch.idx])) if k in info else d
         fields: dict[T, Any] = {
             T.OUTPUT_SSRC: ch.ssrc,
@@ -1856,6 +1919,24 @@ class Radiod:
         ue = ch.update_every if ch.update_every is not None else self.update_every
         return ue > 0 and (self.blocks % ue) == 0
 
+    def _staggered_beacons(self, gname: str, group_chans: list) -> None:
+        """Beacons for a BIG group: a rotating slice per block, at most
+        beacon-budget encodes, so every channel still beacons while the
+        host cost per block stays bounded — the reference's staggered
+        all-channel-dump discipline (radio_status.c:59-67). The
+        effective interval stretches to ceil(C / budget) blocks when
+        C/update exceeds the budget."""
+        ue = group_chans[0].update_every
+        ue = ue if ue is not None else self.update_every
+        if ue <= 0:
+            return
+        C = len(group_chans)
+        per = min(self.beacon_budget, -(-C // ue))
+        period = -(-C // per)  # blocks per full rotation
+        k = self.blocks % period
+        for ch in group_chans[k * per : (k + 1) * per]:
+            self._send_beacon(self.encode_channel_status(ch), ch)
+
     def _record_block_time(self, dt: float):
         self._t_ring[self._t_n % self._t_ring.size] = dt
         self._t_n += 1
@@ -1903,10 +1984,39 @@ class Radiod:
         for name, g in host_out.items():
             if name.startswith("_"):
                 sub[name] = {k: v[d] for k, v in g.items()}
+            elif isinstance(g["info"], _LazyGroupInfo):
+                sub[name] = {"audio": g["audio"][d], "info": g["info"].view(d)}
             else:
                 sub[name] = {"audio": g["audio"][d],
                              "info": {k: v[d] for k, v in g["info"].items()}}
         return sub
+
+    # per-block control leaves big groups always fetch (the rest of the
+    # info tree is fetched lazily, on beacon/poll demand)
+    _MINI_LEAVES = ("send", "egress_idx", "egress_count")
+
+    def _fetch_out(self, out) -> dict:
+        """d2h for one dispatch: small groups move whole (one batched
+        RPC, unchanged behavior); big groups (C >= big-group) fetch
+        audio + the per-block control leaves and wrap the rest of the
+        info tree for lazy on-demand fetch — with egress compaction the
+        d2h volume scales with OPEN channels, not C."""
+        fetch, lazy = {}, {}
+        for name, g in out.items():
+            if name.startswith("_") or self.engine.groups[name].C < self.big_group_c:
+                fetch[name] = g
+                continue
+            info = g["info"]
+            fetch[name] = {"audio": g["audio"],
+                           "info": {k: info[k] for k in self._MINI_LEAVES
+                                    if k in info}}
+            lazy[name] = info
+        host = jax.device_get(fetch)
+        for name, dev in lazy.items():
+            host[name]["info"] = _LazyGroupInfo(
+                dev, {k: np.asarray(v)
+                      for k, v in host[name]["info"].items()})
+        return host
 
     def step_block(self, block=None):
         """Run one dispatch end to end: one 20 ms block, or D consecutive
@@ -1947,7 +2057,7 @@ class Radiod:
                 block = device_put_safe(block)
             first = self.blocks == 0
             self.state, out = self.step(self.state, self.params, block)
-            host_out = jax.device_get(out)
+            host_out = self._fetch_out(out)
             if self._drop_burst:
                 print(f"recovered after {self._drop_burst} dropped blocks",
                       file=sys.stderr, flush=True)
@@ -2022,26 +2132,69 @@ class Radiod:
             gout = host_out[gname]
             ginfo = gout["info"]
             audio = np.asarray(gout["audio"])
+            big = len(group_chans) >= self.big_group_c
             sends = (np.asarray(ginfo["send"]) if "send" in ginfo
                      else np.ones(len(group_chans), bool))
-            markers = np.array([bool(s) and not c.sending for s, c in zip(sends, group_chans)])
-            edge.send_block(audio, sends, markers)
-            for i, c in enumerate(group_chans):
-                c.sending = bool(sends[i])
-                c.rtp_seq = int(edge.seq[i])
-                c.rtp_timestamp = int(edge.ts[i])
+            prev = self._send_prev.get(gname)
+            if prev is None or prev.shape != sends.shape:
+                prev = np.array([c.sending for c in group_chans])
+            markers = sends & ~prev
+            if "egress_idx" in ginfo:
+                # squelch-compacted egress (audio.c:42-110): audio holds
+                # only the open channels' rows; idx maps row -> channel
+                idx = np.asarray(ginfo["egress_idx"])
+                count = int(np.asarray(ginfo["egress_count"]))
+                if count > idx.size:
+                    self.egress_overflows += 1
+                    if self.egress_overflows in (1, 100) or self.egress_overflows % 10_000 == 0:
+                        print(f"egress overflow #{self.egress_overflows}: "
+                              f"{count} open channels > {idx.size} slots in "
+                              f"[{gname}] — raise egress-slots",
+                              file=sys.stderr, flush=True)
+                edge.send_indexed(audio, idx, min(count, idx.size), markers)
+            else:
+                edge.send_block(audio, sends, markers)
+            # per-channel bookkeeping only where state CHANGED (O(edges)
+            # not O(C)); status encoding reads seq/ts straight off the
+            # edge arrays
+            for i in np.nonzero(sends != prev)[0]:
+                group_chans[i].sending = bool(sends[i])
+            self._send_prev[gname] = sends
             group_chans[0].data_packets = edge.packets  # group-total stat
+            if big:
+                self._ginfo[gname] = ginfo
+                if beacon:
+                    self._staggered_beacons(gname, group_chans)
         for ch in self.chans.values():
+            if (ch.group in self.edges and not ch.rds
+                    and len(self.edges[ch.group][1]) >= self.big_group_c):
+                continue  # big edge groups: handled above, O(C) loop skipped
             gout = host_out[ch.group]
             info = gout["info"]
             ch.last_info = info
             if ch.group in self.edges and not ch.rds:
+                c_edge = self.edges[ch.group][0]
+                ch.rtp_seq = int(c_edge.seq[ch.idx])
+                ch.rtp_timestamp = int(c_edge.ts[ch.idx])
                 if beacon and self._beacon_due(ch):
                     self._send_beacon(self.encode_channel_status(ch), ch)
                 continue
             send = bool(np.asarray(info["send"][ch.idx])) if "send" in info else True
             if ch.rds:
                 audio = np.asarray(info["rds_baseband"][ch.idx]) if "rds_baseband" in info else np.zeros(0)
+            elif "egress_idx" in info:
+                # compacted group on the Python path: row lookup by
+                # channel index (muted channels get a zero block so the
+                # RTP timestamp still advances)
+                idx = np.asarray(info["egress_idx"])
+                count = min(int(np.asarray(info["egress_count"])), idx.size)
+                pos = np.nonzero(idx[:count] == ch.idx)[0]
+                a_all = np.asarray(gout["audio"])
+                if pos.size:
+                    audio = a_all[int(pos[0])]
+                else:
+                    send = False
+                    audio = np.zeros(a_all.shape[1:], np.float32)
             else:
                 audio = np.asarray(gout["audio"][ch.idx])
             if not ch.rds and "stereo" in info and audio.ndim == 2:
@@ -2076,9 +2229,11 @@ class Radiod:
             if beacon and self._beacon_due(ch):
                 self._send_beacon(self.encode_channel_status(ch), ch)
         # idle dynamic channels count down and self-destruct (radio.c:1465)
+        # (scan only the dynamic set — the table may hold 100k+ statics)
         expired = []
-        for ssrc, ch in self.chans.items():
-            if ch.dynamic and ch.lifetime > 0:
+        for ssrc in self._dyn_ssrcs:
+            ch = self.chans.get(ssrc)
+            if ch is not None and ch.dynamic and ch.lifetime > 0:
                 ch.lifetime -= 1
                 if ch.lifetime == 0:
                     expired.append(ssrc)

@@ -194,3 +194,55 @@ def test_spur_notch():
     p1 = float(notched[-1]["iq"]["info"]["baseband_power"][0])
     # alpha=0.01/block tracker: amplitude residual 0.99^200 -> -35 dB power
     assert p1 < p0 * 0.05, (p0, p1)
+
+
+def test_egress_compaction_matches_full():
+    """Squelch-gated egress (audio.c:42-110 analog): the compacted
+    [K, olen] audio + egress_idx/count equal the full engine's rows for
+    the open channels; muted channels never cross the d2h boundary."""
+    FS = 1_024_000
+    C = 64
+    freqs = np.linspace(0.05 * FS, 0.4 * FS, C)
+    mk = lambda K: [GroupSpec(
+        name="hf", demod="linear", samprate=8_000, snr_squelch=True,
+        squelch_open_db=6.0, squelch_close_db=5.0, egress_slots=K,
+        channels=tuple(ChannelSpec(freq=float(f), low=50.0, high=2_700.0)
+                       for f in freqs))]
+    e_full = Engine(samprate=FS, real=True, groups=mk(0))
+    e_cmp = Engine(samprate=FS, real=True, groups=mk(16))
+
+    rng = np.random.default_rng(11)
+    NB = 6
+    t = np.arange(NB * e_full.L) / FS
+    x = 0.001 * rng.standard_normal(NB * e_full.L)
+    hot = [3, 17, 40]  # only these channels hear a carrier -> squelch opens
+    for h in hot:
+        x = x + 0.2 * np.cos(2 * np.pi * (freqs[h] + 700.0) * t)
+    blocks = x.astype(np.float32).reshape(NB, e_full.L)
+
+    sf, pf = jax.jit(e_full.init_state)(), e_full.init_params()
+    sc, pc = jax.jit(e_cmp.init_state)(), e_cmp.init_params()
+    stepf, stepc = jax.jit(e_full.step), jax.jit(e_cmp.step)
+    for i in range(NB):
+        sf, of = stepf(sf, pf, jnp.asarray(blocks[i]))
+        sc, oc = stepc(sc, pc, jnp.asarray(blocks[i]))
+    send = np.asarray(of["hf"]["info"]["send"])
+    assert set(np.nonzero(send)[0]) == set(hot)
+    idx = np.asarray(oc["hf"]["info"]["egress_idx"])
+    count = int(np.asarray(oc["hf"]["info"]["egress_count"]))
+    assert count == len(hot)
+    assert list(idx[:count]) == hot
+    assert np.all(idx[count:] == -1)
+    a_full = np.asarray(of["hf"]["audio"])
+    a_cmp = np.asarray(oc["hf"]["audio"])
+    assert a_cmp.shape[0] == 16
+    np.testing.assert_allclose(a_cmp[:count], a_full[hot], rtol=0, atol=1e-6)
+    # overflow: a 2-slot group drops the extras but counts them
+    e_of = Engine(samprate=FS, real=True, groups=mk(2))
+    so, po = jax.jit(e_of.init_state)(), e_of.init_params()
+    stepo = jax.jit(e_of.step)
+    for i in range(NB):
+        so, oo = stepo(so, po, jnp.asarray(blocks[i]))
+    assert int(np.asarray(oo["hf"]["info"]["egress_count"])) == 3
+    idx2 = np.asarray(oo["hf"]["info"]["egress_idx"])
+    assert list(idx2) == hot[:2]

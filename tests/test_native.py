@@ -177,6 +177,86 @@ def test_native_sanitizers(tmp_path):
     assert "edge_selftest OK" in r.stdout
 
 
+def test_native_ingest_loopback():
+    """Native at-rate ingest (rtp_ingest): recvmmsg reader thread +
+    ring, pattern continuity, loss accounting (rx888.c:668-744 analog)."""
+    import threading
+    import time
+
+    if not native.native_available():
+        pytest.skip("no C++ toolchain")
+    dest = ("127.0.0.1", 47300 + os.getpid() % 500)
+    ing = native.RtpIngest(dest, encoding=int(Encoding.S16BE), width=1,
+                           ring_log2=22)
+    time.sleep(0.05)
+    NF = 1_000_000
+    th = threading.Thread(target=native.ingest_blast,
+                          args=(dest,), kwargs=dict(
+                              encoding=int(Encoding.S16BE), width=1,
+                              frames_per_pkt=704, nframes=NF,
+                              pace_fps=50_000_000))
+    th.start()
+    chunks, got_total = [], 0
+    while got_total < NF:
+        buf, got = ing.read(65536, timeout=1.0)
+        if got == 0:
+            break
+        chunks.append(buf[:got])
+        got_total += got
+    th.join()
+    st = ing.stats()
+    ing.close()
+    assert got_total >= NF  # blast rounds up to whole packets
+    assert st["gap_frames"] == 0 and st["overrun_frames"] == 0
+    assert st["dups"] == 0 and st["malformed"] == 0
+    x = np.concatenate(chunks)
+    i = np.arange(x.size)
+    want = (((i & 0x3FFF) - 0x2000) / 32767.0).astype(np.float32)
+    assert np.abs(x - want).max() < 1e-6  # sample-exact ramp continuity
+
+
+def test_native_ingest_gap_and_filter():
+    """Timestamp gaps zero-fill (loss accounting) and foreign SSRCs are
+    ignored; complex (width=2) framing is preserved."""
+    import socket as socketlib
+    import time
+
+    if not native.native_available():
+        pytest.skip("no C++ toolchain")
+    from ka9q_radio_tpu.net.rtp import encode_samples
+
+    dest = ("127.0.0.1", 47800 + os.getpid() % 100)
+    ing = native.RtpIngest(dest, encoding=int(Encoding.S16BE), width=2,
+                           ssrc=42, ring_log2=20)
+    time.sleep(0.05)
+    tx = socketlib.socket(socketlib.AF_INET, socketlib.SOCK_DGRAM)
+    nf = 100
+    for k in range(6):
+        x = np.full(2 * nf, (k + 1) * 0.1, np.float32)
+        hdr = RtpHeader(type=97, seq=k, timestamp=k * nf,
+                        ssrc=42 if k != 2 else 999)
+        if k == 4:
+            continue  # dropped packet -> timestamp gap
+        tx.sendto(hdr.pack() + encode_samples(x, Encoding.S16BE), dest)
+    time.sleep(0.2)
+    # expected: pkts 0,1 data; pkt2 foreign (counts nothing, leaves a
+    # ts gap when pkt3 arrives -> zero-fill); pkt4 dropped -> gap; pkt5
+    buf, got = ing.read(2 * 6 * nf, timeout=0.5)
+    st = ing.stats()
+    ing.close()
+    tx.close()
+    assert got == 2 * 6 * nf
+    frames = buf.reshape(-1, 2)
+    assert np.allclose(frames[:nf], 0.1, atol=1e-3)
+    assert np.allclose(frames[nf : 2 * nf], 0.2, atol=1e-3)
+    assert np.all(frames[2 * nf : 3 * nf] == 0)  # foreign SSRC gap
+    assert np.allclose(frames[3 * nf : 4 * nf], 0.4, atol=1e-3)
+    assert np.all(frames[4 * nf : 5 * nf] == 0)  # dropped packet
+    assert np.allclose(frames[5 * nf : 6 * nf], 0.6, atol=1e-3)
+    # only the matching stream is accounted (4 pkts); both gaps counted
+    assert st["gap_frames"] == 2 * nf and st["packets"] == 4
+
+
 def test_native_opus_at_scale(edge_and_rx):
     """256 Opus channels in one send_block: the parallel encode pool
     (thread-per-core) produces one valid packet per channel. Serial encode

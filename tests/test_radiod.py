@@ -555,3 +555,87 @@ def test_realtime_pacing(radiod):
     # tracing/profiling stats are live (main.c:151-188 analog)
     assert rd.t_min <= rd.t_avg <= rd.t_max
     assert rd.t_max < 8 * bt + 5.0
+
+
+def test_egress_compaction_daemon():
+    """Squelch-gated egress end to end (audio.c:42-110 analog): with
+    egress-slots set and the big-group scalable path forced on, only
+    OPEN channels' audio reaches the wire (device-side compaction +
+    native indexed send), while staggered beacons still cover every
+    channel and carry finite powers from the lazily-fetched info."""
+    import select
+    import socket as socketlib
+    import time as timelib
+    from ka9q_radio_tpu.config import load_config
+    from ka9q_radio_tpu.net.multicast import listen_socket, resolve_dest
+    from ka9q_radio_tpu.net.status import StatusType as T, decode_status
+
+    import os as oslib
+    tag = f"egress-{oslib.getpid()}"
+    conf = f"""
+[global]
+hardware = sig_gen
+mode = usb
+status = {tag}-ctl.local
+data = {tag}-pcm.local
+update = 2
+big-group = 4
+[sig_gen]
+device = sig_gen
+samprate = 1m024
+real = yes
+carrier = 60k7
+amplitude = -20
+noise = -140
+[hf]
+mode = usb
+samprate = 12k
+raster = 40k 120k 10k
+snr-squelch = yes
+squelch-open = 8
+squelch-close = 7
+egress-slots = 4
+"""
+    rd = Radiod(load_config(conf), use_network=True)
+    g = rd.engine.groups["hf"]
+    assert g.spec.egress_slots == 4 and g.C == 8
+    assert "hf" in rd.edges, "compaction demo needs the native edge"
+    rx = listen_socket(resolve_dest(f"{tag}-pcm.local", 5004))
+    rx_st = listen_socket(resolve_dest(f"{tag}-pcm.local", 5006))
+    # warm-up: the filter tail smears the carrier across all bins for the
+    # first blocks, so every squelch opens briefly (and the overflow
+    # counter fires — by design); drain and ignore
+    for _ in range(8):
+        rd.step_block()
+    while select.select([rx, rx_st], [], [], 0)[0]:
+        for sk in select.select([rx, rx_st], [], [], 0)[0]:
+            sk.recvfrom(65536)
+    warm_overflows = rd.egress_overflows
+    audio_ssrcs, beacon_ssrcs = set(), {}
+    deadline = timelib.time() + 30
+    blocks = 0
+    while timelib.time() < deadline and (blocks < 40 or len(beacon_ssrcs) < 8):
+        rd.step_block()
+        blocks += 1
+        r, _, _ = select.select([rx, rx_st], [], [], 0)
+        for sk in r:
+            pkt, _ = sk.recvfrom(65536)
+            if sk is rx and len(pkt) > 12:
+                audio_ssrcs.add(int.from_bytes(pkt[8:12], "big"))
+            elif sk is rx_st:
+                try:
+                    _, fields, _ = decode_status(pkt)
+                except Exception:
+                    continue
+                ssrc = fields.get(T.OUTPUT_SSRC)
+                if ssrc is not None:
+                    beacon_ssrcs[ssrc] = fields
+    # only the carrier channel (60 kHz slot, ssrc 60) opened its squelch
+    assert audio_ssrcs == {60}, audio_ssrcs
+    assert rd.egress_overflows == warm_overflows  # none past warm-up
+    # every channel still beacons (staggered slices) with live metrics
+    assert set(beacon_ssrcs) >= {40, 50, 60, 70, 80, 90, 100, 110}, set(beacon_ssrcs)
+    f60 = beacon_ssrcs[60]
+    assert np.isfinite(f60[T.BASEBAND_POWER]) and np.isfinite(f60[T.NOISE_DENSITY])
+    # the open channel's baseband power dwarfs a muted one's
+    assert f60[T.BASEBAND_POWER] > beacon_ssrcs[90][T.BASEBAND_POWER] + 20
