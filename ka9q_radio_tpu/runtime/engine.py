@@ -247,7 +247,7 @@ class _Group:
     def __init__(self, spec: GroupSpec, master: MasterConfig, samprate: float, blocktime: float,
                  use_matmul: bool = False, center: "float | Sequence[float]" = 0.0,
                  use_tiled: bool = True, noise_every: int = 4, n_inputs: int = 1,
-                 allow_chan_kernel: bool = True):
+                 allow_chan_kernel: bool = True, mesh=None, shard_axis: str = "c"):
         # host->device placement for params leaves; sharded engines set
         # `placement` (Engine.__init__) so retune/set_edges surgery
         # preserves the channel-axis sharding and stays recompile-free
@@ -255,6 +255,10 @@ class _Group:
         self.placement = None  # leaf -> sharding, or None = default device
         self.spec = spec
         self.master = master
+        # set for SHARDED-master engines only (the fused kernels then run
+        # per-device on local channel rows inside one shard_map)
+        self.mesh = mesh
+        self.shard_axis = shard_axis
         self.use_matmul = use_matmul
         self.fs_in = samprate
         self.blocktime = blocktime
@@ -577,8 +581,15 @@ class _Group:
         return np.concatenate([tl, np.repeat(tl[-1:], pad)]) if pad else tl
 
     def _init_chan_kernel(self) -> None:
-        from ..ops.pallas_channelize import plan_runs
+        from ..ops.pallas_channelize import _CB, plan_runs
 
+        if self.mesh is not None:
+            # sharded engines run the kernel per device on the LOCAL
+            # channel rows: runs must not straddle devices, and the
+            # padded frame must be empty (Cp == C)
+            D = self.mesh.shape[self.shard_axis]
+            if self.C % (_CB * D):
+                return
         T = _CTILE
         S = self.host["resp_tiles"].shape[-1]
         self.chan_ntiles = S // T
@@ -912,12 +923,96 @@ class _Group:
                                     inputs=inp))
         return estimate_noise(e, m.bins, self.fs_in)
 
-    def step(self, state, params, F, block=None, jobnum=None):
+    def _chan_noise_mesh(self, params, F_nat):
+        """The round-4 fused kernels under a SHARDED master (VERDICT r4
+        missing #3): one shard_map — all-gather the natural-order master
+        bins over ICI (m_bins c64, ~13 MB at the flagship, paid ONCE for
+        channelize AND noise), then run pallas_channelize /
+        pallas_noise_est on each device's LOCAL [C/D] channel rows. The
+        runtime chan_ok/nz_ok fallbacks run the same XLA tile math
+        locally inside the body, so the conds contain no collectives and
+        retunes stay recompile-free. F_nat: the UNSLICED fft_natural
+        output (evenly sharded P(axis)); returns
+        (bb [C, olen] sharded over channels, n0_est [C])."""
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+        from ..ops.pallas_channelize import (_CB, pallas_channelize,
+                                             pallas_noise_est)
+        from ..ops.noise import noise_correction
+
+        m = self.master
+        ax = self.shard_axis
+        D = self.mesh.shape[ax]
+        Rl = (self.C // D) // _CB
+        interp = jax.default_backend() != "tpu"
+        nz = self.noise_kernel
+        nscale = noise_correction() / (float(m.bins) * float(self.fs_in))
+
+        def body(Floc, rr, ri, off, sgn, rampr, rampi, row0, ok,
+                 tl, sl, sh, *nzargs):
+            d = jax.lax.axis_index(ax)
+            Ff = jax.lax.all_gather(Floc, ax, tiled=True)[: m.bins]
+            row0_l = jax.lax.dynamic_slice(row0, (d * Rl,), (Rl,))
+
+            def _kern(_):
+                return pallas_channelize(
+                    Ff, rr, ri, off, sgn, rampr, rampi, row0_l,
+                    self.chan_E_r, self.chan_E_i, ntiles=self.chan_ntiles,
+                    span=self.chan_span, olen=self.olen,
+                    nrows=self.chan_nrows, interpret=interp)
+
+            def _xla(_):
+                rt = jax.lax.complex(rr, ri)
+                return tiled_channelize(Ff, rt, tl, sl, sh, self.tile_E,
+                                        self.n_bins, self.olen, m.real, m.N)
+
+            bb = jax.lax.cond(ok != 0, _kern, _xla, None)
+            if nz:
+                nzoff, nzrow0, nzok = nzargs
+                nzrow0_l = jax.lax.dynamic_slice(nzrow0, (d * Rl,), (Rl,))
+
+                def _nk(_):
+                    return pallas_noise_est(
+                        Ff, nzoff, nzrow0_l, ntiles=self.nz_ntiles,
+                        span=self.nz_span, nrows=self.chan_nrows,
+                        nbins=self.nz_ntiles * _CTILE, scale=nscale,
+                        interpret=interp)
+
+                def _nx(_):
+                    e = gather_noise_bins(Ff, sh, self.noise_bins, m.real, m.N)
+                    return estimate_noise(e, m.bins, self.fs_in)
+
+                n0 = jax.lax.cond(nzok != 0, _nk, _nx, None)
+            else:
+                e = gather_noise_bins(Ff, sh, self.noise_bins, m.real, m.N)
+                n0 = estimate_noise(e, m.bins, self.fs_in)
+            return bb, n0
+
+        row = P(ax, None)
+        vec = P(ax)
+        rep = P()
+        in_specs = [vec, row, row, row, row, row, row, rep, rep,
+                    vec, vec, vec]
+        args = [F_nat, params["chan_rr"], params["chan_ri"],
+                params["chan_off"], params["chan_sgn"],
+                params["chan_ramp_r"], params["chan_ramp_i"],
+                params["chan_row0"], params["chan_ok"],
+                params["tile_lo"], params["slope"], params["shifts"]]
+        if nz:
+            in_specs += [row, rep, rep]
+            args += [params["nz_off"], params["nz_row0"], params["nz_ok"]]
+        fn = shard_map(body, mesh=self.mesh, in_specs=tuple(in_specs),
+                       out_specs=(P(ax, None), P(ax)), check_vma=False)
+        return fn(*args)
+
+    def step(self, state, params, F, block=None, jobnum=None, F_nat=None):
         """Downconvert + demod one block. F: [m_bins] master spectrum OR a
         parallel.master.DigitSpectrum handle onto the distributed bins;
         block: the raw input block (wideband spectrum reads it directly);
         jobnum: block counter gating the N0 estimation cadence (None =
-        estimate every block)."""
+        estimate every block); F_nat: sharded-master engines also hand
+        the unsliced natural-order spectrum (evenly sharded — the fused
+        kernel path all-gathers it inside shard_map)."""
         m = self.master
         sharded = not hasattr(F, "shape")  # DigitSpectrum handle
         if (self.spec.demod == "spectrum" and "armed" in params
@@ -947,7 +1042,7 @@ class _Group:
                 _idle, state)
         if self.spec.demod == "spectrum":
             return self._step_spectrum(state, params, F, block, jobnum)
-        return self._step_main(state, params, F, block, jobnum)
+        return self._step_main(state, params, F, block, jobnum, F_nat)
 
     def _step_spectrum(self, state, params, F, block, jobnum):
         """The spectrum compute, both algorithms — identical to the
@@ -963,14 +1058,26 @@ class _Group:
             return {"dc": state["dc"], "demod": demod_state}, audio, info
         return self._step_main(state, params, F, block, jobnum)
 
-    def _step_main(self, state, params, F, block, jobnum):
+    def _step_main(self, state, params, F, block, jobnum, F_nat=None):
         """Channelize + N0 cadence + stateful demod tail (all non-wide
         demod types, including narrowband spectrum accumulation)."""
         sharded = not hasattr(F, "shape")  # DigitSpectrum handle
-        bb = self._channelize(params, F)
-
         prev_n0 = state["dc"]["n0"]
         warm = state["dc"]["warmup"] > 0
+        if (self.chan_kernel and self.mesh is not None
+                and getattr(F_nat, "ndim", 0) == 1
+                and self.spec.demod != "spectrum"):
+            # fused kernels on the sharded master: ONE shard_map computes
+            # channelize + N0 per block (the collective runs outside any
+            # cond; N0 applies on cadence in the tail — same values as
+            # the single-chip cond path)
+            bb, n0_est = self._chan_noise_mesh(params, F_nat)
+            due = (jnp.bool_(True) if jobnum is None or self.noise_every == 1
+                   else warm | (jobnum % self.noise_every == 0))
+            return self._demod_tail(state, params, bb, n0_est, due,
+                                    every_block=jobnum is None)
+        bb = self._channelize(params, F)
+
         if jobnum is None or self.noise_every == 1:
             due = jnp.bool_(True)
             n0_est = self._noise_est(params, F)
@@ -1242,10 +1349,14 @@ class Engine:
                                       use_tiled=use_tiled,
                                       noise_every=self.noise_every,
                                       n_inputs=self.n_inputs,
-                                      # mesh/time-shard paths keep the XLA
-                                      # channelizer (pallas_call won't
-                                      # partition under GSPMD / vmap)
-                                      allow_chan_kernel=mesh is None)
+                                      # time-shard steps vmap _channelize
+                                      # over the block axis (no shard_map
+                                      # nesting); sharded-master engines
+                                      # run the kernels per device inside
+                                      # shard_map (_chan_noise_mesh)
+                                      allow_chan_kernel=not self.time_shards,
+                                      mesh=None if self.time_shards else mesh,
+                                      shard_axis=shard_axis)
                        for g in groups}
         if mesh is not None and self.time_shards:
             # params stay REPLICATED over the mesh (every device demods all
@@ -1256,7 +1367,7 @@ class Engine:
             repl = NamedSharding(mesh, P())
             for g in self.groups.values():
                 g.placement = lambda a, _r=repl: _r
-                g.params = g.put_tree(g.host)
+                g.params = g.put_tree(g._device_host_tree())
         if mesh is not None and not self.time_shards:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -1277,7 +1388,7 @@ class Engine:
                 g.placement = _mk_placement(g.C)
                 # re-place the initial params with mesh shardings so retune
                 # surgery (which reuses g.put) never changes input shardings
-                g.params = g.put_tree(g.host)
+                g.params = g.put_tree(g._device_host_tree())
         # adaptive spur notches on master bins (radio.c:662-683,
         # filter.c:441-453): per spur, a slow complex one-pole tracks the
         # coherent bin value and subtracts it; DC always included
@@ -1398,8 +1509,10 @@ class Engine:
                     xb = x[b] if B > 1 else x
                     xc = jax.lax.with_sharding_constraint(
                         xb if m.real else xb.astype(jnp.complex64), colspec)
-                    Fs.append(self.digit.fft_natural(xc, cols_in=True)[: m.bins])
-                F = jnp.stack(Fs) if B > 1 else Fs[0]
+                    Fs.append(self.digit.fft_natural(xc, cols_in=True))
+                F_nat = None if B > 1 else Fs[0]
+                F = (jnp.stack([f[: m.bins] for f in Fs]) if B > 1
+                     else F_nat[: m.bins])
             else:
                 x = jnp.concatenate([state["master"]["tail"], block], axis=-1)
                 mstate = {"tail": x[..., m.L:], "jobnum": jobnum + 1}
@@ -1413,16 +1526,26 @@ class Engine:
                     xc = jax.lax.with_sharding_constraint(
                         xb if m.real else xb.astype(jnp.complex64),
                         NamedSharding(self.mesh, P(self.shard_axis)))
-                    Fs.append(self.digit.fft_natural(xc)[: m.bins])
-                F = jnp.stack(Fs) if B > 1 else Fs[0]
+                    Fs.append(self.digit.fft_natural(xc))
+                F_nat = None if B > 1 else Fs[0]
+                F = (jnp.stack([f[: m.bins] for f in Fs]) if B > 1
+                     else F_nat[: m.bins])
         else:
             mstate, F = master_fft(self.master, state["master"], block)
             new_state = {"master": mstate}
+            F_nat = None
         if self.spur_bins is not None:
             if B > 1:
                 vals = F[:, self.spur_bins]
                 track = state["spurs"] + alpha * (vals - state["spurs"])
                 F = F.at[:, self.spur_bins].add(-track)
+            elif F_nat is not None:
+                # notch the UNSLICED natural spectrum so the fused-kernel
+                # path (which all-gathers F_nat) sees it too, then re-slice
+                vals = F_nat[self.spur_bins]
+                track = state["spurs"] + alpha * (vals - state["spurs"])
+                F_nat = F_nat.at[self.spur_bins].add(-track)
+                F = F_nat[: self.master.bins]
             else:
                 vals = F[self.spur_bins]
                 track = state["spurs"] + alpha * (vals - state["spurs"])
@@ -1434,7 +1557,7 @@ class Engine:
             # the dense F goes in whole (2-D when B > 1); per-channel
             # inputs offset the gathers inside the group
             gs, audio, info = g.step(state["groups"][name], params[name],
-                                     F, blk_g, jobnum)
+                                     F, blk_g, jobnum, F_nat=F_nat)
             new_groups[name] = gs
             outputs[name] = {"audio": audio, "info": info}
         # front-end metrics (frontend->if_power smoothing, rx888.c contract)
