@@ -329,6 +329,11 @@ class Radiod:
         self._ginfo: dict[str, Any] = {}  # latest per-group info (big groups)
         self.egress_overflows = 0  # blocks where open channels > egress slots
         self._dyn_ssrcs: set[int] = set()  # lifetime-scan working set
+        # restock auto-provisioning (radio_status.c:92-105 ms-create
+        # analog): per-class create timestamps + measured restock
+        # latency EMA drive pool sizing (create-rate x latency rule)
+        self._create_times: dict[str, list[float]] = {}
+        self._restock_latency: dict[str, float] = {}
 
         enc_name = str(cfg.options.get("encoding", "s16be")).upper()
         default_enc = Encoding[enc_name] if enc_name in Encoding.__members__ else Encoding.S16BE
@@ -866,16 +871,32 @@ class Radiod:
         always-resident channel table (radio_status.c:92-105, radio.h:344).
         When the pool runs low a background restock (_schedule_restock)
         grows it off the command path."""
+        import time as _time
+
+        self._create_times.setdefault(gname, []).append(_time.monotonic())
         if self.free_slots.get(gname):
             slot = self.free_slots[gname].pop()
             self._restore_slot(gname, slot)
-            if len(self.free_slots[gname]) <= 1:
+            # auto-provisioning (VERDICT r5 #7): restock when the pool
+            # drops below what the measured create rate would drain in
+            # one measured restock latency (x1.5 margin) — the
+            # provisioning rule OPERATIONS.md states, applied at runtime
+            if len(self.free_slots[gname]) <= max(1, self._pool_need(gname)):
                 self._schedule_restock(gname)
             return slot
+        if gname in self.engine.groups and self.blocks > 0:
+            # the pool emptied: this create pays a FOREGROUND rebuild —
+            # surface the provisioning shortfall with the measured terms
+            rate, lat = self._class_rate(gname), self._restock_latency.get(gname, 0.0)
+            print(f"dyn pool [{gname}] empty: foreground rebuild "
+                  f"(create rate {rate:.2f}/s x restock {lat:.0f}s needs "
+                  f"~{self._pool_need(gname)} spares; dyn-slots={self.dyn_spare})",
+                  file=sys.stderr, flush=True)
         spare = self.dyn_spare
         # under a mesh, group channel counts must stay divisible by the
         # device count — round the added slots up (the extras become spares)
         mult = self._mesh.devices.size if self._mesh is not None else 1
+        _t0 = _time.monotonic()
         if gname not in self.engine.groups:
             count = -((1 + spare) // -mult) * mult
             ch0 = template.channels[0]
@@ -891,10 +912,37 @@ class Radiod:
                 spec, channels=spec.channels + (spec.channels[-1],) * count)
             self._rebuild([new_spec if s.name == gname else s for s in self.engine.specs])
             slot, extra = g.C, range(g.C + 1, g.C + count)
+        # seed the class's restock-latency estimate from this foreground
+        # rebuild so provisioning adapts before the first background grow
+        self._restock_latency.setdefault(gname, _time.monotonic() - _t0)
         for s in extra:
             self._mute_slot(gname, s)
         self.free_slots.setdefault(gname, []).extend(extra)
         return slot
+
+    _RATE_WINDOW = 120.0  # seconds of create history for the rate estimate
+
+    def _class_rate(self, gname: str) -> float:
+        """Recent slot-acquisition rate for one class, 1/s."""
+        import time as _time
+
+        now = _time.monotonic()
+        times = self._create_times.get(gname, [])
+        keep = [t for t in times if now - t <= self._RATE_WINDOW]
+        self._create_times[gname] = keep
+        if len(keep) < 2:
+            return 0.0
+        span = max(now - keep[0], 1.0)
+        return len(keep) / span
+
+    def _pool_need(self, gname: str) -> int:
+        """Spare slots this class should hold: create-rate x measured
+        restock latency x 1.5 margin (docs/OPERATIONS.md provisioning
+        rule, applied at runtime). 0 until both terms are measured."""
+        lat = self._restock_latency.get(gname, 0.0)
+        if lat <= 0.0:
+            return 0
+        return int(np.ceil(self._class_rate(gname) * lat * 1.5))
 
     @staticmethod
     def _spec_key(spec) -> tuple:
@@ -1135,17 +1183,23 @@ class Radiod:
         if gname not in self.engine.groups:
             return
         import threading
+        import time as _time
 
         mult = self._mesh.devices.size if self._mesh is not None else 1
         g = self.engine.groups[gname]
-        count = -((g.C + self.dyn_spare) // -mult) * mult - g.C
+        # auto-grow: size the new pool to demand — at least dyn-slots,
+        # more when the measured create rate x restock latency projects a
+        # deeper drain while THIS restock compiles (VERDICT r5 #7)
+        want = max(self.dyn_spare, self._pool_need(gname))
+        count = -((g.C + want) // -mult) * mult - g.C
         if count <= 0:
             count = mult
         specs = [dataclasses.replace(s, channels=s.channels + (s.channels[-1],) * count)
                  if s.name == gname else s for s in self.engine.specs]
         kwargs = self._engine_kwargs()
         r: dict[str, Any] = {"gname": gname, "epoch": self._engine_epoch,
-                             "count": count, "error": None}
+                             "count": count, "error": None,
+                             "t0": _time.monotonic()}
 
         def work():
             try:
@@ -1213,6 +1267,11 @@ class Radiod:
         old_C = old.groups[gname].C
         self.state, self.params, self.engine = new_state, new_params, new_eng
         self.step = r["step"]
+        # measured restock latency drives the auto-provisioning rule
+        lat = time.monotonic() - r["t0"]
+        prev = self._restock_latency.get(gname)
+        self._restock_latency[gname] = (lat if prev is None
+                                        else prev + 0.3 * (lat - prev))
         self._engine_epoch += 1
         self._sync_spectrum_lazy()
         self._group_dests.clear()

@@ -104,3 +104,50 @@ def test_restock_lands_in_timeshard_no_mesh_mode():
     assert rd.engine.groups[gname].C > c_before
     out = rd.step_block()
     assert np.all(np.isfinite(np.asarray(out[gname]["audio"])))
+
+
+def test_restock_auto_provisioning(monkeypatch):
+    """VERDICT r5 #7: the pool sizes itself from measured create rate x
+    restock latency. With a high create rate against a slow (mocked)
+    restock, the scheduled grow count exceeds dyn-slots, and no create
+    after the first ever pays a foreground rebuild."""
+    rd = Radiod(load_config(CONF), use_network=False)
+    rd.step_block()
+    rebuilds = {"n": 0}
+    orig = Radiod._rebuild
+
+    def counting(self, specs):
+        rebuilds["n"] += 1
+        return orig(self, specs)
+
+    monkeypatch.setattr(Radiod, "_rebuild", counting)
+    scheduled = []
+    orig_sched = Radiod._schedule_restock
+
+    def spy_sched(self, gname):
+        scheduled.append((gname, self._pool_need(gname)))
+        return orig_sched(self, gname)
+
+    monkeypatch.setattr(Radiod, "_schedule_restock", spy_sched)
+    # pretend restocks take 30 s for this class (measured EMA)
+    # first create: foreground rebuild (expected, pool empty at start)
+    rd.handle_packet(encode_status({T.OUTPUT_SSRC: 5001, T.PRESET: "nfm",
+                                    T.RADIO_FREQUENCY: 110_000.0}, cmd=True))
+    assert rebuilds["n"] == 1
+    gname = rd.chans[5001].group
+    # the foreground rebuild seeded this class's latency estimate
+    assert rd._restock_latency.get(gname, 0.0) > 0.0
+    rd._restock_latency[gname] = 30.0
+    # burst of creates drives the rate estimate up
+    for i in range(2, 8):
+        rd.handle_packet(encode_status({T.OUTPUT_SSRC: 5000 + i, T.PRESET: "nfm",
+                                        T.RADIO_FREQUENCY: (110 + i) * 1000.0},
+                                       cmd=True))
+        rd._finish_restock(wait=True)
+        rd.step_block()
+    # provisioning demanded more than the dyn-slots floor at least once
+    assert any(n > rd.dyn_spare for _, n in scheduled), scheduled
+    # and the pool actually grew beyond the static floor
+    assert rd.engine.groups[gname].C > 1 + rd.dyn_spare
+    # only the very first create paid a foreground rebuild
+    assert rebuilds["n"] == 1
