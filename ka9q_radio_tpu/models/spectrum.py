@@ -119,16 +119,44 @@ def spectrum_accumulate(state, bb, geo: SpectrumGeometry):
     p = X.real**2 + X.imag**2
     pwr_frames = p[:, :, idx]  # [C, nf, bc]
 
-    # streaming average: first fft_avg frames fill a boxcar, then EMA
-    alpha = np.float32(1.0 / geo.fft_avg)
-    def fold(acc, frame_pwr):
-        pw, n = acc
-        a = jnp.where(n < geo.fft_avg, 1.0 / (n.astype(jnp.float32) + 1.0), alpha)
-        return (pw + a * (frame_pwr - pw), n + 1), None
-
-    (pwr, nframes), _ = jax.lax.scan(fold, (state["power"], state["frames"]), jnp.swapaxes(pwr_frames, 0, 1))
+    pwr, nframes = _fold_frames(state["power"], state["frames"],
+                                jnp.swapaxes(pwr_frames, 0, 1), geo.fft_avg)
     new_state = {"carry": data[:, olen:], "power": pwr, "frames": nframes}
     return new_state, pwr
+
+
+def _fold_frames(power, nstart, p, fft_avg: int):
+    """Streaming per-frame average: the first fft_avg frames fill a
+    boxcar, then an EMA with alpha = 1/fft_avg (spectrum.c's smoothing).
+
+    p: [nf, ...] frame powers (frame axis leading). Steady state uses
+    the CLOSED FORM of nf EMA steps — one weighted reduction over the
+    frame axis instead of a sequential nf-step scan (the scan's fixed
+    per-step cost dominated the armed-sweep block time; the weighted
+    sum also parallelizes over sharded frames on a mesh). Warm-up
+    blocks (any frame still inside the boxcar) keep the exact scan.
+    Returns (power', nstart + nf)."""
+    nf = p.shape[0]
+    alpha = np.float32(1.0 / fft_avg)
+
+    def warm(pw):
+        def fold(acc, frame_pwr):
+            pw_, n = acc
+            a = jnp.where(n < fft_avg, 1.0 / (n.astype(jnp.float32) + 1.0), alpha)
+            return (pw_ + a * (frame_pwr - pw_), n + 1), None
+
+        (out, _), _ = jax.lax.scan(fold, (pw, nstart), p)
+        return out
+
+    def steady(pw):
+        # pw' = (1-a)^nf pw + sum_k a (1-a)^(nf-1-k) p_k  — exact EMA
+        wts = alpha * (1.0 - alpha) ** np.arange(nf - 1, -1, -1, dtype=np.float64)
+        decay = np.float32((1.0 - alpha) ** nf)
+        return pw * decay + jnp.tensordot(
+            jnp.asarray(wts, jnp.float32), p, axes=(0, 0))
+
+    pwr = jax.lax.cond(nstart >= fft_avg, steady, warm, power)
+    return pwr, nstart + nf
 
 
 # ---------------------------------------------------------------------------
@@ -229,12 +257,20 @@ def wide_init(geo: WideGeometry):
     }
 
 
-def wide_accumulate(state, block, geo: WideGeometry):
+def wide_accumulate(state, block, geo: WideGeometry, mesh=None, axis: str = "c"):
     """Fold one raw input block into the wideband average. Returns
-    (new_state, power [bins]) in raw FFT bin order."""
+    (new_state, power [bins]) in raw FFT bin order. mesh/axis: under a
+    sharded master, constrain the frame stack P(axis, None) so each
+    device FFTs its own frame subset (divides the GSPMD resharding
+    traffic of the armed sweep by D — docs/SCALING.md ablation)."""
     data = jnp.concatenate([state["carry"], block]) if geo.carry else block
     nf = geo.frames_per_block
     frames = jnp.stack([data[k * geo.hop : k * geo.hop + geo.fft_n] for k in range(nf)])
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        frames = jax.lax.with_sharding_constraint(
+            frames, NamedSharding(mesh, P(axis, None)))
     w = jnp.asarray(geo.window)
     if geo.mxu is not None:
         from ..ops.filterbank import split_fft_mxu
@@ -248,14 +284,7 @@ def wide_accumulate(state, block, geo: WideGeometry):
     if geo.real:
         p = p * 2.0  # one-sided spectrum carries half the energy (spectrum.c)
 
-    alpha = np.float32(1.0 / geo.fft_avg)
-
-    def fold(acc, fp):
-        pw, n = acc
-        a = jnp.where(n < geo.fft_avg, 1.0 / (n.astype(jnp.float32) + 1.0), alpha)
-        return (pw + a * (fp - pw), n + 1), None
-
-    (pwr, nfr), _ = jax.lax.scan(fold, (state["power"], state["frames"]), p)
+    pwr, nfr = _fold_frames(state["power"], state["frames"], p, geo.fft_avg)
     new_state = {"power": pwr, "frames": nfr}
     if geo.carry:
         new_state["carry"] = data[geo.L :]

@@ -445,7 +445,18 @@ class _Group:
         chans = spec.channels
         freqs = np.array([c.freq for c in chans], np.float64)
         shifts, incs, adjs = self._tuning_arrays(freqs)
-        resp = np.stack([self._design_main(c.low, c.high) for c in chans])
+        # channels sharing passband edges share ONE design (a raster of
+        # 100k+ identical-width channels would otherwise pay 100k+ host
+        # FFT designs at build time)
+        _dcache: dict[tuple, np.ndarray] = {}
+
+        def _dm(lo: float, hi: float) -> np.ndarray:
+            r = _dcache.get((lo, hi))
+            if r is None:
+                r = _dcache[(lo, hi)] = self._design_main(lo, hi)
+            return r
+
+        resp = np.stack([_dm(c.low, c.high) for c in chans])
         f32 = lambda v: np.asarray(v, np.float32)
         i32 = lambda v: np.asarray(v, np.int32)
         bools = lambda v: np.asarray(v, bool)
@@ -1049,7 +1060,8 @@ class _Group:
         always-on path (the armed lazy gate wraps exactly this)."""
         m = self.master
         if self.spectrum_wide:
-            demod_state, pwr = wide_accumulate(state["demod"], block, self.wide_geo)
+            demod_state, pwr = wide_accumulate(state["demod"], block, self.wide_geo,
+                                               mesh=self.mesh, axis=self.shard_axis)
             bins = wide_extract(pwr, params["shifts"], m.N, self.wide_geo, self.spec.bin_count)
             audio = jnp.zeros((self.C, 0), jnp.float32)
             info = {"bin_data": bins,

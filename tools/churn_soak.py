@@ -63,15 +63,24 @@ def rss_mb() -> float:
 
 def main() -> int:
     seconds = 630.0
+    dyn_slots = None
+    rss_out = None
     for i, a in enumerate(sys.argv):
         if a == "--seconds":
             seconds = float(sys.argv[i + 1])
+        elif a == "--dyn-slots":
+            dyn_slots = int(sys.argv[i + 1])
+        elif a == "--rss-out":
+            rss_out = sys.argv[i + 1]
 
     from ka9q_radio_tpu.config import load_config
     from ka9q_radio_tpu.runtime.radiod import Radiod
     from ka9q_radio_tpu.net.status import StatusType as T, encode_status
 
-    rd = Radiod(load_config(CONF.format(tag=os.getpid())), use_network=True)
+    conf = CONF.format(tag=os.getpid())
+    if dyn_slots is not None:
+        conf = conf.replace("dyn-slots = 24", f"dyn-slots = {dyn_slots}")
+    rd = Radiod(load_config(conf), use_network=True)
 
     def cmd(ssrc, **kv):
         fields = {T.OUTPUT_SSRC: ssrc}
@@ -146,6 +155,16 @@ def main() -> int:
             time.sleep(lag)  # realtime pacing
         if dispatches % 30 == 0:
             rss_series.append(rss_mb())
+            if rss_out:
+                with open(rss_out, "a") as fh:
+                    fh.write(json.dumps({
+                        "t": round(time.monotonic() - t_start, 1),
+                        "rss_mb": round(rss_series[-1], 1),
+                        "blocks": rd.blocks, "commands": commands,
+                        "fg_rebuilds": fg_rebuilds,
+                        "restock_swaps": restock_swaps,
+                        "pools": {k: len(v) for k, v in rd.free_slots.items()},
+                    }) + "\n")
 
     out = {
         "seconds": round(time.monotonic() - t_start, 1),
@@ -163,6 +182,8 @@ def main() -> int:
         "rss_peak_mb": round(max(rss_series), 1),
         "p50_ms": round(rd.latency_percentiles((50,))[0] * 1e3, 2),
         "p99_ms": round(rd.latency_percentiles((99,))[0] * 1e3, 2),
+        "dyn_slots": rd.dyn_spare,
+        "restock_latency_s": {k: round(v, 1) for k, v in rd._restock_latency.items()},
     }
     print(json.dumps(out), flush=True)
     ok = (out["fg_rebuilds_after_warmup"] == 0 and out["block_drops"] == 0
