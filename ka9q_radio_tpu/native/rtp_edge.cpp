@@ -15,6 +15,7 @@
 #include <chrono>
 #include <condition_variable>
 #include <cstdint>
+#include <cerrno>
 #include <cstring>
 #include <cmath>
 #include <mutex>
@@ -125,15 +126,34 @@ struct OpusSlot {
   int bitrate = -1; // applied OPUS_SET_BITRATE (-1 = untouched)
   int dtx = -1;     // applied OPUS_SET_DTX
 };
-// per-(socket, channel) encoder states; freed by rtp_edge_close
+// per-(socket, channel) encoder states; freed by rtp_edge_close.
+// Opus_mu guards map STRUCTURE (find/insert/erase — references stay
+// valid across rehash, so the parallel encode phase reads lock-free).
+std::mutex Opus_mu;
 std::unordered_map<uint64_t, OpusSlot> Opus_slots;
-// per-socket data destination (sockets are UNCONNECTED so audio and the
-// status-port beacons share one source port — stock ka9q clients match
-// data<->status sessions on it, pcmrecord.c process_status)
-std::unordered_map<int, sockaddr_in> Edge_dest;
 
 inline uint64_t slot_key(int fd, int chan) {
   return ((uint64_t)(uint32_t)fd << 32) | (uint32_t)chan;
+}
+
+inline OpusSlot &opus_slot(int fd, int chan) {
+  std::lock_guard<std::mutex> g(Opus_mu);
+  return Opus_slots[slot_key(fd, chan)];
+}
+// per-socket data destination (sockets are UNCONNECTED so audio and the
+// status-port beacons share one source port — stock ka9q clients match
+// data<->status sessions on it, pcmrecord.c process_status).
+// Edge_mu guards the map: the ingest blast / feeder threads open and
+// close edge sockets concurrently with the daemon's per-block sends.
+std::mutex Edge_mu;
+std::unordered_map<int, sockaddr_in> Edge_dest;
+
+inline bool edge_dest_of(int fd, sockaddr_in *out) {
+  std::lock_guard<std::mutex> g(Edge_mu);
+  auto it = Edge_dest.find(fd);
+  if (it == Edge_dest.end()) return false;
+  *out = it->second;
+  return true;
 }
 
 size_t sample_bytes(int enc) {
@@ -211,31 +231,39 @@ int rtp_edge_open(const char *ip, int port, int ttl, int tos) {
   }
   int sz = 4 << 20;
   setsockopt(fd, SOL_SOCKET, SO_SNDBUF, &sz, sizeof sz);
-  Edge_dest[fd] = sa;  // unconnected: sendmmsg carries the address
+  {
+    std::lock_guard<std::mutex> g(Edge_mu);
+    Edge_dest[fd] = sa;  // unconnected: sendmmsg carries the address
+  }
   return fd;
 }
 
 // Send one control/status packet from the SAME socket (and source port)
 // as the audio, to the data group's `port` (the beacon path).
 int rtp_edge_send_ctl(int fd, const uint8_t *buf, int len, int port) {
-  auto it = Edge_dest.find(fd);
-  if (it == Edge_dest.end()) return -1;
-  sockaddr_in dst = it->second;
+  sockaddr_in dst{};
+  if (!edge_dest_of(fd, &dst)) return -1;
   dst.sin_port = htons((uint16_t)port);
   ssize_t r = sendto(fd, buf, (size_t)len, 0, (sockaddr *)&dst, sizeof dst);
   return r < 0 ? -1 : (int)r;
 }
 
 void rtp_edge_close(int fd) {
-  for (auto it = Opus_slots.begin(); it != Opus_slots.end();) {
-    if ((int)(it->first >> 32) == fd) {
-      if (it->second.enc) opus_api().destroy(it->second.enc);
-      it = Opus_slots.erase(it);
-    } else {
-      ++it;
+  {
+    std::lock_guard<std::mutex> g(Opus_mu);
+    for (auto it = Opus_slots.begin(); it != Opus_slots.end();) {
+      if ((int)(it->first >> 32) == fd) {
+        if (it->second.enc) opus_api().destroy(it->second.enc);
+        it = Opus_slots.erase(it);
+      } else {
+        ++it;
+      }
     }
   }
-  Edge_dest.erase(fd);
+  {
+    std::lock_guard<std::mutex> g(Edge_mu);
+    Edge_dest.erase(fd);
+  }
   close(fd);
 }
 
@@ -276,7 +304,7 @@ int rtp_edge_send_block(int fd, const float *audio, int nchan, int nframes,
     }
     OpusApi &api = opus_api();
     if (!api.ok()) { ts[c] += ts_inc; continue; }
-    OpusSlot &slot = Opus_slots[slot_key(fd, c)];
+    OpusSlot &slot = opus_slot(fd, c);
     int want_app = opus_app[c] ? opus_app[c]
                                : (encoding[c] == E_OPUS_VOIP ? 2048 : 2049);
     if (slot.enc == nullptr || slot.samprate != samprate[c] ||
@@ -311,7 +339,7 @@ int rtp_edge_send_block(int fd, const float *audio, int nchan, int nframes,
         int c = opus_jobs[j];
         // read-only find (operator[] could insert -> data race); phase 1
         // guaranteed the slot exists for every job
-        OpusSlot &slot = Opus_slots.find(slot_key(fd, c))->second;
+        OpusSlot &slot = opus_slot(fd, c);
         Packet &p = opus_pkts[j];
         const float *src = audio + (size_t)c * nframes * nch;
         int32_t r = api.encode(slot.enc, src, nframes, p.buf + 12, MAX_PAYLOAD);
@@ -366,8 +394,8 @@ int rtp_edge_send_block(int fd, const float *audio, int nchan, int nframes,
   }
   if (pkts.empty()) return 0;
 
-  auto dit = Edge_dest.find(fd);
-  if (dit == Edge_dest.end()) return -1;
+  static thread_local sockaddr_in dst;
+  if (!edge_dest_of(fd, &dst)) return -1;
   std::vector<mmsghdr> hdrs(pkts.size());
   std::vector<iovec> iovs(pkts.size());
   for (size_t i = 0; i < pkts.size(); i++) {
@@ -375,7 +403,7 @@ int rtp_edge_send_block(int fd, const float *audio, int nchan, int nframes,
     std::memset(&hdrs[i], 0, sizeof(mmsghdr));
     hdrs[i].msg_hdr.msg_iov = &iovs[i];
     hdrs[i].msg_hdr.msg_iovlen = 1;
-    hdrs[i].msg_hdr.msg_name = (void *)&dit->second;
+    hdrs[i].msg_hdr.msg_name = (void *)&dst;
     hdrs[i].msg_hdr.msg_namelen = sizeof(sockaddr_in);
   }
   size_t done = 0;
@@ -423,8 +451,8 @@ int rtp_edge_send_indexed(int fd, const float *audio, int nactive,
   for (int c = 0; c < nchan_total; c++)
     if (!active[(size_t)c]) ts[c] += (uint32_t)nframes;
   if (pkts.empty()) return 0;
-  auto dit = Edge_dest.find(fd);
-  if (dit == Edge_dest.end()) return -1;
+  static thread_local sockaddr_in dst2;
+  if (!edge_dest_of(fd, &dst2)) return -1;
   std::vector<mmsghdr> hdrs(pkts.size());
   std::vector<iovec> iovs(pkts.size());
   for (size_t i = 0; i < pkts.size(); i++) {
@@ -432,7 +460,7 @@ int rtp_edge_send_indexed(int fd, const float *audio, int nactive,
     std::memset(&hdrs[i], 0, sizeof(mmsghdr));
     hdrs[i].msg_hdr.msg_iov = &iovs[i];
     hdrs[i].msg_hdr.msg_iovlen = 1;
-    hdrs[i].msg_hdr.msg_name = (void *)&dit->second;
+    hdrs[i].msg_hdr.msg_name = (void *)&dst2;
     hdrs[i].msg_hdr.msg_namelen = sizeof(sockaddr_in);
   }
   size_t done = 0;
@@ -781,8 +809,8 @@ long long rtp_ingest_blast(const char *ip, int port, int encoding, int width,
                            long long nframes, long long pace_fps, int ttl) {
   int fd = rtp_edge_open(ip, port, ttl, 0);
   if (fd < 0) return -1;
-  auto dit = Edge_dest.find(fd);
-  sockaddr_in dst = dit->second;
+  sockaddr_in dst{};
+  if (!edge_dest_of(fd, &dst)) { rtp_edge_close(fd); return -1; }
   size_t sbytes = sample_bytes(encoding);
   size_t plen = (size_t)frames_per_pkt * width * sbytes;
   if (12 + plen > 65000) { rtp_edge_close(fd); return -2; }
@@ -825,7 +853,17 @@ long long rtp_ingest_blast(const char *ip, int port, int encoding, int width,
     int done = 0;
     while (done < nb) {
       int r = sendmmsg(fd, hdrs.data() + done, (unsigned)(nb - done), 0);
-      if (r <= 0) { rtp_edge_close(fd); return sent; }
+      if (r <= 0) {
+        // transient loopback/back-pressure errors must not kill a paced
+        // feeder mid-stream (a dead sender starves the daemon forever)
+        if (r < 0 && (errno == EINTR || errno == EAGAIN || errno == ENOBUFS
+                      || errno == ENOMEM)) {
+          std::this_thread::sleep_for(std::chrono::milliseconds(1));
+          continue;
+        }
+        rtp_edge_close(fd);
+        return sent;
+      }
       done += r;
     }
     sent += (long long)frames_per_pkt * nb;
