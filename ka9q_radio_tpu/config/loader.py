@@ -132,6 +132,9 @@ def _expand_freqs(sec: dict[str, str]) -> list[tuple]:
             start, stop, step = (parse_frequency(t, True) for t in toks)
             if start > stop:
                 start, stop = stop, start
+            if step <= 0:
+                # a zero/negative step would append channels until OOM
+                raise ValueError(f"bad raster step: {r!r}")
             f = start
             while f < stop:
                 out.append((f, tone, hw))

@@ -64,14 +64,43 @@ def bench_raw(fs: float, secs: float, flat: bool) -> dict:
     }
 
 
+def measure_h2d(secs: float = 6.0) -> float:
+    """Sustained h2d MB/s of the ambient device link right now. The axon
+    tunnel's bandwidth swings 9-630 MB/s between bouts (measured across
+    one day, docs/OPERATIONS.md) — a REAL-sample daemon must be sized to
+    the link it actually has."""
+    import jax
+    import jax.numpy as jnp
+
+    x = np.zeros(2_592_000, np.float32)
+    consume = jax.jit(jnp.sum)
+    float(consume(jax.device_put(x)))
+    t0 = time.monotonic()
+    n = 0
+    while time.monotonic() - t0 < secs:
+        float(consume(jax.device_put(x)))
+        n += 1
+    return n * x.nbytes / (time.monotonic() - t0) / 1e6
+
+
+# front-end rate ladder (all goodchoice master sizes): flagship down to
+# RTL-class, halving until the measured link carries fs*4B at <=50% duty
+_FS_LADDER = [129_600_000, 64_800_000, 32_400_000, 16_200_000,
+              8_100_000, 4_050_000, 2_025_000]
+
+
 def bench_daemon(fs: float, secs: float, channels: int, shards: int) -> dict:
     from ka9q_radio_tpu.native import ingest_blast
     from ka9q_radio_tpu.config.loader import load_config
     from ka9q_radio_tpu.runtime.radiod import Radiod
 
+    h2d_mbs = measure_h2d()
+    if fs <= 0:  # --fs 0 = auto: largest rung the live link can carry
+        fs = next((r for r in _FS_LADDER if r * 4 <= 0.5 * h2d_mbs * 1e6),
+                  _FS_LADDER[-1])
     port = 47132
-    lo = 2_000_000.0
     hi = min(0.45 * fs, 60_000_000.0)
+    lo = min(2_000_000.0, 0.05 * fs)
     cfg = load_config(f"""
 [global]
 hardware = feed
@@ -124,6 +153,7 @@ raster = {lo:.1f} {hi:.1f} {(hi - lo) / channels:.1f}
     real_rate = blocks * L / dt / 1e6
     return {
         "mode": "daemon", "fs_msps": fs / 1e6, "channels": channels,
+        "h2d_mbs_at_start": round(h2d_mbs, 1),
         "time_shards": D, "blocks": blocks, "block_drops": drops,
         "compile_s": round(compile_s, 1),
         "wall_secs": round(dt, 1), "achieved_msps": round(real_rate, 1),
