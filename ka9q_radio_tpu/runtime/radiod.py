@@ -1859,7 +1859,9 @@ class Radiod:
                      Encoding.F16LE: "F16LE", Encoding.F16BE: "F16BE", Encoding.S16LE: "L16LE"}
         pts = []
         seen = set()
+        group_pts: dict[str, set] = {}  # one pass; avoids O(C·groups)
         for ch in self.chans.values():
+            group_pts.setdefault(ch.group, set()).add(ch.pt)
             if ch.pt in seen:
                 continue
             seen.add(ch.pt)
@@ -1874,7 +1876,7 @@ class Radiod:
                 continue
             gdest, _ = self._group_data_dest(gname)
             gpts = [(pt, e, r, c) for pt, e, r, c in pts
-                    if any(ch.group == gname and ch.pt == pt for ch in self.chans.values())]
+                    if pt in group_pts.get(gname, ())]
             if gpts:
                 self.sap.announce(f"{self.description}/{gname}", gdest[0], gdest[1],
                                   gpts, self._sap_ttl)
@@ -1883,9 +1885,10 @@ class Radiod:
         if self.rtcp_sock is None:
             return
         from ..net.rtcp import build_sr, build_sdes, compound
+        big_table = len(self.chans) >= self.big_group_c
         for ch in self.chans.values():
-            if not ch.sending and ch.data_packets == 0:
-                continue
+            if not ch.sending and (ch.data_packets == 0 or big_table):
+                continue  # big tables: RTCP only for currently-open channels
             pkt = compound(
                 build_sr(ch.ssrc, ch.rtp_timestamp, ch.data_packets, 0),
                 build_sdes(ch.ssrc, f"{self.description} ssrc {ch.ssrc}"),
