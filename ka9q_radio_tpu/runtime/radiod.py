@@ -543,6 +543,12 @@ class Radiod:
             spec = g.spec
             if spec.demod == "spectrum":
                 continue
+            if spec.egress_slots and any(
+                    c.encoding in (Encoding.OPUS, Encoding.OPUS_VOIP)
+                    for c in self.chans.values() if c.group == gname):
+                # the compacted (indexed) send is PCM-only: Opus needs
+                # per-channel encoder state the gather path doesn't carry
+                continue
             if spec.demod == "wfm":
                 # WFM flips channel count + payload type per block on pilot
                 # loss (wfm.c:226-276); the fixed-shape edge can't. Station
