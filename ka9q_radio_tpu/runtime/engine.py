@@ -631,8 +631,11 @@ class _Group:
         self._refresh_chan_host()
         # device params carry the f32 PAIR form of the responses (the
         # fallback branch reconstructs complex64 in-graph); dropping the
-        # c64 leaf keeps the resp memory single-copy
-        p = {k: v for k, v in self.params.items() if k != "resp_tiles"}
+        # c64 resp_tiles AND the FFT-order responses (used only by the
+        # non-tiled gather paths) keeps the response memory single-copy —
+        # ~670 MB of HBM at the 280k-channel ceiling
+        p = {k: v for k, v in self.params.items()
+             if k not in ("resp_tiles", "responses")}
         keys = ["chan_rr", "chan_ri", "chan_off", "chan_sgn",
                 "chan_ramp_r", "chan_ramp_i", "chan_row0", "chan_ok"]
         if self.noise_kernel:
@@ -734,7 +737,8 @@ class _Group:
         if self.chan_kernel:
             if refresh:
                 self._refresh_chan_host()
-            return {k: v for k, v in self.host.items() if k != "resp_tiles"}
+            return {k: v for k, v in self.host.items()
+                    if k not in ("resp_tiles", "responses")}
         return self.host
 
     def _chan_surgery_rows(self, params: dict[str, Any], idx: int,
@@ -764,7 +768,7 @@ class _Group:
             small += ["chan_sgn", "chan_off", "chan_row0", "chan_ok"]
             if self.noise_kernel:
                 small += ["nz_off", "nz_row0", "nz_ok"]
-        if new_resp:
+        if new_resp and "responses" in params:
             rows["responses"] = h["responses"][idx : idx + 1]
         leaves = {k: params[k] for k in rows}
         out = _row_surgery(leaves, device_put_safe(rows), np.int32(idx))
