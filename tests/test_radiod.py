@@ -639,3 +639,42 @@ egress-slots = 4
     assert np.isfinite(f60[T.BASEBAND_POWER]) and np.isfinite(f60[T.NOISE_DENSITY])
     # the open channel's baseband power dwarfs a muted one's
     assert f60[T.BASEBAND_POWER] > beacon_ssrcs[90][T.BASEBAND_POWER] + 20
+
+
+def test_egress_compaction_timeshard():
+    """Compacted egress composes with time-shards (the [D, K] sliced
+    outputs): only the open channel's audio is emitted per block."""
+    conf = """
+[global]
+hardware = sig_gen
+mode = usb
+time-shards = 2
+update = 100
+[sig_gen]
+device = sig_gen
+samprate = 1m024
+real = yes
+carrier = 60k7
+amplitude = -20
+noise = -140
+[hf]
+mode = usb
+samprate = 12k
+raster = 40k 120k 10k
+snr-squelch = yes
+egress-slots = 4
+"""
+    rd = Radiod(load_config(conf), use_network=False)
+    for _ in range(10):
+        rd.step_block()
+    rd._sent.clear()
+    for _ in range(6):
+        rd.step_block()
+    ssrcs = {int.from_bytes(p[8:12], "big")
+             for k, p in rd._sent if k == "data"}
+    assert ssrcs == {60}, ssrcs
+    audio = np.concatenate([decode_samples(RtpHeader.unpack(p)[1], Encoding.S16BE)
+                            for k, p in rd._sent if k == "data"])
+    S = np.abs(np.fft.rfft(audio * np.hanning(audio.size)))
+    f = np.fft.rfftfreq(audio.size, 1 / 12_000)
+    assert abs(f[np.argmax(S)] - 700.0) < 25
