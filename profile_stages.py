@@ -208,11 +208,38 @@ def mesh_stages():
     def stage_m_chan(st, params, blk):
         mst, F = nat_fft(st["master"], blk)
         p = params["hf"]
-        bb = tiled_channelize(F, p["resp_tiles"], p["tile_lo"], p["slope"],
+        rt = (p["resp_tiles"] if "resp_tiles" in p
+              else jax.lax.complex(p["chan_rr"][: hfm.C], p["chan_ri"][: hfm.C]))
+        bb = tiled_channelize(F, rt, p["tile_lo"], p["slope"],
                               p["shifts"], hfm.tile_E, hfm.n_bins, hfm.olen,
                               m.real, m.N)
         bb, acc = fine_tune(bb, st["acc"], p["inc_q32"], p["adj_q32"])
         return {"master": mst, "acc": acc}, jnp.sum(bb.real)
+
+    def nat_fft_full(st, blk):
+        """Like nat_fft but UNSLICED (the fused-kernel path all-gathers
+        the evenly-sharded natural array inside shard_map)."""
+        if not engm.digit_cols:
+            x = jnp.concatenate([st["tail"].reshape(-1), blk], axis=-1)
+            xc = jax.lax.with_sharding_constraint(x, spec_in)
+            return ({"tail": x[m.L:].reshape(-1, n2),
+                     "jobnum": st["jobnum"] + 1}, engm.digit.fft_natural(xc))
+        blk2 = jax.lax.with_sharding_constraint(
+            blk.reshape(m.L // n2, n2), colspec)
+        x = jnp.concatenate([st["tail"], blk2], axis=-2)
+        xc = jax.lax.with_sharding_constraint(x, colspec)
+        return ({"tail": x[m.L // n2:, :], "jobnum": st["jobnum"] + 1},
+                engm.digit.fft_natural(xc, cols_in=True))
+
+    def stage_m_kern(st, params, blk):
+        # round-5 fused kernels under the mesh: one shard_map all-gather
+        # + per-device pallas channelize AND noise estimate
+        mst, Fn = nat_fft_full(st["master"], blk)
+        bb, n0 = hfm._chan_noise_mesh(params["hf"], Fn)
+        bb, acc = fine_tune(bb, st["acc"], params["hf"]["inc_q32"],
+                            params["hf"]["adj_q32"])
+        return ({"master": mst, "acc": acc},
+                jnp.sum(bb.real) + jnp.sum(n0))
 
     def stage_m_noise(st, params, blk):
         mst, F = nat_fft(st, blk)
@@ -242,6 +269,10 @@ def mesh_stages():
         "m_noise": (stage_m_noise, mst0),
         "m_full": (stage_m_full, lambda: jax.jit(engm.init_state)()),
     }
+    if hfm.chan_kernel:
+        stages["m_kern"] = (stage_m_kern,
+                            lambda: {"master": mst0(),
+                                     "acc": jnp.zeros((hfm.C,), jnp.int32)})
     return stages, engm.init_params()
 
 
