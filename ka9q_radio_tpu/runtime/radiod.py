@@ -334,6 +334,8 @@ class Radiod:
         # latency EMA drive pool sizing (create-rate x latency rule)
         self._create_times: dict[str, list[float]] = {}
         self._restock_latency: dict[str, float] = {}
+        self._restock_pending: set[str] = set()  # classes queued behind
+        # the single in-flight background restock
 
         enc_name = str(cfg.options.get("encoding", "s16be")).upper()
         default_enc = Encoding[enc_name] if enc_name in Encoding.__members__ else Encoding.S16BE
@@ -1184,7 +1186,14 @@ class Radiod:
         engine; step_block swaps it in at a block boundary (migrate_state
         + adopt_host_params, both cheap). A foreground _rebuild meanwhile
         (epoch bump) voids the result."""
-        if self.dyn_spare == 0 or self._restock is not None:
+        if self.dyn_spare == 0:
+            return
+        if self._restock is not None:
+            # one restock compiles at a time; remember the demand so the
+            # NEXT class's grow starts the moment this one lands (a
+            # dropped request here is how a pool empties into a
+            # foreground rebuild under multi-class churn)
+            self._restock_pending.add(gname)
             return
         if gname not in self.engine.groups:
             return
@@ -1241,6 +1250,14 @@ class Radiod:
         """Swap in a completed background restock (block-boundary safe)."""
         r = self._restock
         if r is None:
+            # the slot is free: start the next queued class's grow (its
+            # request arrived while another restock was compiling)
+            while self._restock_pending and self._restock is None:
+                g = self._restock_pending.pop()
+                if (g in self.engine.groups
+                        and len(self.free_slots.get(g, ()))
+                        <= max(1, self._pool_need(g))):
+                    self._schedule_restock(g)
             return
         if wait:
             r["thread"].join()
