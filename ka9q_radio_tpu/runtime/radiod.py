@@ -887,9 +887,12 @@ class Radiod:
             self._restore_slot(gname, slot)
             # auto-provisioning (VERDICT r5 #7): restock when the pool
             # drops below what the measured create rate would drain in
-            # one measured restock latency (x1.5 margin) — the
-            # provisioning rule OPERATIONS.md states, applied at runtime
-            if len(self.free_slots[gname]) <= max(1, self._pool_need(gname)):
+            # one measured restock latency (x1.5 margin), and never later
+            # than half-empty — restocks serialize across classes, so a
+            # late trigger plus two queued grows drains a pool to zero
+            # (the provisioning rule OPERATIONS.md states, at runtime)
+            floor = max(1, self.dyn_spare // 2, self._pool_need(gname))
+            if len(self.free_slots[gname]) <= floor:
                 self._schedule_restock(gname)
             return slot
         if gname in self.engine.groups and self.blocks > 0:
@@ -1256,7 +1259,7 @@ class Radiod:
                 g = self._restock_pending.pop()
                 if (g in self.engine.groups
                         and len(self.free_slots.get(g, ()))
-                        <= max(1, self._pool_need(g))):
+                        <= max(1, self.dyn_spare // 2, self._pool_need(g))):
                     self._schedule_restock(g)
             return
         if wait:

@@ -98,7 +98,7 @@ def main() -> int:
     cmd(9003, PRESET="nfm", RADIO_FREQUENCY=310e3)
     for _ in range(3):
         rd.step_block()
-    t_settle = time.monotonic() + 30.0
+    t_settle = time.monotonic() + 90.0
     while (rd._restock is not None or any(
             len(v) < rd.dyn_spare for v in rd.free_slots.values())) \
             and time.monotonic() < t_settle:
