@@ -324,7 +324,7 @@ class Radiod:
         # beacon-budget encodes/block (the reference's staggered
         # all-channel dump discipline, radio_status.c:59-67)
         self.big_group_c = int(cfg.options.get("big-group", 4096))
-        self.beacon_budget = int(cfg.options.get("beacon-budget", 64))
+        self.beacon_budget = int(cfg.options.get("beacon-budget", 16))
         self._send_prev: dict[str, np.ndarray] = {}
         self._ginfo: dict[str, Any] = {}  # latest per-group info (big groups)
         self.egress_overflows = 0  # blocks where open channels > egress slots
