@@ -924,8 +924,15 @@ class Radiod:
             self._rebuild([new_spec if s.name == gname else s for s in self.engine.specs])
             slot, extra = g.C, range(g.C + 1, g.C + count)
         # seed the class's restock-latency estimate from this foreground
-        # rebuild so provisioning adapts before the first background grow
-        self._restock_latency.setdefault(gname, _time.monotonic() - _t0)
+        # rebuild so provisioning adapts before the first background grow.
+        # Floor the prior at 30 s: a foreground rebuild of a warm cache
+        # finishes in under a second, but a background restock compiles a
+        # GROWN table and queues behind other classes — seeding with the
+        # optimistic number under-provisions the first cycle (measured:
+        # one pool drained to zero before its first background grow).
+        # The EMA corrects downward once real grows land.
+        self._restock_latency.setdefault(
+            gname, max(_time.monotonic() - _t0, 30.0))
         for s in extra:
             self._mute_slot(gname, s)
         self.free_slots.setdefault(gname, []).extend(extra)

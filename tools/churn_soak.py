@@ -99,8 +99,7 @@ def main() -> int:
     for _ in range(3):
         rd.step_block()
     t_settle = time.monotonic() + 90.0
-    while (rd._restock is not None or any(
-            len(v) < rd.dyn_spare for v in rd.free_slots.values())) \
+    while (rd._restock is not None or rd._restock_pending) \
             and time.monotonic() < t_settle:
         rd.step_block()
     warm_s = time.monotonic() - t0
