@@ -281,3 +281,33 @@ freq = 240k0
     assert abs(db[peak] - (-6.0)) < 2.5
     # the Rice payload beats the byte format on this sweep
     assert len(bytes(f[T.BIN_RICE_DATA])) < 64
+
+
+def test_fold_frames_closed_form_matches_scan():
+    """_fold_frames' steady-state weighted reduction == nf sequential EMA
+    steps exactly (the round-5 armed-sweep optimization), and warm-up
+    boxcar blocks cross into steady state with the same values."""
+    import jax
+    import jax.numpy as jnp
+    from ka9q_radio_tpu.models.spectrum import _fold_frames
+
+    rng = np.random.default_rng(9)
+    nf, bins, avg = 7, 33, 10
+
+    def reference(power, n0, p):
+        pw, n = power.copy(), n0
+        for k in range(p.shape[0]):
+            a = 1.0 / (n + 1.0) if n < avg else 1.0 / avg
+            pw = pw + np.float32(a) * (p[k] - pw)
+            n += 1
+        return pw, n
+
+    power = rng.uniform(0.1, 2.0, bins).astype(np.float32)
+    for n0 in (0, 4, 8, 10, 25, 1000):  # warm-up, straddling, steady
+        p = rng.uniform(0.0, 3.0, (nf, bins)).astype(np.float32)
+        want, wn = reference(power, n0, p)
+        got, gn = jax.jit(lambda pw, n, pp: _fold_frames(pw, n, pp, avg))(
+            jnp.asarray(power), jnp.int32(n0), jnp.asarray(p))
+        assert int(gn) == wn
+        np.testing.assert_allclose(np.asarray(got), want, rtol=3e-6,
+                                   err_msg=f"n0={n0}")
