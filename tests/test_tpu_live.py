@@ -160,3 +160,29 @@ def test_tpu_realtime_soak(tmp_path):
     # 7500 > ring + warmup... the first stats line covers warmup; use the
     # LAST line, whose ring is dominated by steady state)
     assert float(p99) < 20.0, f"p99 {p99} ms breaches the 20 ms block budget"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("KA9Q_TPU_LIVE"),
+    reason="live-TPU drive is opt-in: set KA9Q_TPU_LIVE=1",
+)
+def test_tpu_live_rtp_ingest():
+    """LIVE daemon fed REAL RTP samples (round 5): the native reader on
+    loopback, front-end rate auto-sized to the measured h2d link
+    (tools/bench_ingest daemon --fs 0). Asserts zero ingest starvation
+    and positive realtime margin at the chosen rate."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                       "tools", "bench_ingest.py"),
+         "daemon", "--fs", "0", "--secs", "30", "--channels", "100",
+         "--shards", "8"],
+        capture_output=True, text=True, timeout=1500)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["starve_frames"] == 0, out
+    assert out["block_drops"] == 0, out
+    assert out["realtime_margin"] > 0.97, out
