@@ -1365,12 +1365,22 @@ class Engine:
                                       use_tiled=use_tiled,
                                       noise_every=self.noise_every,
                                       n_inputs=self.n_inputs,
-                                      # time-shard steps vmap _channelize
-                                      # over the block axis (no shard_map
-                                      # nesting); sharded-master engines
-                                      # run the kernels per device inside
-                                      # shard_map (_chan_noise_mesh)
-                                      allow_chan_kernel=not self.time_shards,
+                                      # time-shard steps run _channelize
+                                      # under scan/vmap over the block
+                                      # axis: the kernel follows (the
+                                      # cond predicate is unbatched, so
+                                      # only one branch executes), but
+                                      # compiled pallas-under-vmap is
+                                      # opt-in until validated on real
+                                      # TPU (KA9Q_CHAN_KERNEL_SCAN=1).
+                                      # Sharded-master engines run the
+                                      # kernels per device inside
+                                      # shard_map (_chan_noise_mesh);
+                                      # mesh+time-shards keeps XLA.
+                                      allow_chan_kernel=(
+                                          not self.time_shards
+                                          or (mesh is None and bool(
+                                              os.environ.get("KA9Q_CHAN_KERNEL_SCAN")))),
                                       mesh=None if self.time_shards else mesh,
                                       shard_axis=shard_axis)
                        for g in groups}

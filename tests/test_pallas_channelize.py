@@ -283,3 +283,61 @@ def test_noise_kernel_matches_xla():
         scale=noise_correction() / (float(m_bins) * fs),
         interpret=jax.default_backend() != "tpu"))
     np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+def test_kernel_in_timeshard_scan(monkeypatch):
+    """Opt-in (KA9Q_CHAN_KERNEL_SCAN): the fused kernel runs inside the
+    no-mesh time-shards scan dispatch — the daemon's remote-link mode —
+    and matches the per-block kernel engine."""
+    monkeypatch.setenv("KA9Q_CHAN_KERNEL", "force")
+    monkeypatch.setenv("KA9Q_CHAN_KERNEL_SCAN", "1")
+    from ka9q_radio_tpu.runtime import ChannelSpec, GroupSpec, Engine
+
+    FS = 2_048_000
+    C = 512
+    D = 2
+    freqs = np.linspace(0.05 * FS, 0.45 * FS, C)
+
+    def mk():
+        return [GroupSpec(name="hf", demod="linear", samprate=8_000,
+                          channels=tuple(ChannelSpec(freq=float(f), low=50.0,
+                                                     high=2_700.0)
+                                         for f in freqs))]
+
+    et = Engine(samprate=FS, real=True, groups=mk())  # per-block reference
+    assert et.groups["hf"].chan_kernel
+
+    rng = np.random.default_rng(4)
+    t = np.arange(2 * D * et.L) / FS
+    x = (0.01 * rng.standard_normal(t.size)
+         + 0.3 * np.cos(2 * np.pi * (freqs[C // 3] + 700.0) * t)).astype(np.float32)
+    blocks = x.reshape(2, D, et.L)
+
+    st, pt = jax.jit(et.init_state)(), et.init_params()
+    stept = jax.jit(et.step)
+    ref = []
+    for i in range(2):
+        for d in range(D):
+            st, ot = stept(st, pt, jnp.asarray(blocks[i, d]))
+            ref.append(np.asarray(ot["hf"]["audio"]))
+
+    # the daemon's scan-dispatch form (radiod._mk_step without a mesh)
+    es = Engine(samprate=FS, real=True, groups=mk())
+    assert es.groups["hf"].chan_kernel
+
+    def step_many(state, prms, blks):
+        def body(s, blk):
+            s, out = es.step(s, prms, blk)
+            return s, out
+
+        return jax.lax.scan(body, state, blks)
+
+    ss, ps = jax.jit(es.init_state)(), es.init_params()
+    stepm = jax.jit(step_many)
+    got = []
+    for i in range(2):
+        ss, os_ = stepm(ss, ps, jnp.asarray(blocks[i]))
+        for d in range(D):
+            got.append(np.asarray(os_["hf"]["audio"][d]))
+    for k, (a, b) in enumerate(zip(got, ref)):
+        assert np.abs(a - b).max() < 2e-5 * max(np.abs(b).max(), 1e-9), k
